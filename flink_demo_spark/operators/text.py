@@ -1,0 +1,79 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (SURVEY.md §7 phase 6): token counting,
+quality scoring, language-ID heuristics, and document fingerprinting
+over the ``documents`` table — all pure column expressions (JVM-side,
+whole-stage-codegen) so they stream through a 100 TB scan without
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny stopword list for the quality/lang heuristics (deterministic,
+# shared with the DuckDB oracles — keep sorted, lowercase)
+STOPWORDS = ("a", "and", "in", "is", "of", "the", "to")
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: str | Column) -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def quality_score(text: str | Column) -> Column:
+    """Deterministic [0,1] quality heuristic.
+
+    0.5 * min(1, n_tokens/50)          (length credit)
+    + 0.3 * distinct_tokens/n_tokens   (lexical diversity)
+    + 0.2 * min(1, 10*stopwords/n_tokens)  (function-word presence)
+    """
+    n = token_count(text).cast("double")
+    d = distinct_token_count(text).cast("double")
+    s = stopword_count(text).cast("double")
+    return (
+        F.lit(0.5) * F.least(F.lit(1.0), n / F.lit(50.0))
+        + F.lit(0.3) * (d / n)
+        + F.lit(0.2) * F.least(F.lit(1.0), F.lit(10.0) * s / n)
+    )
+
+
+def langid_en_score(text: str | Column) -> Column:
+    """Share of tokens that are common-English function words."""
+    return stopword_count(text).cast("double") / token_count(text).cast("double")
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Order-insensitive document fingerprint:
+    md5 over the sorted distinct lowercase token bag."""
+    c = F.col(text) if isinstance(text, str) else text
+    bag = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+")))
+    return F.md5(F.array_join(bag, " "))
+
+
+def shingles(text: str | Column, k: int = 3) -> Column:
+    """Distinct k-token shingles ('w1 w2 w3' strings)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )

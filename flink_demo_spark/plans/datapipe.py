@@ -1,0 +1,315 @@
+"""LLM-training-data pipeline queries: dedup, text analysis,
+similarity search over ``documents`` and ``embeddings``.
+
+Beyond-reference surface (BASELINE.json north star; SURVEY.md §7
+phase 6). Oracle-backed where the computation is expressible in
+portable SQL; the hash-based operators (MinHash/SimHash/LSH) use
+Spark's xxhash64 and register without an oracle (driver rows-only
+check) — their correctness is pinned by pytest unit tests instead.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, similarity, text
+from .registry import query
+
+_SW = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+# fixed random hyperplanes for the LSH path (seeded; 64-dim, 6 bits)
+_rng = random.Random(42)
+LSH_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(6)]
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS INT)
+             AS n_distinct,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> lower(x) IN ({_SW}))) AS INT) AS n_stopwords,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="token counting + lexical stats per document.",
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).alias(
+            "n_distinct"
+        ),
+        text.stopword_count("text").alias("n_stopwords"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n,
+             CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+               AS BIGINT) AS d,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      x -> lower(x) IN ({_SW}))) AS BIGINT) AS sw
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(5000 * least(n, 50) // 50
+                + (3000 * d) // n
+                + (2000 * least(n, 10 * sw)) // n AS BIGINT) AS quality_bp
+    FROM s
+    ORDER BY doc_id
+    """,
+    doc=(
+        "document quality heuristic in basis points "
+        "(length/diversity/stopwords) — exact integer arithmetic so both "
+        "engines agree bit-for-bit."
+    ),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # distinct-token count here is case-folded, matching the oracle
+    n = text.token_count("text").cast("long")
+    d = F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).cast(
+        "long"
+    )
+    s = text.stopword_count("text").cast("long")
+    staged = docs.select(
+        "doc_id", "lang", n.alias("n"), d.alias("d"), s.alias("sw")
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(5000 * least(n, 50) div 50"
+            " + (3000 * d) div n"
+            " + (2000 * least(n, 10 * sw)) div n AS BIGINT)"
+        ).alias("quality_bp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      x -> lower(x) IN ({_SW}))) AS DOUBLE)
+             / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+               AS en_score
+      FROM documents
+    )
+    SELECT doc_id, lang, round(en_score, 4) AS en_score,
+           CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS predicted
+    FROM s
+    ORDER BY doc_id
+    """,
+    doc="language-ID heuristic: function-word hit ratio.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = text.langid_en_score("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(score, 4).alias("en_score"),
+        F.when(score >= 0.05, "en").otherwise("other").alias("predicted"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(
+                 list_sort(list_distinct(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+             AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="order-insensitive md5 fingerprint over the distinct token bag.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                   list_sort(list_distinct(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+               AS fp
+      FROM documents
+    )
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS min_id
+    FROM fp GROUP BY fp HAVING count(*) > 1
+    ORDER BY fp
+    """,
+    doc="exact dedup: hash-groupBy on normalized fingerprint (1 shuffle).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "text", "doc_id").orderBy("fp")
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(n_common / (n1.n + n2.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes n1 ON n1.doc_id = doc1
+    JOIN sizes n2 ON n2.doc_id = doc2
+    WHERE n_common / (n1.n + n2.n - n_common) >= 0.3
+    ORDER BY doc1, doc2
+    """,
+    doc="n-gram (3-shingle) Jaccard near-dup pairs via inverted index.",
+    bench=True,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.3).orderBy(
+        "doc1", "doc2"
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based; verified by unit test against jaccard_pairs
+    doc=(
+        "MinHash(16) + LSH(4 bands) candidate pairs, verified with exact "
+        "Jaccard >= 0.3 — the 100 TB-scale near-dup path."
+    ),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, k=3, verify_threshold=0.3
+    ).orderBy("doc1", "doc2")
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based signature; determinism pinned by unit test
+    doc="64-bit SimHash signatures per document.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))), 6)
+               AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, rk, neighbor_id, cosine_sim FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "brute-force cosine top-5 for 5 query vectors: broadcast query "
+        "set, JVM fold dot product, WindowGroupLimit top-k."
+    ),
+    bench=True,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.brute_force_top_k(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, round_to=6
+    ).orderBy("query_id", "rk")
+
+
+@query(
+    "similarity_lsh_topk",
+    oracle=None,  # approximate path; recall pinned by unit test vs brute force
+    doc="LSH-bucketed ANN top-5 (random hyperplane signatures).",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_top_k(
+        emb, queries, LSH_PLANES, id_col="vec_id", vec_col="embedding", k=5
+    ).orderBy("query_id", "rk")
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="per-label embedding L2-norm stats (array fold, no UDF).",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = similarity.l2_norm(
+        F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(norm), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

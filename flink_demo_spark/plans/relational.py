@@ -1,0 +1,814 @@
+"""Relational surface: joins, set ops, grouping, scalar functions.
+
+Covers SURVEY.md §2.5 (joins), §2.6 (aggregations), §2.8 (sorts /
+limits / set ops), §2.9 (scalar functions) — each table row in the
+survey cites the reference demo it re-expresses (citations repeated
+on each query below).
+
+Spark-first notes: everything here is a declarative DataFrame plan;
+Catalyst provides filter/projection pushdown, semi/anti-join rewrite
+of EXISTS/IN, join reordering, and partial aggregation (reference
+lists the same rewrites for the Blink planner at
+``TableSQLFunc.scala:390-402``). Small dimensions (region, nation,
+supplier) get explicit ``broadcast()`` hints — at 100 TB the fact
+tables (lineitem, orders, events) shuffle on their join keys and the
+dims must never shuffle.
+
+Determinism: double SUM/AVG go through exact DECIMAL accumulation
+(`plans/_util.py`) so Spark and DuckDB agree bit-for-bit regardless
+of partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import davg, dsum, oavg, osum
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation spine (reference: SQL GROUP BY demos QueryTest.scala:356-388,
+# agg functions TableSQLFunc.scala:232-239)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round({osum('l_quantity')}, 2)                                       AS sum_qty,
+           round({osum('l_extendedprice')}, 2)                                  AS sum_base_price,
+           round({osum('l_extendedprice * (1 - l_discount)', 6)}, 2)            AS sum_disc_price,
+           round({osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}, 2) AS sum_charge,
+           round({oavg('l_quantity')}, 4)                                       AS avg_qty,
+           round({oavg('l_extendedprice')}, 4)                                  AS avg_price,
+           round({oavg('l_discount', 6)}, 4)                                    AS avg_disc,
+           count(*)                                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-style pricing summary: the scan->filter->agg spine.",
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(dsum("l_quantity"), 2).alias("sum_qty"),
+            F.round(dsum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(dsum(disc_price, 6), 2).alias("sum_disc_price"),
+            F.round(dsum(charge, 6), 2).alias("sum_charge"),
+            F.round(davg("l_quantity"), 4).alias("avg_qty"),
+            F.round(davg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(davg(F.col("l_discount"), 6), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_top_revenue",
+    oracle=f"""
+    SELECT l_orderkey,
+           round({osum('l_extendedprice * (1 - l_discount)', 6)}, 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H-Q3-style: 3-way join + agg + deterministic top-10.",
+    bench=True,
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(dsum(disc_price, 6), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    oracle=f"""
+    SELECT n_name,
+           round({osum('l_extendedprice * (1 - l_discount)', 6)}, 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H-Q5-style 6-way star join; dims broadcast, facts shuffle.",
+    bench=True,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(dsum(disc_price, 6), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT c_nationkey,
+           count(*)                         AS n_customers,
+           round({oavg('c_acctbal')}, 4)    AS avg_balance
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(*) > 5 AND avg(c_acctbal) > 0
+    ORDER BY c_nationkey
+    """,
+    doc="GROUP BY + HAVING (reference QueryTest.scala:356-388).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(davg("c_acctbal"), 4).alias("avg_balance"),
+            F.avg("c_acctbal").alias("_avg_raw"),
+        )
+        .where((F.col("n_customers") > 5) & (F.col("_avg_raw") > 0))
+        .drop("_avg_raw")
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)             AS n_customers,
+           count(*)                              AS n_orders,
+           round({osum('o_totalprice')}, 2)      AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="count(distinct) per group (reference TableSQLFunc.scala:998-1004 UV).",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2)        AS sd_price,
+           round(var_samp(l_discount), 6)                AS var_disc,
+           round(median(l_quantity), 2)                  AS med_qty,
+           round(corr(l_extendedprice, l_quantity), 4)   AS corr_pq,
+           round(min(l_extendedprice), 2)                AS min_price,
+           round(max(l_extendedprice), 2)                AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="statistical aggregates (stddev/var/median/corr).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.median("l_quantity"), 2).alias("med_qty"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional grouping (reference ROLLUP QueryTest.scala:427-454,
+# CUBE 502-528, GROUPING SETS 556-582)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_priority_status",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round({osum('o_totalprice')}, 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items, round({osum('l_quantity')}, 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(dsum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference QueryTest.scala:609-699; DataSetFunc.scala:334-517)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)                                  AS n_orders,
+           round(coalesce({osum('o_totalprice')}, 0.0), 2)    AS sum_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    ORDER BY c_custkey
+    """,
+    doc="LEFT OUTER JOIN preserving order-less customers.",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(dsum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n_name, count(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="RIGHT OUTER JOIN preserving supplier-less nations.",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1),
+         e AS (SELECT user_id  AS k, count(*) AS n_events FROM events GROUP BY 1)
+    SELECT coalesce(o.k, e.k) AS k,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    ORDER BY k
+    """,
+    doc="FULL OUTER JOIN of two aggregates over disjoint-ish key spaces.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.join(e, "k", "full")
+        .select(
+            "k",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    doc="LEFT SEMI join == EXISTS rewrite (reference TableSQLFunc.scala:398).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="LEFT ANTI join == NOT EXISTS rewrite (reference TableSQLFunc.scala:399).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    """,
+    doc="cross join (reference QueryTest.scala:679-699).",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(F.broadcast(nation))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "join_inner_using",
+    oracle="""
+    SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY n_name
+    """,
+    doc="inner equi-join via USING-style key (reference QueryTest.scala:609-635).",
+)
+def join_inner_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), "r_regionkey")
+        .select("n_name", "r_name")
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct (reference QueryTest.scala:127-344,
+# TabApiTest.scala:877-949)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+      UNION
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+    ) ORDER BY k
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return a.union(b).distinct().orderBy("k")
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT k, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+    ) GROUP BY k ORDER BY k
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.unionAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    ORDER BY k
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.subtract(b).orderBy("k")
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY k
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return a.intersect(b).orderBy("k")
+
+
+@query(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@query(
+    "order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 5
+    """,
+    doc="ORDER BY + LIMIT + OFFSET (reference TabApiTest.scala:978-997).",
+)
+def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(5)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral / UNNEST (reference QueryTest.scala:715-771 LATERAL TABLE(split),
+# unnest of arrays)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "explode_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    ORDER BY n DESC, word
+    """,
+    doc="UDTF/LATERAL-style explode: split p_name and count words.",
+)
+def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function parity (reference SqlFuncTest.scala §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS up_name,
+           lower(p_brand)                                  AS low_brand,
+           substr(p_name, 1, 4)                            AS sub4,
+           concat_ws('|', p_brand, p_type)                 AS joined,
+           CAST(length(p_name) AS INT)                     AS name_len,
+           replace(p_name, ' ', '_')                       AS underscored,
+           reverse(p_type)                                 AS rev_type,
+           lpad(p_brand, 12, '*')                          AS padded,
+           trim(p_name)                                    AS trimmed,
+           CAST(strpos(p_name, 'e') AS INT)                AS pos_e,
+           string_split(p_name, ' ')[1]                    AS first_word,
+           repeat(p_brand, 2)                              AS doubled,
+           md5(p_name)                                     AS name_md5,
+           left(p_type, 3)                                 AS left3,
+           right(p_type, 3)                                AS right3,
+           CAST(ascii(p_brand) AS INT)                     AS first_ascii
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+    doc="string function parity (reference SqlFuncTest.scala:224-292).",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("up_name"),
+            F.lower("p_brand").alias("low_brand"),
+            F.substring("p_name", 1, 4).alias("sub4"),
+            F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+            F.length("p_name").alias("name_len"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("underscored"),
+            F.reverse("p_type").alias("rev_type"),
+            F.lpad("p_brand", 12, "*").alias("padded"),
+            F.trim("p_name").alias("trimmed"),
+            F.instr("p_name", "e").alias("pos_e"),
+            F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+            F.repeat("p_brand", 2).alias("doubled"),
+            F.md5("p_name").alias("name_md5"),
+            F.substring("p_type", 1, 3).alias("left3"),
+            F.expr("right(p_type, 3)").alias("right3"),
+            F.ascii("p_brand").alias("first_ascii"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 1000), 2)        AS abs_diff,
+           CAST(ceil(l_quantity) AS BIGINT)             AS ceil_qty,
+           CAST(floor(l_quantity) AS BIGINT)            AS floor_qty,
+           round(sqrt(l_extendedprice), 6)              AS sqrt_price,
+           round(ln(l_extendedprice + 1), 6)            AS ln_price,
+           round(log10(l_extendedprice + 1), 6)         AS log10_price,
+           round(power(l_discount + 1, 3), 6)           AS pow_disc,
+           CAST(l_orderkey % 7 AS BIGINT)               AS mod7,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)      AS sign_disc,
+           round(exp(l_discount), 6)                    AS exp_disc,
+           greatest(l_quantity, 25.0)                   AS gq,
+           least(l_quantity, 25.0)                      AS lq
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="math function parity (reference SqlFuncTest.scala:139-220).",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000), 2).alias("abs_diff"),
+        F.ceil("l_quantity").alias("ceil_qty"),
+        F.floor("l_quantity").alias("floor_qty"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("log10_price"),
+        F.round(F.pow(F.col("l_discount") + 1, 3), 6).alias("pow_disc"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_disc"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("gq"),
+        F.least("l_quantity", F.lit(25.0)).alias("lq"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                        AS yr,
+           CAST(month(o_orderdate) AS INT)                       AS mo,
+           CAST(dayofmonth(o_orderdate) AS INT)                  AS dom,
+           CAST(quarter(o_orderdate) AS INT)                     AS qtr,
+           date_trunc('month', o_orderdate)                      AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE)) AS INT)          AS days_since,
+           o_orderdate + INTERVAL 30 DAY                         AS plus30,
+           strftime(o_orderdate, '%Y-%m-%d')                     AS iso_day
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    doc="temporal function parity (reference SqlFuncTest.scala:296-504).",
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since"),
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("plus30"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "conditional_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                                  AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING')      AS status_norm,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END                               AS is_rush
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    doc="CASE/COALESCE/NULLIF/IN conditionals (reference SqlFuncTest.scala:52-135).",
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_rush"),
+    ).orderBy("o_orderkey")

@@ -1,0 +1,323 @@
+"""Event-time operators: windows, interval join, as-of join, sessions,
+pattern detection (SURVEY.md §2.7 group windows, §2.5 interval/temporal
+joins, §2.12 CEP batch form).
+
+All run on the ``events`` table (event_id, ts, user_id, event_type,
+value, props). events.ts is nanosecond parquet: the Spark loader
+truncates to µs and every oracle casts ``ts`` to TIMESTAMP so both
+engines compare at µs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from ..operators.sessionize import sessionize
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "window_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc=(
+        "TUMBLE window agg (reference QueryTest.scala:375-385, "
+        "SpendReportJob.scala:103-109): groupBy(window(ts,'1 hour'))."
+    ),
+    bench=True,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    SELECT window_start, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL 30 MINUTES, CAST(e.ts AS TIMESTAMP))
+               - (o.off * INTERVAL 30 MINUTES) AS window_start,
+             e.value
+      FROM events e CROSS JOIN (VALUES (0), (1)) AS o(off)
+    )
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    doc=(
+        "HOP/sliding window, 1h size / 30m slide (reference "
+        "Window.scala:94, TableDemo slide demos): each event in 2 windows."
+    ),
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                  WHEN CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w
+                       + INTERVAL 30 MINUTES THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc=(
+        "session window, 30m gap (reference EventTimeSessionWindows "
+        "Window.scala:124; Table Session withGap): session_window()."
+    ),
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "window_tumbling_offset",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP),
+                       TIMESTAMP '1970-01-01 08:00:00') AS window_start,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "tumbling window with offset (reference TumbleOffsetApp.scala:41): "
+        "day windows shifted +8h, window(ts, '1 day', '1 day', '8 hours')."
+    ),
+)
+def window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day", "1 day", "8 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTES
+     AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+    doc=(
+        "interval join (reference QueryTest.scala:1040-1091, "
+        "TxMatch.scala:51-76): clicks within 10min before each purchase."
+    ),
+    bench=True,
+)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select("purchase_id", "click_id", "user_id")
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@query(
+    "asof_join_latest_signup",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           s.event_id AS signup_id
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY purchase_id
+    """,
+    doc=(
+        "as-of / temporal join (reference TemporalJoinTest.scala:19-70, "
+        "FOR SYSTEM_TIME AS OF): latest signup at or before each purchase, "
+        "via the union+last_value single-shuffle operator."
+    ),
+    bench=True,
+)
+def asof_join_latest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        probe_time="ts",
+        build_time="ts",
+        payload_cols=["signup_id"],
+    )
+    return joined.select("purchase_id", "user_id", "signup_id").orderBy("purchase_id")
+
+
+@query(
+    "pattern_error_burst",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id)   OVER w AS prev_id,
+             lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id, prev_id AS first_error_id, event_id AS second_error_id
+    FROM seq
+    WHERE event_type = 'error' AND prev_type = 'error'
+      AND ts <= prev_ts + INTERVAL 30 MINUTES
+    ORDER BY user_id, first_error_id
+    """,
+    doc=(
+        "CEP 'fail NEXT fail WITHIN t' (reference LoginFail.scala:78-86, "
+        "CEPDemo next/within): two strictly consecutive errors per user "
+        "within 30min — batch form via lag."
+    ),
+)
+def pattern_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "error")
+            & (F.col("prev_type") == "error")
+            & (F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "user_id",
+            F.col("prev_id").alias("first_error_id"),
+            F.col("event_id").alias("second_error_id"),
+        )
+        .orderBy("user_id", "first_error_id")
+    )
+
+
+@query(
+    "sessionize_operator",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                  WHEN CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w
+                       + INTERVAL 1 HOUR THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+    )
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT)  AS n_sessions,
+           count(*)                     AS n_events
+    FROM marked GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="sessionize() operator: per-user session counts at 1h gap.",
+)
+def sessionize_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, "user_id", "ts", "1 HOUR")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

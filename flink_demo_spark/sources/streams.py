@@ -1,0 +1,124 @@
+"""Streaming sources (SURVEY.md §2.1).
+
+- ``events_stream``: file-replay of the pre-stamped events table —
+  the Spark analogue of the reference's deterministic ``TestSource``
+  (``official-tutorial/.../base/TestSource.java:122-147``), which
+  replays elements with explicit event times. Event time comes from
+  the data; watermark via ``withWatermark``.
+- ``rate_stream``: synthetic generator (reference
+  ``TaxiRideGenerator.java:37-64``, ``ClickEventGenerator.java:50-56``)
+  mapped deterministically from the rate source's (timestamp, value).
+- ``socket_stream`` / ``kafka_stream``: thin wrappers over the
+  built-in connectors (reference Source.scala:99-155).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import apply_runtime_confs
+
+# events parquet physical schema under nanosAsLong (ts stored as int64 ns)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stage_stream_dir(sf_dir: str, table: str) -> str:
+    """Spark's file stream source requires a directory; stage a /tmp
+    dir holding a symlink to the single parquet file."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), "flink_demo_spark_stream", key, table)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return d
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str | None = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay the events table as a stream with its event-time column."""
+    apply_runtime_confs(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(_stage_stream_dir(sf_dir, "events")).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return df
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Built-in rate source: (timestamp, value) rows."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def click_stream(
+    spark: SparkSession,
+    pages: tuple[str, ...] = ("/help", "/index", "/shop", "/jobs", "/about", "/news"),
+    rows_per_second: int = 1000,
+) -> DataFrame:
+    """Deterministic click generator: round-robin pages over the rate
+    source — reproduces the reference's invariant that every page gets
+    the same number of events per time window
+    (ClickEventGenerator.java:43-56)."""
+    pages_arr = F.array(*[F.lit(p) for p in pages])
+    return rate_stream(spark, rows_per_second).select(
+        F.col("timestamp").alias("ts"),
+        F.element_at(pages_arr, (F.col("value") % len(pages)).cast("int") + 1).alias(
+            "page"
+        ),
+    )
+
+
+def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topics: str, starting_offsets: str = "earliest"
+) -> DataFrame:
+    """Kafka source; exposes key/value plus the metadata columns the
+    reference declares via METADATA VIRTUAL (CreateTest.scala:141-160):
+    topic, partition, offset, timestamp come built-in."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )

@@ -1,0 +1,38 @@
+"""Run a streaming DataFrame to completion and collect the result.
+
+Spark analogue of the reference's collecting ``TestSink``
+(``official-tutorial/src/test/java/.../base/TestSink.java:156-165``):
+memory sink + ``availableNow`` trigger processes all currently
+available input and stops — the bounded-replay execution the
+reference gets from ``RuntimeExecutionMode.BATCH``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute a streaming DF to a memory sink; return the result table."""
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark: SparkSession = sdf.sparkSession
+    return spark.table(name)

@@ -1,0 +1,159 @@
+"""Stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.11 / phase 3).
+
+Implements the reference's KeyedProcessFunction-with-timers patterns:
+
+- ``timeout_detector``: emit an alert when a START event has no
+  matching END within a horizon (LongRides 2h —
+  ``LongRidesSolution.scala:97-131``; order-pay 15min —
+  ``OrderPay.scala:31-53``). Event-time timeout approximated by the
+  group-state event-time timeout (fires on watermark advance per
+  micro-batch — coarser than Flink's exact timers; documented
+  semantic difference, see SURVEY.md §7 risk 2).
+
+- ``buffered_enrichment_join``: the RidesAndFares CoProcessFunction
+  (``RidesAndFaresSolution.scala:19-70``): buffer whichever side
+  arrives first in keyed state, emit the pair when both present.
+
+Both operate on a union-tagged stream: one input DataFrame with a
+``side`` column, keyed by the join/entity key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TIMEOUT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("alert", StringType()),
+    ]
+)
+
+TIMEOUT_STATE_SCHEMA = StructType(
+    [StructField("start_ms", LongType()), StructField("has_end", LongType())]
+)
+
+
+def timeout_detector(
+    tagged: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    side_col: str = "side",  # 'start' | 'end'
+    horizon_ms: int = 2 * 3600 * 1000,
+    alert: str = "timeout",
+) -> DataFrame:
+    """Alert for keys whose 'start' saw no 'end' within horizon_ms.
+
+    Output: (key, start_ts, alert).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            (start_ms, has_end) = state.get
+            state.remove()
+            if not has_end and start_ms is not None:
+                yield pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "start_ts": [pd.Timestamp(start_ms, unit="ms")],
+                        "alert": [alert],
+                    }
+                )
+            return
+
+        start_ms, has_end = (state.get if state.exists else (None, 0))
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                ms = int(pd.Timestamp(row[ts_col]).value // 1_000_000)
+                if row[side_col] == "start":
+                    start_ms = ms if start_ms is None else min(start_ms, ms)
+                else:
+                    has_end = 1
+        if has_end:
+            # matched: clear state, no alert
+            if state.exists:
+                state.remove()
+        elif start_ms is not None:
+            state.update((start_ms, has_end))
+            state.setTimeoutTimestamp(start_ms + horizon_ms)
+        yield pd.DataFrame(columns=["key", "start_ts", "alert"])
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=TIMEOUT_OUTPUT_SCHEMA,
+        stateStructType=TIMEOUT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def buffered_enrichment_join(
+    tagged: DataFrame,
+    output_schema: StructType,
+    key_col: str = "key",
+    side_col: str = "side",  # 'left' | 'right'
+    payload_col: str = "payload",  # json-encoded row payload
+) -> DataFrame:
+    """RidesAndFares-style stateful 2-stream merge: buffer the first
+    side per key, emit (key, left_payload, right_payload) when the
+    other arrives. Output schema: key, left_payload, right_payload."""
+
+    state_schema = StructType(
+        [StructField("left", StringType()), StructField("right", StringType())]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        left, right = (state.get if state.exists else (None, None))
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                if row[side_col] == "left":
+                    left = row[payload_col]
+                else:
+                    right = row[payload_col]
+                if left is not None and right is not None:
+                    out.append((key[0], left, right))
+                    left, right = None, None
+        if left is not None or right is not None:
+            state.update((left, right))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "left_payload", "right_payload"]
+            )
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ENRICHMENT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("left_payload", StringType()),
+        StructField("right_payload", StringType()),
+    ]
+)

@@ -1,0 +1,161 @@
+"""Unit tests for the composite operators (the non-oracle-backed
+surface: MinHash-LSH, SimHash, LSH ANN, CEP NFA)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_demo_spark.catalog import load_table
+from flink_demo_spark.operators import cep, dedup, similarity
+from flink_demo_spark.plans.datapipe import LSH_PLANES
+
+
+def test_minhash_lsh_pairs_subset_of_jaccard(spark, sf_dir):
+    """LSH candidates verified at threshold t must be a subset of the
+    exact Jaccard pairs at t (verification guarantees precision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc1, r.doc2)
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 3, 0.3).collect()
+    }
+    lsh = {
+        (r.doc1, r.doc2)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", 16, 4, 3, verify_threshold=0.3
+        ).collect()
+    }
+    assert lsh <= exact
+
+
+def test_simhash_deterministic_and_discriminative(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert a == b
+    # different docs should mostly have different signatures
+    assert len(set(a.values())) > len(a) * 0.5
+
+
+def test_lsh_topk_matches_brute_force_within_bucket(spark, sf_dir):
+    """Every LSH neighbor must carry the same cosine the brute-force
+    path computes (sims agree; LSH may return fewer/other neighbors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    bf = similarity.brute_force_top_k(emb, queries, k=500)
+    bf_sims = {
+        (r.query_id, r.neighbor_id): r.cosine_sim for r in bf.collect()
+    }
+    lsh = similarity.lsh_top_k(emb, queries, LSH_PLANES, k=5).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert bf_sims[(r.query_id, r.neighbor_id)] == pytest.approx(
+            r.cosine_sim, abs=1e-9
+        )
+
+
+def test_cep_next_within(spark):
+    """fail NEXT fail WITHIN 2s (reference LoginFail.scala:78-86)."""
+    rows = [
+        # user 1: two consecutive fails 1s apart -> match
+        (1, "fail", 1000), (1, "fail", 2000), (1, "success", 3000),
+        # user 2: fails interrupted by success -> no match
+        (2, "fail", 1000), (2, "success", 1500), (2, "fail", 2000),
+        # user 3: consecutive fails but 5s apart -> outside horizon
+        (3, "fail", 1000), (3, "fail", 6000),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, dt.datetime(1970,1,1) + dt.timedelta(milliseconds=ms)) for u, t, ms in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    pat = (
+        cep.Pattern.begin("first", lambda r: r["event_type"] == "fail")
+        .next("second", lambda r: r["event_type"] == "fail")
+        .within_time("2s")
+    )
+
+    def measures(rows_df, bindings):
+        return {
+            "first_ts": rows_df.iloc[bindings["first"][0]]["ts"],
+            "second_ts": rows_df.iloc[bindings["second"][0]]["ts"],
+        }
+
+    out = cep.match_pattern(
+        df,
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        measures=measures,
+        output_schema="user_id long, first_ts timestamp, second_ts timestamp",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].user_id == 1
+
+
+def test_cep_followed_by_one_or_more(spark):
+    """V-pattern: down+ then up (MATCH_RECOGNIZE QueryTest.scala:942-1026)."""
+    prices = [(1, 10, 0), (1, 8, 1), (1, 6, 2), (1, 9, 3), (1, 11, 4)]
+    df = spark.createDataFrame(
+        [
+            (s, p, dt.datetime(1970,1,1) + dt.timedelta(seconds=i), p)
+            for s, p, i in prices
+        ],
+        "symbol long, price long, ts timestamp, p long",
+    )
+
+    # down = price lower than previous -> encode via shifted column
+    pdf_pattern = cep.Pattern.begin("start", lambda r: True)
+    pdf_pattern.followed_by("down", lambda r: r["dir"] == -1).one_or_more()
+    pdf_pattern.followed_by("up", lambda r: r["dir"] == 1)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("symbol").orderBy("ts")
+    with_dir = df.withColumn(
+        "dir",
+        F.when(F.col("price") < F.lag("price").over(w), -1)
+        .when(F.col("price") > F.lag("price").over(w), 1)
+        .otherwise(0),
+    )
+
+    def measures(rows_df, bindings):
+        return {
+            "bottom_price": int(rows_df.iloc[bindings["down"][-1]]["price"]),
+            "end_price": int(rows_df.iloc[bindings["up"][0]]["price"]),
+        }
+
+    out = cep.match_pattern(
+        with_dir,
+        pdf_pattern,
+        key_cols=["symbol"],
+        ts_col="ts",
+        measures=measures,
+        output_schema="symbol long, bottom_price long, end_price long",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].bottom_price == 6 and out[0].end_price == 9
+
+
+def test_asof_join_no_version_yields_null(spark):
+    from flink_demo_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, dt.datetime(2024,1,1,10,0)), (2, dt.datetime(2024,1,1,9,0))],
+        "k long, pt timestamp",
+    )
+    build = spark.createDataFrame(
+        [(1, dt.datetime(2024,1,1,9,30), 100.0)],
+        "k long, bt timestamp, rate double",
+    )
+    out = {
+        r.k: r.rate
+        for r in asof_join(
+            probe, build, on="k", probe_time="pt", build_time="bt",
+            payload_cols=["rate"],
+        ).collect()
+    }
+    assert out[1] == 100.0
+    assert out[2] is None

@@ -1,0 +1,114 @@
+"""Structured Streaming tests: batch/stream equivalence, stateful
+operators, and the reference's click-count invariant
+(BASELINE.md: every page gets equal counts per window)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_demo_spark.catalog import load_table
+from flink_demo_spark.sources.streams import events_stream
+from flink_demo_spark.streaming.runner import run_available_now
+from flink_demo_spark.streaming.stateful import (
+    ENRICHMENT_OUTPUT_SCHEMA,
+    buffered_enrichment_join,
+    timeout_detector,
+)
+from flink_demo_spark.streaming.windows import tumbling_agg
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir):
+    """Same window agg, streaming vs batch (reference ExecuteMode.scala:41-72)."""
+    stream_result = run_available_now(
+        tumbling_agg(events_stream(spark, sf_dir)), output_mode="complete"
+    )
+    batch = tumbling_agg(load_table(spark, sf_dir, "events"))
+    s = sorted(map(tuple, stream_result.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b
+
+
+def _mem_stream(spark, rows, schema):
+    """Create a one-batch file-backed stream from literal rows."""
+    import tempfile, uuid
+
+    d = tempfile.mkdtemp(prefix=f"memstream_{uuid.uuid4().hex[:6]}_")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(df.schema).parquet(d)
+
+
+def test_timeout_detector_emits_alert_for_unmatched_start(spark):
+    """LongRides semantics (LongRidesSolution.scala:97-131): a start
+    with no end within 2h alerts; matched rides do not."""
+    t0 = dt.datetime(2024,1,1)
+    rows = [
+        (1, t0, "start"),                                  # never ends -> alert
+        (2, t0, "start"), (2, t0 + dt.timedelta(minutes=30), "end"),  # fine
+        # a late event far in the future advances the watermark past 1's horizon
+        (99, t0 + dt.timedelta(hours=10), "start"),
+        (99, t0 + dt.timedelta(hours=10, minutes=1), "end"),
+    ]
+    stream = _mem_stream(
+        spark, rows, "key long, ts timestamp, side string"
+    ).withWatermark("ts", "1 second")
+    out = run_available_now(
+        timeout_detector(stream, horizon_ms=2 * 3600 * 1000),
+        output_mode="append",
+    )
+    alerts = {r.key for r in out.collect()}
+    assert 1 in alerts
+    assert 2 not in alerts
+
+
+def test_buffered_enrichment_join_pairs_both_sides(spark):
+    """RidesAndFares (RidesAndFaresSolution.scala:19-70): pair ride and
+    fare per rideId whichever arrives first."""
+    t0 = dt.datetime(2024,1,1)
+    rows = [
+        (10, t0, "left", "ride-10"),
+        (10, t0, "right", "fare-10"),
+        (11, t0, "right", "fare-11"),
+        (11, t0, "left", "ride-11"),
+        (12, t0, "left", "ride-12"),  # unmatched: no output
+    ]
+    stream = _mem_stream(
+        spark, rows, "key long, ts timestamp, side string, payload string"
+    )
+    out = run_available_now(
+        buffered_enrichment_join(stream, ENRICHMENT_OUTPUT_SCHEMA),
+        output_mode="append",
+    )
+    got = {(r.key, r.left_payload, r.right_payload) for r in out.collect()}
+    assert got == {(10, "ride-10", "fare-10"), (11, "ride-11", "fare-11")}
+
+
+def test_click_count_invariant(spark):
+    """Reference invariant (ClickEventGenerator.java:43-56): a
+    generator that emits pages round-robin yields equal per-page counts
+    in every complete window. Reproduced with a deterministic bounded
+    generator (rate source is wall-clock; here we pre-stamp)."""
+    pages = ["/help", "/index", "/shop", "/jobs", "/about", "/news"]
+    n_windows, per_page = 4, 250
+    rows = []
+    t0 = dt.datetime(2024,1,1)
+    i = 0
+    for w in range(n_windows):
+        for j in range(per_page * len(pages)):
+            ts = t0 + dt.timedelta(seconds=w * 15 + (j % (per_page * len(pages))) * 15.0 / (per_page * len(pages)))
+            rows.append((ts, pages[i % len(pages)]))
+            i += 1
+    stream = _mem_stream(spark, rows, "ts timestamp, page string").withWatermark(
+        "ts", "1 second"
+    )
+    counts = run_available_now(
+        stream.groupBy(F.window("ts", "15 seconds"), "page").count(),
+        output_mode="complete",
+    )
+    vals = [r["count"] for r in counts.collect()]
+    assert len(vals) == n_windows * len(pages)
+    assert set(vals) == {per_page}

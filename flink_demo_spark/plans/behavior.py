@@ -1,0 +1,336 @@
+"""User-behavior analytics: the reference's applied `hot-item` project
+re-expressed on the events table (SURVEY.md §2.6/2.7 applied rows).
+
+- HotItems sliding-window Top-N  (HotItems.scala:25-122)
+- PV / UV hourly                 (PvAnalysis, UvAnalysis)
+- Bloom/approx UV                (UvCountWithBloomByWindow.scala:13-38)
+- ad-click blacklist             (FilterBlackListUser.scala:19-49)
+- fraud small-then-large pattern (frauddetect/v3/FraudDetector.scala:17-56)
+- order/conversion timeout       (OrderPay.scala:31-53, LongRides)
+- tumbling window join           (DataStreamFunc.scala:1514-1639)
+- CEP V-pattern                  (MATCH_RECOGNIZE QueryTest.scala:942-1026)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "hotitems_topn",
+    oracle="""
+    WITH per_window AS (
+      SELECT window_start, user_id, count(*) AS n_views
+      FROM (
+        SELECT time_bucket(INTERVAL 30 MINUTES, CAST(e.ts AS TIMESTAMP))
+                 - (o.off * INTERVAL 30 MINUTES) AS window_start,
+               e.user_id
+        FROM events e CROSS JOIN (VALUES (0), (1)) AS o(off)
+        WHERE e.event_type = 'view'
+      )
+      GROUP BY window_start, user_id
+    )
+    SELECT window_start, rk, user_id, n_views FROM (
+      SELECT window_start, user_id, n_views,
+             CAST(row_number() OVER (PARTITION BY window_start
+                                     ORDER BY n_views DESC, user_id) AS INT) AS rk
+      FROM per_window
+    ) WHERE rk <= 3
+    ORDER BY window_start, rk
+    """,
+    doc=(
+        "HotItems (reference HotItems.scala:25-122): sliding 1h/30m window "
+        "view-count per user, top-3 per window. Spark: window() agg + "
+        "row_number partitioned by window start (WindowGroupLimit keeps "
+        "3 rows/partition during the sort)."
+    ),
+    bench=True,
+)
+def hotitems_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "view")
+    per_window = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_views")
+    )
+    rk = Window.partitionBy("window_start").orderBy(F.desc("n_views"), "user_id")
+    return (
+        per_window.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= 3)
+        .select("window_start", "rk", "user_id", "n_views")
+        .orderBy("window_start", "rk")
+    )
+
+
+@query(
+    "pv_uv_hourly",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           count(*)                 AS pv,
+           count(DISTINCT user_id)  AS uv
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc=(
+        "hourly PV + exact UV (reference PvAnalysis 29-33, UvAnalysis "
+        "25-33: count + count(distinct userId) per window)."
+    ),
+)
+def pv_uv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type").isin("view", "click"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("pv"),
+            F.countDistinct("user_id").alias("uv"),
+        )
+        .select(F.col("w.start").alias("window_start"), "pv", "uv")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "uv_approx_hll",
+    oracle=None,  # HLL sketch differs per engine; bounds pinned by unit test
+    doc=(
+        "approximate UV via HLL (reference Bloom-filter UV "
+        "UvCountWithBloomByWindow.scala:13-38 -> approx_count_distinct, "
+        "the scale path for 100 TB distinct counts)."
+    ),
+)
+def uv_approx_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("uv_approx"))
+        .select(F.col("w.start").alias("window_start"), "uv_approx")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "click_blacklist",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           count(*) AS n_clicks
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    ORDER BY user_id, day
+    """,
+    doc=(
+        "blacklist: users exceeding a daily click budget (reference "
+        "FilterBlackListUser.scala:19-49 — >N clicks/day per (user, ad) "
+        "with daily state reset; batch form = per-day group + HAVING)."
+    ),
+)
+def click_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .where(F.col("n_clicks") >= 3)
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "fraud_small_then_large",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+             lag(value)    OVER w AS prev_value,
+             lag(event_id) OVER w AS prev_id,
+             lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id, prev_id AS small_id, event_id AS large_id
+    FROM seq
+    WHERE prev_value < 50 AND value > 300
+      AND ts <= prev_ts + INTERVAL 1 DAY
+    ORDER BY user_id, small_id
+    """,
+    doc=(
+        "fraud detector (reference frauddetect/v3/FraudDetector.scala:11-56: "
+        "amount < 1 then > 500 within 60s): purchase under 50 immediately "
+        "followed by one over 300 within a day."
+    ),
+)
+def fraud_small_then_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return (
+        seq.where(
+            (F.col("prev_value") < 50)
+            & (F.col("value") > 300)
+            & (F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .select(
+            "user_id",
+            F.col("prev_id").alias("small_id"),
+            F.col("event_id").alias("large_id"),
+        )
+        .orderBy("user_id", "small_id")
+    )
+
+
+@query(
+    "conversion_timeout",
+    oracle="""
+    SELECT s.event_id AS signup_id, s.user_id,
+           CAST(s.ts AS TIMESTAMP) AS signup_ts
+    FROM events s
+    WHERE s.event_type = 'signup'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = s.user_id
+          AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+          AND CAST(p.ts AS TIMESTAMP) <  CAST(s.ts AS TIMESTAMP) + INTERVAL 7 DAY
+      )
+    ORDER BY signup_id
+    """,
+    doc=(
+        "timeout detection, batch form (reference OrderPay.scala:31-53 "
+        "create-without-pay-in-15min; LongRidesSolution.scala:97-131): "
+        "signups with no purchase within 7 days -> anti join with range."
+    ),
+)
+def conversion_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAY")),
+            "left_anti",
+        )
+        .select("signup_id", "user_id", "signup_ts")
+        .orderBy("signup_id")
+    )
+
+
+@query(
+    "window_join",
+    oracle="""
+    SELECT v.window_start, v.user_id,
+           v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT event_id, user_id,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT event_id, user_id,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start
+          FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id AND v.window_start = c.window_start
+    ORDER BY view_id, click_id
+    """,
+    doc=(
+        "tumbling window join (reference DataStreamFunc.scala:1514-1639): "
+        "views x clicks of the same user inside the same hour window — "
+        "join on window-bucket equality, a pure equi-join (one shuffle, "
+        "no range predicate)."
+    ),
+)
+def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.window("ts", "1 hour")["start"].alias("window_start"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.window("ts", "1 hour")["start"].alias("c_window"),
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("window_start") == F.col("c_window")),
+        )
+        .select("window_start", "user_id", "view_id", "click_id")
+        .orderBy("view_id", "click_id")
+    )
+
+
+@query(
+    "cep_v_pattern",
+    oracle=None,  # NFA skip-past-last-event semantics not SQL-expressible
+    doc=(
+        "CEP V-pattern via the NFA operator (reference MATCH_RECOGNIZE "
+        "QueryTest.scala:942-1026: PATTERN (START PRICE_DOWN+ PRICE_UP)): "
+        "per-user purchase-value valleys; applyInPandas NFA, "
+        "AFTER MATCH SKIP PAST LAST EVENT."
+    ),
+)
+def cep_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_dir = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.when(F.col("value") < F.lag("value").over(w), -1)
+        .when(F.col("value") > F.lag("value").over(w), 1)
+        .otherwise(0)
+        .alias("dir"),
+    )
+    pat = cep.Pattern.begin("start", lambda r: True)
+    pat.followed_by("down", lambda r: r["dir"] == -1).one_or_more()
+    pat.followed_by("up", lambda r: r["dir"] == 1)
+
+    def measures(rows, bindings):
+        return {
+            "start_id": int(rows.iloc[bindings["start"][0]]["event_id"]),
+            "bottom_id": int(rows.iloc[bindings["down"][-1]]["event_id"]),
+            "up_id": int(rows.iloc[bindings["up"][0]]["event_id"]),
+            "bottom_value": float(rows.iloc[bindings["down"][-1]]["value"]),
+        }
+
+    return cep.match_pattern(
+        with_dir,
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        measures=measures,
+        output_schema=(
+            "user_id long, start_id long, bottom_id long, up_id long, "
+            "bottom_value double"
+        ),
+    ).orderBy("user_id", "start_id")

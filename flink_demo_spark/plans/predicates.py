@@ -1,0 +1,133 @@
+"""Predicate & remaining scalar-function coverage (SURVEY.md §2.9
+comparison/logic rows; SqlFuncTest.scala:52-135, 224-292) plus
+multimodal plumbing entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import multimodal
+from .registry import query
+
+
+@query(
+    "predicate_suite",
+    oracle="""
+    SELECT p_partkey,
+           (p_size BETWEEN 10 AND 20)                    AS in_range,
+           (p_type IS NOT DISTINCT FROM 'ECONOMY')       AS is_economy,
+           (p_name LIKE '%bolt%')                        AS has_bolt,
+           regexp_matches(p_name, '^(red|blue)')         AS color_start,
+           (p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')) AS low_brand,
+           (p_retailprice IS NULL)                       AS price_null,
+           (p_size > 25 AND p_retailprice < 1500.0)      AS big_cheap,
+           NOT (p_size > 25 OR p_retailprice < 500.0)    AS neither
+    FROM part
+    WHERE p_partkey < 300
+    ORDER BY p_partkey
+    """,
+    doc=(
+        "comparison/logic predicate parity (reference SqlFuncTest.scala:"
+        "52-135: BETWEEN, IS [NOT] DISTINCT FROM, LIKE, SIMILAR TO->rlike, "
+        "IN list, IS NULL, AND/OR/NOT three-valued logic)."
+    ),
+)
+def predicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").between(10, 20).alias("in_range"),
+        F.col("p_type").eqNullSafe("ECONOMY").alias("is_economy"),
+        F.col("p_name").like("%bolt%").alias("has_bolt"),
+        F.col("p_name").rlike("^(red|blue)").alias("color_start"),
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3").alias("low_brand"),
+        F.col("p_retailprice").isNull().alias("price_null"),
+        ((F.col("p_size") > 25) & (F.col("p_retailprice") < 1500.0)).alias(
+            "big_cheap"
+        ),
+        (~((F.col("p_size") > 25) | (F.col("p_retailprice") < 500.0))).alias(
+            "neither"
+        ),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT doc_id,
+           translate(source, '0123456789', 'abcdefghij')            AS translated,
+           str_split(source, 'c')[1]                                AS before_c,
+           regexp_extract(source, '([0-9]+)', 1)                    AS src_num,
+           regexp_replace(lang, '[aeiou]', '*')                     AS starred,
+           CAST(octet_length(encode(lang)) AS INT)                  AS lang_bytes,
+           to_base64(encode(lang))                                  AS lang_b64,
+           sha256(lang)                                             AS lang_sha,
+           concat(lang, '-', source)                                AS lang_src
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    doc=(
+        "second string batch (reference SqlFuncTest.scala:224-292: "
+        "translate, split_index, regexp_extract, regexp_replace, "
+        "encode, to_base64, sha2, concat)."
+    ),
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.translate("source", "0123456789", "abcdefghij").alias("translated"),
+        F.element_at(F.split("source", "c"), 1).alias("before_c"),
+        F.regexp_extract("source", r"([0-9]+)", 1).alias("src_num"),
+        F.regexp_replace("lang", "[aeiou]", "*").alias("starred"),
+        F.length(F.encode("lang", "UTF-8")).alias("lang_bytes"),
+        F.base64(F.encode("lang", "UTF-8")).alias("lang_b64"),
+        F.sha2(F.col("lang"), 256).alias("lang_sha"),
+        F.concat_ws("-", "lang", "source").alias("lang_src"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text)                                  AS digest
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc=(
+        "multimodal plumbing: documents as opaque binary payloads -> "
+        "mapInPandas (Arrow batches) feature extraction. Deterministic "
+        "features (size + digest) are oracle-checked; the decode step is "
+        "a stub (no codecs in this container) but the schema/batch/"
+        "pruning plumbing is the production pattern."
+    ),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = multimodal.extract_features(docs, "doc_id", "payload")
+    return feats.select("doc_id", "n_bytes", "digest").orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=None,  # chunk digests depend on the stub slicing; pinned by unit test
+    doc=(
+        "video-style frame sampling: binary payload -> mapInPandas -> "
+        "one row per sampled frame (explode-shaped UDF output)."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.frame_sample(docs, "doc_id", "payload", n_frames=4).orderBy(
+        "doc_id", "frame_no"
+    )

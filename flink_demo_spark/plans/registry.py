@@ -76,6 +76,14 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import analytics, datapipe, relational, stream_parity, temporal  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        behavior,
+        datapipe,
+        predicates,
+        relational,
+        stream_parity,
+        temporal,
+    )
 
     _LOADED = True

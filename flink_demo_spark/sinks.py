@@ -1,0 +1,87 @@
+"""Sink connectors (SURVEY.md §2.2).
+
+- console/print         -> ``df.show`` / streaming ``format("console")``
+- partitioned filesystem (reference CreateTest.scala:310-333, 711-739:
+  ``PARTITIONED BY (dt)``, dynamic + static partition insert)
+  -> ``write.partitionBy``; static partition = literal column
+- memory/test sink       (reference TestSink.java:156-165)
+  -> streaming memory sink (see streaming/runner.py)
+- multi-insert StatementSet (reference TableSQLFunc.scala:532-573:
+  one DAG, shared sub-plan) -> ``foreach_batch_fanout``: persist the
+  batch once, write N sinks — the Spark equivalent of Blink's
+  cross-sink sub-plan reuse (Catalyst does not reuse across actions)
+- JDBC upsert            (reference Sink.scala:145, MysqlSink.scala:12-45:
+  ``ON DUPLICATE KEY UPDATE``) -> ``merge_upsert`` over a keyed parquet
+  target (same merge semantics; swap the writer for spark.write.jdbc
+  against a real database)
+- Kafka                  -> thin wrapper (not testable in this container)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    static_partitions: dict[str, str] | None = None,
+) -> None:
+    """Dynamic partitioned write; ``static_partitions`` adds constant
+    partition columns (the reference's static partition insert,
+    CreateTest.scala:727-739)."""
+    for k, v in (static_partitions or {}).items():
+        df = df.withColumn(k, F.lit(v))
+        partition_cols = [*partition_cols, k]
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def foreach_batch_fanout(
+    sinks: list[Callable[[DataFrame, int], None]],
+) -> Callable[[DataFrame, int], None]:
+    """StatementSet-style multi-sink: one upstream computation feeds N
+    sinks per micro-batch. The batch DF is persisted so the shared
+    sub-plan is evaluated once (Blink's `reuse_id` equivalent at the
+    application layer)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for sink in sinks:
+                sink(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return fn
+
+
+def merge_upsert(
+    spark,
+    batch_df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+) -> None:
+    """Idempotent keyed upsert into a parquet target: new rows replace
+    existing rows with the same key (JDBC `INSERT ... ON DUPLICATE KEY
+    UPDATE` semantics, reference TableSQLFunc.scala:290-316).
+
+    Implementation: anti-join the existing target against the batch
+    keys, union the batch, rewrite. With a real warehouse this becomes
+    MERGE INTO (Delta/Iceberg) or the JDBC upsert; the semantics and
+    the per-batch idempotence contract are identical.
+    """
+    try:
+        existing = spark.read.parquet(target_path)
+        keep = existing.join(batch_df.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = keep.unionByName(batch_df)
+    except Exception:  # first batch: target does not exist yet
+        merged = batch_df
+    # localCheckpoint breaks lineage so the rewrite does not read the
+    # files it is about to overwrite
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)

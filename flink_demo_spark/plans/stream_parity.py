@@ -69,3 +69,109 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join_stream(purchases, clicks)
     result = run_available_now(joined, output_mode="append")
     return result.orderBy("purchase_id", "click_id")
+
+
+@query(
+    "streaming_sliding_window",
+    oracle="""
+    SELECT window_start, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL 30 MINUTES, CAST(e.ts AS TIMESTAMP))
+               - (o.off * INTERVAL 30 MINUTES) AS window_start,
+             e.value
+      FROM events e CROSS JOIN (VALUES (0), (1)) AS o(off)
+    )
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    doc="streaming HOP window (1h/30m) — equals the batch sliding window.",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import sliding_agg
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    result = run_available_now(sliding_agg(ev), output_mode="complete")
+    return result.orderBy("window_start")
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "streaming dropDuplicates within watermark (reference "
+        "DuplicatorApp.scala:13-38, QueryTest dedup): exact-once by "
+        "event_id, then counts must equal the raw table's."
+    ),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    deduped = ev.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_available_now(agg, output_mode="complete").orderBy("event_type")
+
+
+@query(
+    "streaming_lookup_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc=(
+        "stream-static lookup join (reference temporal DDL join "
+        "QueryTest.scala:777-846, JDBC lookup cache): streaming events "
+        "enriched against the static customer dimension (broadcast), "
+        "then aggregated."
+    ),
+)
+def streaming_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    dim = F.broadcast(load_table(spark, sf_dir, "customer"))
+    joined = ev.join(dim, ev.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+    return run_available_now(agg, output_mode="complete").orderBy("c_mktsegment")
+
+
+@query(
+    "streaming_pattern_burst",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id)   OVER w AS prev_id,
+             lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id, prev_id AS first_error_id, event_id AS second_error_id
+    FROM seq
+    WHERE event_type = 'error' AND prev_type = 'error'
+      AND ts <= prev_ts + INTERVAL 30 MINUTES
+    ORDER BY user_id, first_error_id
+    """,
+    doc=(
+        "streaming CEP via applyInPandasWithState (reference "
+        "LoginFail.scala:78-86 'fail next fail within t'): keyed state "
+        "carries the last event across micro-batches; equals the batch "
+        "lag-based oracle."
+    ),
+)
+def streaming_pattern_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.cep_stream import consecutive_pattern_stream
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    matches = consecutive_pattern_stream(ev, match_type="error")
+    result = run_available_now(matches, output_mode="append")
+    return result.orderBy("user_id", "first_error_id")

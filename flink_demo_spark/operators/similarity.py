@@ -138,3 +138,70 @@ def lsh_top_k(
         .where(F.col("rk") <= k)
         .select(query_id_col, "rk", "neighbor_id", "cosine_sim")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (centroids are
+    a small fixed list shipped as literals — at scale these come from
+    a sampled k-means fit, broadcast the same way)."""
+    v = _as_double(F.col(vec_col))
+    # argmax via array_max over (sim, -cid) structs: one linear pass,
+    # no nested-when expression blowup; tie -> smallest centroid id
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = dot(v, c) / (l2_norm(v) * l2_norm(c))
+        entries.append(
+            F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_cid"))
+        )
+    best = F.array_max(F.array(*entries))
+    return df.withColumn(cell_col, (-best["neg_cid"]).cast("int"))
+
+
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF(nprobe=1) ANN: candidates restricted to the query's cell,
+    exact cosine rank within it. One shuffle keyed on cell; corpus
+    cells can be pre-partitioned/bucketed on disk at 100 TB so probe
+    queries touch a single partition."""
+    cb = ivf_assign(corpus, centroids, id_col, vec_col)
+    qb = ivf_assign(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        centroids,
+        query_id_col,
+        "__qvec",
+    )
+    sim = F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_to)
+    scored = (
+        cb.join(F.broadcast(qb), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "rk", "neighbor_id", "cosine_sim")
+    )

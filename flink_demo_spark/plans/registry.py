@@ -83,6 +83,7 @@ def _load_all() -> None:
         predicates,
         relational,
         stream_parity,
+        subqueries,
         temporal,
     )
 

@@ -157,3 +157,69 @@ ENRICHMENT_OUTPUT_SCHEMA = StructType(
         StructField("right_payload", StringType()),
     ]
 )
+
+
+COUNT_WINDOW_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("window_no", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", StringType()),  # decimal-as-string (exact)
+    ]
+)
+
+
+def count_window(
+    tagged: DataFrame,
+    n: int = 10,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling count windows (reference countWindow(n),
+    DataStreamFunc.scala:945-1208 — no native Spark equivalent).
+
+    Emits one row per COMPLETE window of n events per key (Flink
+    semantics: partial windows never fire). State carries the running
+    (window_no, count, exact cent-sum) across micro-batches; within a
+    batch events are processed in event-time order.
+    """
+
+    state_schema = StructType(
+        [
+            StructField("window_no", LongType()),
+            StructField("cnt", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        window_no, cnt, sum_cents = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        if len(batch):
+            batch = batch.sort_values([ts_col])
+            for _, row in batch.iterrows():
+                cnt += 1
+                sum_cents += int(round(float(row[value_col]) * 100))
+                if cnt == n:
+                    out.append(
+                        (key[0], window_no, cnt, f"{sum_cents / 100:.2f}")
+                    )
+                    window_no, cnt, sum_cents = window_no + 1, 0, 0
+        state.update((window_no, cnt, sum_cents))
+        yield pd.DataFrame(
+            out, columns=["key", "window_no", "n_events", "sum_value"]
+        )
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=COUNT_WINDOW_OUTPUT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -112,3 +112,28 @@ def test_click_count_invariant(spark):
     vals = [r["count"] for r in counts.collect()]
     assert len(vals) == n_windows * len(pages)
     assert set(vals) == {per_page}
+
+
+def test_count_window_stream_matches_batch(spark, sf_dir):
+    """Streaming countWindow(10) must equal the batch count-window
+    query restricted to complete windows (Flink: partials never fire)."""
+    from flink_demo_spark.plans.registry import REGISTRY, _load_all
+    from flink_demo_spark.sources.streams import events_stream
+    from flink_demo_spark.streaming.stateful import count_window
+
+    _load_all()
+    batch = (
+        REGISTRY["count_window_agg"].fn(spark, sf_dir)
+        .where(F.col("n_events") == 10)
+        .collect()
+    )
+    expected = {
+        (r.user_id, r.window_no, r.n_events, f"{r.sum_value:.2f}") for r in batch
+    }
+
+    ev = events_stream(spark, sf_dir, watermark=None).select(
+        F.col("user_id").alias("key"), "ts", "value"
+    )
+    got_rows = run_available_now(count_window(ev, n=10), output_mode="append").collect()
+    got = {(r.key, r.window_no, r.n_events, r.sum_value) for r in got_rows}
+    assert got == expected

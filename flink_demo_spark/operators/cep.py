@@ -45,6 +45,8 @@ class Step:
     contiguity: str = "followed_by"  # or "next"
     min_times: int = 1
     max_times: int | None = 1  # None = unbounded (one_or_more when min=1)
+    optional: bool = False  # CEP .optional() (CEPDemo.scala:344)
+    negated: bool = False  # notNext/notFollowedBy (CEPDemo.scala:566, 640)
 
 
 @dataclass
@@ -76,6 +78,56 @@ class Pattern:
         self.steps[-1] = Step(s.name, s.predicate, s.contiguity, 1, None)
         return self
 
+    def optional(self) -> "Pattern":
+        """Last step may be skipped (CEP .optional, CEPDemo.scala:344)."""
+        s = self.steps[-1]
+        self.steps[-1] = Step(
+            s.name, s.predicate, s.contiguity, s.min_times, s.max_times, True
+        )
+        return self
+
+    def or_where(self, predicate: Predicate) -> "Pattern":
+        """OR-extend the last step's condition (CEP .or, CEPDemo.scala:419)."""
+        s = self.steps[-1]
+        old = s.predicate
+        self.steps[-1] = Step(
+            s.name,
+            lambda r: old(r) or predicate(r),
+            s.contiguity,
+            s.min_times,
+            s.max_times,
+            s.optional,
+        )
+        return self
+
+    def and_where(self, predicate: Predicate) -> "Pattern":
+        """AND-extend the last step's condition (CEP .where chaining /
+        .and, CEPDemo.scala:454)."""
+        s = self.steps[-1]
+        old = s.predicate
+        self.steps[-1] = Step(
+            s.name,
+            lambda r: old(r) and predicate(r),
+            s.contiguity,
+            s.min_times,
+            s.max_times,
+            s.optional,
+        )
+        return self
+
+    def not_next(self, name: str, predicate: Predicate) -> "Pattern":
+        """The immediately following event must NOT satisfy predicate
+        (CEP .notNext, CEPDemo.scala:566)."""
+        self.steps.append(Step(name, predicate, "next", negated=True))
+        return self
+
+    def not_followed_by(self, name: str, predicate: Predicate) -> "Pattern":
+        """No event satisfying predicate may occur before the next
+        step matches (CEP .notFollowedBy, CEPDemo.scala:640). Must be
+        followed by another (positive) step."""
+        self.steps.append(Step(name, predicate, "followed_by", negated=True))
+        return self
+
     def within_time(self, duration: str) -> "Pattern":
         self.within = pd.Timedelta(duration)
         return self
@@ -99,22 +151,43 @@ def _match_from(
             return True
         return rows.iloc[j][ts_col] - t0 <= pattern.within
 
+    pending_neg: list[Step] = []  # active not_followed_by constraints
+
     for si, step in enumerate(pattern.steps):
-        taken: list[int] = []
-        # first occurrence of this step
+        if step.negated:
+            if step.contiguity == "next":
+                # notNext: the immediately following event must not match
+                if i < n and in_horizon(i) and step.predicate(rows.iloc[i]):
+                    return None
+            else:
+                # notFollowedBy: checked against every row skipped before
+                # the next positive step matches (trailing negation —
+                # unsupported, as in Flink)
+                pending_neg.append(step)
+            bindings[step.name] = []
+            continue
+
+        # scan for the first occurrence of this positive step
+        found = -1
         j = i
         while j < n and in_horizon(j):
-            if step.predicate(rows.iloc[j]):
+            row = rows.iloc[j]
+            if step.predicate(row):
+                found = j
                 break
+            if any(neg.predicate(row) for neg in pending_neg):
+                return None  # a forbidden event occurred first
             if step.contiguity == "next" or (si == 0 and j == start):
-                return None  # strict: the anchored/next row must match
+                break  # strict position failed
             j += 1
-        else:
+        if found < 0:
+            if step.optional:
+                bindings[step.name] = []
+                continue
             return None
-        if not in_horizon(j):
-            return None
-        taken.append(j)
-        j += 1
+        pending_neg = []  # satisfied: next positive step matched first
+        taken = [found]
+        j = found + 1
         # greedy repeats (consecutive rows only, matching Flink's
         # default consecutive() semantics for quantified steps)
         while (
@@ -126,6 +199,9 @@ def _match_from(
             taken.append(j)
             j += 1
         if len(taken) < step.min_times:
+            if step.optional:
+                bindings[step.name] = []
+                continue
             return None
         bindings[step.name] = taken
         i = taken[-1] + 1

@@ -159,3 +159,93 @@ def test_asof_join_no_version_yields_null(spark):
     }
     assert out[1] == 100.0
     assert out[2] is None
+
+
+def _cep_df(spark, rows):
+    """rows: (key, type, ms)"""
+    return spark.createDataFrame(
+        [(u, t, dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=ms)) for u, t, ms in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def _run_pattern(spark, df, pat, names):
+    def measures(rows_df, bindings):
+        return {
+            f"{n}_id": (
+                int(rows_df.iloc[bindings[n][0]]["ts"].timestamp() * 1000)
+                if bindings.get(n)
+                else None
+            )
+            for n in names
+        }
+
+    schema = "user_id long, " + ", ".join(f"{n}_id long" for n in names)
+    return cep.match_pattern(
+        df, pat, key_cols=["user_id"], ts_col="ts",
+        measures=measures, output_schema=schema,
+    ).collect()
+
+
+def test_cep_optional_step(spark):
+    """a (b?) c (reference CEPDemo optional:344)."""
+    rows = [
+        (1, "a", 0), (1, "b", 1000), (1, "c", 2000),   # with b
+        (2, "a", 0), (2, "c", 1000),                   # without b
+    ]
+    pat = cep.Pattern.begin("a", lambda r: r["event_type"] == "a")
+    pat.followed_by("b", lambda r: r["event_type"] == "b").optional()
+    pat.followed_by("c", lambda r: r["event_type"] == "c")
+    out = _run_pattern(spark, _cep_df(spark, rows), pat, ["a", "b", "c"])
+    got = {(r.user_id, r.b_id is not None) for r in out}
+    assert got == {(1, True), (2, False)}
+
+
+def test_cep_or_where(spark):
+    """where x or y (reference CEPDemo or:419)."""
+    rows = [(1, "x", 0), (2, "y", 0), (3, "z", 0)]
+    pat = cep.Pattern.begin("m", lambda r: r["event_type"] == "x").or_where(
+        lambda r: r["event_type"] == "y"
+    )
+    out = _run_pattern(spark, _cep_df(spark, rows), pat, ["m"])
+    assert {r.user_id for r in out} == {1, 2}
+
+
+def test_cep_not_next(spark):
+    """a notNext(b) c: b immediately after a kills the match
+    (reference CEPDemo notNext:566)."""
+    rows = [
+        (1, "a", 0), (1, "b", 1000), (1, "c", 2000),   # blocked by b
+        (2, "a", 0), (2, "x", 1000), (2, "c", 2000),   # ok
+    ]
+    pat = cep.Pattern.begin("a", lambda r: r["event_type"] == "a")
+    pat.not_next("nb", lambda r: r["event_type"] == "b")
+    pat.followed_by("c", lambda r: r["event_type"] == "c")
+    out = _run_pattern(spark, _cep_df(spark, rows), pat, ["a", "c"])
+    assert {r.user_id for r in out} == {2}
+
+
+def test_cep_not_followed_by(spark):
+    """a notFollowedBy(b) c: any b before c kills the match
+    (reference CEPDemo notFollowBy:640)."""
+    rows = [
+        (1, "a", 0), (1, "x", 500), (1, "b", 1000), (1, "c", 2000),  # blocked
+        (2, "a", 0), (2, "x", 500), (2, "x", 1000), (2, "c", 2000),  # ok
+    ]
+    pat = cep.Pattern.begin("a", lambda r: r["event_type"] == "a")
+    pat.not_followed_by("nb", lambda r: r["event_type"] == "b")
+    pat.followed_by("c", lambda r: r["event_type"] == "c")
+    out = _run_pattern(spark, _cep_df(spark, rows), pat, ["a", "c"])
+    assert {r.user_id for r in out} == {2}
+
+
+def test_cep_times_exact(spark):
+    """b{3} exactly (reference CEPDemo times:73)."""
+    rows = [
+        (1, "b", 0), (1, "b", 100), (1, "b", 200), (1, "e", 300),
+        (2, "b", 0), (2, "b", 100), (2, "e", 200),
+    ]
+    pat = cep.Pattern.begin("b", lambda r: r["event_type"] == "b").times(3)
+    pat.followed_by("e", lambda r: r["event_type"] == "e")
+    out = _run_pattern(spark, _cep_df(spark, rows), pat, ["b", "e"])
+    assert {r.user_id for r in out} == {1}

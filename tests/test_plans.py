@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the scale properties SURVEY §4
+promises (pushdown, pruning, broadcast) must hold, not just correctness."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to scan"
+    # column pruning: orderkey/partkey must NOT be read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["q5_regional_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "dimension joins must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["window_tumbling_hourly"].fn(spark, sf_dir))
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in read, "unused props column must be pruned from scan"
+    assert "event_id" not in read
+
+
+def test_similarity_broadcasts_queries(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["similarity_topk"].fn(spark, sf_dir))
+    assert "Broadcast" in plan, "query set must broadcast, corpus must stream"
+
+
+def test_topn_uses_window_group_limit(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["topn_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, (
+        "rk<=n filter should push into the window sort (Spark 3.5+ "
+        "WindowGroupLimit) — required for top-n to scale"
+    )
+
+
+def test_interval_join_filters_pushed(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["interval_join"].fn(spark, sf_dir))
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan

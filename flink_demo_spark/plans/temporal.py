@@ -321,3 +321,64 @@ def sessionize_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_session_dynamic",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTES
+                  ELSE INTERVAL 45 MINUTES END AS gap
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN max(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL THEN 1
+                  WHEN ts >= max(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) THEN 1 ELSE 0 END AS is_new
+      FROM g
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc=(
+        "dynamic-gap session window (reference Window.scala:157 "
+        "SessionWindowTimeGapExtractor): gap depends on the event "
+        "(clicks 10min, others 45min) — session_window(ts, CASE ...); "
+        "oracle = running-max-end chain rule."
+    ),
+)
+def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("45 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

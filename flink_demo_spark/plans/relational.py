@@ -812,3 +812,84 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_rush"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "select_without_from",
+    oracle="""
+    SELECT 2 AS two, 'hello' AS greeting, round(sqrt(2.0), 6) AS root2
+    """,
+    doc="SELECT without FROM (reference QueryTest.scala:117-121).",
+)
+def select_without_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        "SELECT 2 AS two, 'hello' AS greeting, round(sqrt(2.0), 6) AS root2"
+    )
+
+
+@query(
+    "values_inline_table",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, name)
+    ORDER BY id
+    """,
+    doc=(
+        "inline VALUES table (reference fromValues TabApiTest.scala:"
+        "149-175, fromElements): literal rows as a relation."
+    ),
+)
+def values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, name) "
+        "ORDER BY id"
+    )
+
+
+@query(
+    "posexplode_ordinality",
+    oracle="""
+    SELECT p_partkey,
+           CAST(generate_subscripts(t, 1) - 1 AS INT) AS pos,
+           unnest(t) AS word
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS t FROM part)
+    WHERE p_partkey < 100
+    ORDER BY p_partkey, pos
+    """,
+    doc=(
+        "UNNEST WITH ORDINALITY / posexplode (reference unnest "
+        "QueryTest.scala:752-771): position-indexed lateral explode."
+    ),
+)
+def posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    return (
+        p.select(
+            "p_partkey",
+            F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+        )
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@query(
+    "natural_join",
+    oracle="""
+    SELECT n_name, r_name
+    FROM (SELECT n_name, n_regionkey AS regionkey FROM nation)
+    NATURAL JOIN (SELECT r_name, r_regionkey AS regionkey FROM region)
+    ORDER BY n_name
+    """,
+    doc="NATURAL JOIN on a shared column name (reference QueryTest.scala:679-699).",
+)
+def natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, "nation", "region")
+    return spark.sql(
+        """
+        SELECT n_name, r_name
+        FROM (SELECT n_name, n_regionkey AS regionkey FROM nation)
+        NATURAL JOIN (SELECT r_name, r_regionkey AS regionkey FROM region)
+        ORDER BY n_name
+        """
+    )

@@ -249,3 +249,31 @@ def test_cep_times_exact(spark):
     pat.followed_by("e", lambda r: r["event_type"] == "e")
     out = _run_pattern(spark, _cep_df(spark, rows), pat, ["b", "e"])
     assert {r.user_id for r in out} == {1}
+
+
+def test_python_udtf_split(spark):
+    """Reference TableFunction UDTF (QueryTest.scala:1256-1263: Split
+    on comma, used via LATERAL TABLE): Spark 4 Python UDTF."""
+    from pyspark.sql.functions import udtf, lit
+
+    @udtf(returnType="word: string, length: int")
+    class Split:
+        def eval(self, s: str):
+            for w in s.split(","):
+                yield w, len(w)
+
+    spark.udtf.register("split_words", Split)
+    out = spark.sql(
+        "SELECT * FROM split_words('alpha,beta,gamma')"
+    ).collect()
+    assert [(r.word, r.length) for r in out] == [
+        ("alpha", 5), ("beta", 4), ("gamma", 5)
+    ]
+    # LATERAL join form (the reference's LATERAL TABLE(split(b)))
+    spark.createDataFrame([("a,b",), ("c",)], "s string").createOrReplaceTempView(
+        "udtf_src"
+    )
+    rows = spark.sql(
+        "SELECT s, word FROM udtf_src, LATERAL split_words(s)"
+    ).collect()
+    assert len(rows) == 3

@@ -55,7 +55,9 @@ def jaccard_pairs(
     index; skew bounded by dropping ultra-frequent shingles would be
     the 100 TB refinement) -> count common -> join per-doc sizes.
     """
-    sh = shingle_table(df, text_col, id_col, k).cache()
+    # no cache: recomputing the shingle scan is cheaper than
+    # materializing it, and holds no executor memory at scale
+    sh = shingle_table(df, text_col, id_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

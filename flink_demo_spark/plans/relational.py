@@ -893,3 +893,90 @@ def natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           round({osum('l_extendedprice * (1 - l_discount)', 6)}, 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H-Q10-style returned-items report: 4-way join, filtered "
+        "fact scan, top-20 by revenue (broadcast nation; orders/lineitem "
+        "shuffle on their keys)."
+    ),
+    bench=True,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(dsum(disc_price, 6), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           round({osum('l_quantity')}, 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc=(
+        "TPC-H-Q18-style large-volume orders: IN over a grouped-HAVING "
+        "subquery (semi-join after pre-aggregation) + re-aggregation."
+    ),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.round(dsum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )

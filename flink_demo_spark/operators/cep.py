@@ -51,10 +51,17 @@ class Step:
 
 @dataclass
 class Pattern:
-    """Fluent pattern builder mirroring the Flink CEP API surface."""
+    """Fluent pattern builder mirroring the Flink CEP API surface.
+
+    ``after_match``: 'skip_past_last_event' (default; CEPDemo.scala:879)
+    or 'skip_to_next' (overlapping matches, anchor advances one row;
+    CEPDemo.scala:846).
+    """
 
     steps: list[Step] = field(default_factory=list)
     within: pd.Timedelta | None = None
+    after_match: str = "skip_past_last_event"
+    until_pred: Predicate | None = None  # stop condition (CEPDemo.scala:489)
 
     @staticmethod
     def begin(name: str, predicate: Predicate) -> "Pattern":
@@ -128,6 +135,18 @@ class Pattern:
         self.steps.append(Step(name, predicate, "followed_by", negated=True))
         return self
 
+    def until(self, predicate: Predicate) -> "Pattern":
+        """Stop expanding a one_or_more step when predicate fires
+        (CEP .until, CEPDemo.scala:489). The until row is not consumed."""
+        self.until_pred = predicate
+        return self
+
+    def skip_to_next(self) -> "Pattern":
+        """AFTER MATCH SKIP TO NEXT ROW: emit overlapping matches
+        (CEP skip strategies, CEPDemo.scala:846)."""
+        self.after_match = "skip_to_next"
+        return self
+
     def within_time(self, duration: str) -> "Pattern":
         self.within = pd.Timedelta(duration)
         return self
@@ -189,13 +208,18 @@ def _match_from(
         taken = [found]
         j = found + 1
         # greedy repeats (consecutive rows only, matching Flink's
-        # default consecutive() semantics for quantified steps)
+        # default consecutive() semantics for quantified steps);
+        # `until` stops expansion without consuming the stop row
         while (
             (step.max_times is None or len(taken) < step.max_times)
             and j < n
             and in_horizon(j)
-            and step.predicate(rows.iloc[j])
         ):
+            row = rows.iloc[j]
+            if pattern.until_pred is not None and pattern.until_pred(row):
+                break
+            if not step.predicate(row):
+                break
             taken.append(j)
             j += 1
         if len(taken) < step.min_times:
@@ -232,6 +256,7 @@ def match_pattern(
         n = len(rows)
         while start < n:
             m = None
+            anchor = start
             for anchor in range(start, n):
                 m = _match_from(rows, anchor, pattern, ts_col)
                 if m is not None:
@@ -243,7 +268,10 @@ def match_pattern(
             for k in key_cols:
                 rec.setdefault(k, rows.iloc[0][k])
             out.append(rec)
-            start = end  # skip past last event
+            if pattern.after_match == "skip_to_next":
+                start = anchor + 1  # overlapping matches allowed
+            else:
+                start = end  # skip past last event
         if not out:
             return pd.DataFrame(columns=out_columns)
         return pd.DataFrame(out)

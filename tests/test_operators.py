@@ -277,3 +277,41 @@ def test_python_udtf_split(spark):
         "SELECT s, word FROM udtf_src, LATERAL split_words(s)"
     ).collect()
     assert len(rows) == 3
+
+
+def test_cep_skip_to_next_overlapping(spark):
+    """AFTER MATCH SKIP TO NEXT ROW emits overlapping matches
+    (reference CEPDemo skipToNext:846 vs skipPastLastEvent:879)."""
+    rows = [(1, "b", 0), (1, "b", 100), (1, "b", 200)]
+    # pattern: two consecutive b's
+    base = [
+        ("skip_past", cep.Pattern.begin("x", lambda r: r["event_type"] == "b").next(
+            "y", lambda r: r["event_type"] == "b")),
+        ("skip_next", cep.Pattern.begin("x", lambda r: r["event_type"] == "b").next(
+            "y", lambda r: r["event_type"] == "b").skip_to_next()),
+    ]
+    counts = {}
+    for name, pat in base:
+        out = _run_pattern(spark, _cep_df(spark, rows), pat, ["x", "y"])
+        counts[name] = len(out)
+    assert counts["skip_past"] == 1  # (0,1); row 2 alone can't pair
+    assert counts["skip_next"] == 2  # (0,1) and (1,2)
+
+
+def test_cep_until_stops_one_or_more(spark):
+    """b+ until(e): expansion stops at the until row
+    (reference CEPDemo until:489)."""
+    rows = [(1, "b", 0), (1, "b", 100), (1, "e", 200), (1, "b", 300), (1, "c", 400)]
+    pat = cep.Pattern.begin("b", lambda r: r["event_type"] == "b").one_or_more()
+    pat.followed_by("c", lambda r: r["event_type"] == "c")
+    pat.until(lambda r: r["event_type"] == "e")
+
+    def measures(rows_df, bindings):
+        return {"n_b": len(bindings["b"])}
+
+    out = cep.match_pattern(
+        _cep_df(spark, rows), pat, key_cols=["user_id"], ts_col="ts",
+        measures=measures, output_schema="user_id long, n_b long",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_b == 2  # stopped at 'e'; did not absorb the later b

@@ -85,6 +85,7 @@ def hotitems_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hourly PV + exact UV (reference PvAnalysis 29-33, UvAnalysis "
         "25-33: count + count(distinct userId) per window)."
     ),
+    bench=True,
 )
 def pv_uv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).where(F.col("event_type").isin("view", "click"))

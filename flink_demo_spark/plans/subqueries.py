@@ -125,6 +125,7 @@ def subquery_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events per key, batch form via row_number div; streaming form "
         "in streaming/stateful.count_window."
     ),
+    bench=True,
 )
 def count_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

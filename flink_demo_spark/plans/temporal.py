@@ -115,6 +115,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session window, 30m gap (reference EventTimeSessionWindows "
         "Window.scala:124; Table Session withGap): session_window()."
     ),
+    bench=True,
 )
 def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)

@@ -175,3 +175,53 @@ def streaming_pattern_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = consecutive_pattern_stream(ev, match_type="error")
     result = run_available_now(matches, output_mode="append")
     return result.orderBy("user_id", "first_error_id")
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                  WHEN CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w
+                       + INTERVAL 30 MINUTES THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc=(
+        "streaming session windows with watermark (reference "
+        "EventTimeSessionWindows Window.scala:124): state-merged "
+        "sessions, equals the batch/oracle result."
+    ),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    result = run_available_now(agg, output_mode="complete")
+    return result.orderBy("user_id", "session_start")

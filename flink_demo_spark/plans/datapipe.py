@@ -368,3 +368,125 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_top_k(
         emb, queries, cents, id_col="vec_id", vec_col="embedding", k=5
     ).orderBy("query_id", "rk")
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(props->>'$.k' AS INT) % 10 AS INT) AS k_mod,
+           count(*) AS n,
+           CAST(min(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, k_mod
+    """,
+    doc=(
+        "JSON payload extraction (reference Kafka JSON format "
+        "CreateTest.scala:141-160): get_json_object over the props "
+        "column, grouped stats."
+    ),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type", "k_mod")
+    )
+
+
+@query(
+    "text_vocab_topk",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+    doc=(
+        "corpus vocabulary top-50 (training-data token stats): explode "
+        "tokens, count, deterministic top-k."
+    ),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="document length histogram (100-char buckets) for corpus QA.",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.expr("n_chars div 100").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                   list_sort(list_distinct(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+               AS fp
+      FROM documents
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      FROM fp
+    ) WHERE rk = 1
+    ORDER BY doc_id
+    """,
+    doc=(
+        "dedup 'apply' form: the surviving doc set (first doc per "
+        "normalized fingerprint) — what a pipeline actually keeps."
+    ),
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.select("doc_id", text.fingerprint("text").alias("fp"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -17,6 +17,8 @@ distribution; the 100 TB story).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,6 +78,13 @@ def bucketed_table(
     """Persist ``df`` bucketed and sorted by ``key``; joins between
     tables bucketed the same way need no shuffle (reference co-located
     join / partitionByHash DataSetFunc.scala:546-617)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a stale location from a previous session blocks managed-table
+    # creation even after the catalog entry is gone
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, name.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(buckets, key)

@@ -30,11 +30,15 @@ def main() -> None:
     spark.range(1000).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in bench_queries().items():
         t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = spec.fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not kill the bench
+            errors[name] = str(e).split("\n")[0][:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -44,6 +48,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -47,6 +47,12 @@ class Step:
     max_times: int | None = 1  # None = unbounded (one_or_more when min=1)
     optional: bool = False  # CEP .optional() (CEPDemo.scala:344)
     negated: bool = False  # notNext/notFollowedBy (CEPDemo.scala:566, 640)
+    greedy: bool = True  # quantifier preference; False = reluctant B+? (CEPDemo greedy:265)
+
+    def replace(self, **kw) -> "Step":
+        from dataclasses import replace as _replace
+
+        return _replace(self, **kw)
 
 
 @dataclass
@@ -135,6 +141,13 @@ class Pattern:
         self.steps.append(Step(name, predicate, "followed_by", negated=True))
         return self
 
+    def reluctant(self) -> "Pattern":
+        """Make the last quantified step reluctant (B+? / B*? in
+        MATCH_RECOGNIZE, TableSQLFunc2.scala:20-267): prefer the
+        fewest repeats that let the rest of the pattern match."""
+        self.steps[-1] = self.steps[-1].replace(greedy=False)
+        return self
+
     def until(self, predicate: Predicate) -> "Pattern":
         """Stop expanding a one_or_more step when predicate fires
         (CEP .until, CEPDemo.scala:489). The until row is not consumed."""
@@ -157,12 +170,14 @@ def _match_from(
 ) -> tuple[int, dict[str, list[int]]] | None:
     """Try to match the full pattern anchored at row ``start``.
 
-    Returns (end_index_exclusive, {step_name: [row indices]}) for the
-    greedy leftmost match, or None.
+    Backtracking matcher: quantified steps try repeat counts greedily
+    (max->min) or reluctantly (min->max, ``reluctant()``); if the rest
+    of the pattern cannot match, the quantifier backtracks — standard
+    regex/MATCH_RECOGNIZE semantics, which a purely-greedy linear scan
+    would miss. Returns (end_index_exclusive, {step: [row indices]}).
     """
     n = len(rows)
-    bindings: dict[str, list[int]] = {}
-    i = start
+    steps = pattern.steps
     t0 = rows.iloc[start][ts_col]
 
     def in_horizon(j: int) -> bool:
@@ -170,23 +185,27 @@ def _match_from(
             return True
         return rows.iloc[j][ts_col] - t0 <= pattern.within
 
-    pending_neg: list[Step] = []  # active not_followed_by constraints
+    def solve(
+        si: int, i: int, pending_neg: tuple[Step, ...], bindings: dict
+    ) -> tuple[int, dict[str, list[int]]] | None:
+        if si == len(steps):
+            return i, dict(bindings)
+        step = steps[si]
 
-    for si, step in enumerate(pattern.steps):
         if step.negated:
             if step.contiguity == "next":
                 # notNext: the immediately following event must not match
                 if i < n and in_horizon(i) and step.predicate(rows.iloc[i]):
                     return None
-            else:
-                # notFollowedBy: checked against every row skipped before
-                # the next positive step matches (trailing negation —
-                # unsupported, as in Flink)
-                pending_neg.append(step)
+                bindings[step.name] = []
+                return solve(si + 1, i, pending_neg, bindings)
+            # notFollowedBy: forbidden until the next positive step
+            # matches (trailing negation unsupported, as in Flink)
             bindings[step.name] = []
-            continue
+            return solve(si + 1, i, pending_neg + (step,), bindings)
 
-        # scan for the first occurrence of this positive step
+        # find the first occurrence (followed_by skips only
+        # NON-matching rows — followedByAny would branch here)
         found = -1
         j = i
         while j < n and in_horizon(j):
@@ -196,22 +215,21 @@ def _match_from(
                 break
             if any(neg.predicate(row) for neg in pending_neg):
                 return None  # a forbidden event occurred first
-            if step.contiguity == "next" or (si == 0 and j == start):
-                break  # strict position failed
+            if step.contiguity == "next" or si == 0:
+                break  # strict position (or anchor) failed
             j += 1
         if found < 0:
             if step.optional:
                 bindings[step.name] = []
-                continue
+                return solve(si + 1, i, pending_neg, bindings)
             return None
-        pending_neg = []  # satisfied: next positive step matched first
-        taken = [found]
+
+        # maximal consecutive run from `found` (Flink consecutive()
+        # quantifier); `until` stops expansion without consuming
+        run = [found]
         j = found + 1
-        # greedy repeats (consecutive rows only, matching Flink's
-        # default consecutive() semantics for quantified steps);
-        # `until` stops expansion without consuming the stop row
         while (
-            (step.max_times is None or len(taken) < step.max_times)
+            (step.max_times is None or len(run) < step.max_times)
             and j < n
             and in_horizon(j)
         ):
@@ -220,16 +238,22 @@ def _match_from(
                 break
             if not step.predicate(row):
                 break
-            taken.append(j)
+            run.append(j)
             j += 1
-        if len(taken) < step.min_times:
-            if step.optional:
-                bindings[step.name] = []
-                continue
-            return None
-        bindings[step.name] = taken
-        i = taken[-1] + 1
-    return i, bindings
+        if len(run) >= step.min_times:
+            counts = range(step.min_times, len(run) + 1)
+            for c in (reversed(counts) if step.greedy else counts):
+                taken = run[:c]
+                bindings[step.name] = taken
+                res = solve(si + 1, taken[-1] + 1, (), bindings)
+                if res is not None:
+                    return res
+        if step.optional:
+            bindings[step.name] = []
+            return solve(si + 1, i, pending_neg, bindings)
+        return None
+
+    return solve(0, start, (), {})
 
 
 def match_pattern(

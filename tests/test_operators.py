@@ -315,3 +315,48 @@ def test_cep_until_stops_one_or_more(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].n_b == 2  # stopped at 'e'; did not absorb the later b
+
+
+def test_cep_backtracking_quantifier(spark):
+    """Greedy b+ must backtrack when it over-consumes: b+ then b->e
+    sequence; a pure greedy scan eats all b's and fails."""
+    rows = [(1, "b", 0), (1, "b", 100), (1, "b", 200), (1, "e", 300)]
+    pat = cep.Pattern.begin("many", lambda r: r["event_type"] == "b").one_or_more()
+    pat.next("last_b", lambda r: r["event_type"] == "b")
+    pat.next("end", lambda r: r["event_type"] == "e")
+
+    def measures(rows_df, bindings):
+        return {"n_many": len(bindings["many"])}
+
+    out = cep.match_pattern(
+        _cep_df(spark, rows), pat, key_cols=["user_id"], ts_col="ts",
+        measures=measures, output_schema="user_id long, n_many long",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_many == 2  # backtracked from 3 to 2
+
+
+def test_cep_reluctant_quantifier(spark):
+    """b+? takes the fewest repeats (MATCH_RECOGNIZE B*? reluctant,
+    reference TableSQLFunc2.scala:20-267)."""
+    rows = [(1, "b", 0), (1, "b", 100), (1, "b", 200), (1, "e", 300)]
+
+    def mk(reluctant):
+        pat = cep.Pattern.begin("many", lambda r: r["event_type"] == "b").one_or_more()
+        if reluctant:
+            pat.reluctant()
+        pat.followed_by("end", lambda r: r["event_type"] == "e")
+        return pat
+
+    def measures(rows_df, bindings):
+        return {"n_many": len(bindings["many"])}
+
+    res = {}
+    for name, rel in [("greedy", False), ("reluctant", True)]:
+        out = cep.match_pattern(
+            _cep_df(spark, rows), mk(rel), key_cols=["user_id"], ts_col="ts",
+            measures=measures, output_schema="user_id long, n_many long",
+        ).collect()
+        res[name] = out[0].n_many
+    assert res["greedy"] == 3
+    assert res["reluctant"] == 1

@@ -309,3 +309,41 @@ def test_update_mode_final_state_equals_batch(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_foreach_batch_upsert(spark, sf_dir):
+    """JDBC-style upsert sink fed by a streaming aggregation
+    (reference MysqlSink.scala:12-45, Sink.scala:145): per micro-batch
+    merge_upsert keyed on event_type; final table equals batch agg."""
+    import tempfile
+
+    from flink_demo_spark.sinks import merge_upsert
+    from flink_demo_spark.sources.streams import events_stream
+
+    target = tempfile.mkdtemp(prefix="upsert_stream_") + "/table"
+
+    agg = (
+        events_stream(spark, sf_dir, watermark=None)
+        .groupBy("event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: merge_upsert(spark, df, target, ["event_type"])
+        )
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_type: r["count"] for r in spark.read.parquet(target).collect()
+    }
+    expected = {
+        r.event_type: r["count"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert got == expected

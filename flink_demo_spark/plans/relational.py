@@ -980,3 +980,64 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "agg_distinct_sums",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(DISTINCT l_quantity), 2)           AS sum_distinct_qty,
+           round(avg(DISTINCT l_quantity), 4)           AS avg_distinct_qty,
+           count(DISTINCT l_partkey)                    AS n_parts
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc=(
+        "sum(DISTINCT)/avg(DISTINCT) (reference sum0.distinct, "
+        "count(distinct) TabApiTest.scala:375-392; quantities are "
+        "integral so the distinct sums are exact)."
+    ),
+)
+def agg_distinct_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias(
+                "sum_distinct_qty"
+            ),
+            F.round(F.expr("avg(DISTINCT l_quantity)"), 4).alias(
+                "avg_distinct_qty"
+            ),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "predicate_between_symmetric",
+    oracle="""
+    SELECT p_partkey,
+           (p_size BETWEEN 30 AND 10) AS plain_reversed,
+           (p_size BETWEEN least(10, 30) AND greatest(10, 30)) AS symmetric
+    FROM part
+    WHERE p_partkey < 100
+    ORDER BY p_partkey
+    """,
+    doc=(
+        "BETWEEN SYMMETRIC expansion (reference SqlFuncTest.scala:52-99: "
+        "Spark/DuckDB lack SYMMETRIC — expand via least/greatest; the "
+        "reversed plain BETWEEN is always false)."
+    ),
+)
+def predicate_between_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").between(30, 10).alias("plain_reversed"),
+        F.col("p_size")
+        .between(F.least(F.lit(10), F.lit(30)), F.greatest(F.lit(10), F.lit(30)))
+        .alias("symmetric"),
+    ).orderBy("p_partkey")

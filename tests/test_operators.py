@@ -360,3 +360,81 @@ def test_cep_reluctant_quantifier(spark):
         res[name] = out[0].n_many
     assert res["greedy"] == 3
     assert res["reluctant"] == 1
+
+
+def test_split_stream_side_outputs(spark, sf_dir):
+    """Side outputs (reference SideOutput.scala:21): one parent plan,
+    N filtered children; channels partition the input."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.operators.streams_util import split_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    outs = split_stream(
+        ev,
+        {
+            "errors": F.col("event_type") == "error",
+            "purchases": F.col("event_type") == "purchase",
+            "rest": ~F.col("event_type").isin("error", "purchase"),
+        },
+    )
+    total = sum(df.count() for df in outs.values())
+    assert total == ev.count()
+    assert outs["errors"].select("event_type").distinct().collect()[0][0] == "error"
+
+
+def test_cogroup_apply(spark, sf_dir):
+    """coGroup (reference DataSetFunc.scala:334-477): per-key pair of
+    groups — compute orders-minus-lineitem count difference per key."""
+    import pandas as pd
+
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.operators.streams_util import cogroup_apply
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+
+    def diff(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        k = l["k"].iloc[0] if len(l) else r["k"].iloc[0]
+        return pd.DataFrame({"k": [k], "n_orders": [len(l)], "n_items": [len(r)]})
+
+    out = cogroup_apply(orders, li, ["k"], diff, "k long, n_orders long, n_items long")
+    row = out.where(F.col("n_items") > 0).limit(1).collect()[0]
+    assert row.n_orders == 1 and row.n_items >= 1
+    # every order key appears exactly once
+    assert out.count() == orders.select("k").distinct().count()
+
+
+def test_rate_source_with_processing_time_trigger(spark):
+    """Rate source + processing-time trigger (reference
+    TaxiRideGenerator.java:37-64 rate-limited generator; proctime)."""
+    import time
+    import uuid
+
+    from flink_demo_spark.sources.streams import click_stream
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_stream(spark, rows_per_second=500)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table(name).count()
+            if n > 0:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert n > 0
+    pages = {r.page for r in spark.table(name).select("page").distinct().collect()}
+    assert pages <= {"/help", "/index", "/shop", "/jobs", "/about", "/news"}

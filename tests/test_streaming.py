@@ -347,3 +347,52 @@ def test_streaming_foreach_batch_upsert(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_left_outer_interval_join_semantics(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join (reference TxMatch
+    unmatched side outputs): matched pairs equal the batch inner join
+    exactly; unmatched (NULL) rows are a subset of the batch's — outer
+    rows whose watermark horizon hasn't closed when input ends stay in
+    state (inherent Structured Streaming semantics; Flink's timers
+    would fire them — documented difference)."""
+    from flink_demo_spark.sources.streams import events_stream
+
+    def sides(src):
+        p = src.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        c = src.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        return p, c
+
+    def cond():
+        return (
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+
+    bp, bc = sides(load_table(spark, sf_dir, "events"))
+    batch = {(r.purchase_id, r.click_id) for r in bp.join(bc, cond(), "left")
+             .select("purchase_id", "click_id").collect()}
+
+    sp, _ = sides(events_stream(spark, sf_dir, watermark="10 minutes"))
+    _, sc = sides(events_stream(spark, sf_dir, watermark="10 minutes"))
+    out = run_available_now(
+        sp.join(sc, cond(), "left").select("purchase_id", "click_id"),
+        output_mode="append",
+    ).collect()
+    stream = {(r.purchase_id, r.click_id) for r in out}
+
+    batch_matched = {x for x in batch if x[1] is not None}
+    stream_matched = {x for x in stream if x[1] is not None}
+    assert stream_matched == batch_matched  # matches emit immediately
+    assert stream <= batch  # no spurious rows
+    # the overwhelming majority of outer rows must have flushed
+    assert len(stream) >= len(batch) - 5

@@ -1041,3 +1041,83 @@ def predicate_between_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .between(F.least(F.lit(10), F.lit(30)), F.greatest(F.lit(10), F.lit(30)))
         .alias("symmetric"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             4) AS economy_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc=(
+        "TPC-H-Q14-style conditional-aggregate ratio: CASE inside SUM, "
+        "exact decimal accumulation, single output row."
+    ),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "ECONOMY", disc).otherwise(zero)
+    return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(disc).cast("double"),
+            4,
+        ).alias("economy_share_pct")
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    SELECT CAST(c_nationkey % 5 AS INT) AS code,
+           count(*) AS n_customers,
+           round({osum('c_acctbal')}, 2) AS total_balance
+    FROM customer
+    WHERE c_acctbal > (SELECT {oavg('c_acctbal')} FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey % 5
+    ORDER BY code
+    """,
+    doc=(
+        "TPC-H-Q22-style: scalar subquery threshold + NOT EXISTS anti "
+        "join + derived grouping code (Catalyst decorrelation + "
+        "RewritePredicateSubquery, reference TableSQLFunc.scala:392-399)."
+    ),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views_needed = _t(spark, sf_dir, "customer")
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT CAST(c_nationkey % 5 AS INT) AS code,
+               count(*) AS n_customers,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+                 AS total_balance
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(c_acctbal)
+            FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey % 5
+        ORDER BY code
+        """
+    )

@@ -225,3 +225,41 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_available_now(agg, output_mode="complete")
     return result.orderBy("user_id", "session_start")
+
+
+@query(
+    "streaming_window_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT event_id, user_id,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT event_id, user_id,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w
+          FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id AND v.w = c.w
+    ORDER BY view_id, click_id
+    """,
+    doc=(
+        "stream-stream tumbling window join (reference window joins "
+        "DataStreamFunc.scala:1514-1639): equi-join on (user, window "
+        "bucket) with watermarks on both sides; equals the batch twin."
+    ),
+)
+def streaming_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def mk(src, et, idn):
+        return src.where(F.col("event_type") == et).select(
+            F.col("event_id").alias(idn),
+            F.col("user_id").alias(f"{idn}_user"),
+            F.window("ts", "1 hour").alias(f"{idn}_w"),
+        )
+
+    v = mk(events_stream(spark, sf_dir, watermark="10 minutes"), "view", "view_id")
+    c = mk(events_stream(spark, sf_dir, watermark="10 minutes"), "click", "click_id")
+    j = v.join(
+        c,
+        (F.col("view_id_user") == F.col("click_id_user"))
+        & (F.col("view_id_w") == F.col("click_id_w")),
+    )
+    out = run_available_now(j.select("view_id", "click_id"), output_mode="append")
+    return out.orderBy("view_id", "click_id")

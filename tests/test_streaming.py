@@ -396,3 +396,58 @@ def test_stream_left_outer_interval_join_semantics(spark, sf_dir):
     assert stream <= batch  # no spurious rows
     # the overwhelming majority of outer rows must have flushed
     assert len(stream) >= len(batch) - 5
+
+
+def test_broadcast_config_updates_between_batches(spark):
+    """Broadcast-state pattern (reference BroadcastProcessFuncApp.scala:
+    8-38): a config table re-read per micro-batch changes the filtering
+    of the main stream without restarting the query."""
+    import tempfile
+
+    from flink_demo_spark.streaming.broadcast_config import config_filtered_sink
+
+    src = tempfile.mkdtemp(prefix="cfg_src_")
+    cfg_path = tempfile.mkdtemp(prefix="cfg_tab_") + "/config"
+    ckpt = tempfile.mkdtemp(prefix="cfg_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="cfg_out_") + "/data"
+
+    def write_src(rows, name):
+        spark.createDataFrame(rows, "event_type string, v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    def write_cfg(types):
+        spark.createDataFrame(
+            [(t,) for t in types], "event_type string"
+        ).write.mode("overwrite").parquet(cfg_path)
+
+    def run_once():
+        stream = spark.readStream.schema("event_type string, v long").parquet(
+            f"{src}/*"
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                config_filtered_sink(
+                    spark,
+                    cfg_path,
+                    "event_type",
+                    lambda df, bid: df.write.mode("append").parquet(out_dir),
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_cfg(["click"])
+    write_src([("click", 1), ("view", 2)], "b1")
+    run_once()
+    got1 = {(r.event_type, r.v) for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {("click", 1)}  # 'view' filtered by config v1
+
+    write_cfg(["click", "view"])  # config change, no restart of source state
+    write_src([("click", 3), ("view", 4)], "b2")
+    run_once()
+    got2 = {(r.event_type, r.v) for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {("click", 1), ("click", 3), ("view", 4)}

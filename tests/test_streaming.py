@@ -451,3 +451,59 @@ def test_broadcast_config_updates_between_batches(spark):
     run_once()
     got2 = {(r.event_type, r.v) for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {("click", 1), ("click", 3), ("view", 4)}
+
+
+def test_processing_time_timeout_fires(spark):
+    """Processing-time timer (reference FraudDetector.scala:17-56 uses
+    a 60s processing-time timer to clear the flag state): group state
+    with ProcessingTimeTimeout fires on a later trigger even with no
+    new input."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = tempfile.mkdtemp(prefix="ptt_")
+    spark.createDataFrame([(1, "x")], "k long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+
+    OUT = StructType([StructField("k", LongType()), StructField("status", StringType())])
+    ST = StructType([StructField("seen", LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"k": [key[0]], "status": ["timeout"]})
+            return
+        for _ in pdfs:
+            pass
+        state.update((1,))
+        state.setTimeoutDuration(1500)
+        yield pd.DataFrame({"k": [key[0]], "status": ["seen"]})
+
+    stream = spark.readStream.schema("k long, v string").parquet(f"{src}/*")
+    out = stream.groupBy("k").applyInPandasWithState(
+        fn, OUT, ST, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+    name = f"ptt_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 45
+        statuses = set()
+        while _time.time() < deadline:
+            statuses = {r.status for r in spark.table(name).collect()}
+            if "timeout" in statuses:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    assert statuses == {"seen", "timeout"}

@@ -1121,3 +1121,28 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY code
         """
     )
+
+
+@query(
+    "zip_with_index",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx,
+           o_orderkey
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY idx
+    """,
+    doc=(
+        "deterministic zipWithIndex (reference DataSetFunc.scala:989-1012): "
+        "0-based dense index over a total order (Flink's zipWithIndex is "
+        "partition-order-dependent; the deterministic form fixes the order)."
+    ),
+)
+def zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    w = Window.orderBy("o_orderkey")
+    return o.select(
+        (F.row_number().over(w) - 1).cast("long").alias("idx"), "o_orderkey"
+    ).orderBy("idx")

@@ -438,3 +438,33 @@ def test_rate_source_with_processing_time_trigger(spark):
     assert n > 0
     pages = {r.page for r in spark.table(name).select("page").distinct().collect()}
     assert pages <= {"/help", "/index", "/shop", "/jobs", "/about", "/news"}
+
+
+def test_geo_helpers(spark):
+    """GeoUtils parity (reference GeoUtils.java:31-60; RideCleansing
+    bounding-box filter RideCleansingSolution.scala:16)."""
+    from flink_demo_spark.operators import geo
+
+    rows = [
+        # (lon, lat, in_nyc)   midtown / out-of-box west / out-of-box north
+        (-73.98, 40.75, True),
+        (-74.30, 40.75, False),
+        (-73.98, 41.20, False),
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double, expected boolean")
+    got = df.select(
+        "expected",
+        geo.is_in_nyc(F.col("lon"), F.col("lat")).alias("got"),
+        geo.grid_cell(F.col("lon"), F.col("lat")).alias("cell"),
+    ).collect()
+    for r in got:
+        assert r.got == r.expected
+    # grid cells are non-negative ints inside the box
+    assert all(r.cell >= 0 for r in got if r.expected)
+    # distance: ~same point = 0; Manhattan->JFK ~ 20km ballpark
+    d = spark.createDataFrame(
+        [(-73.98, 40.75, -73.7789, 40.6397)], "a double, b double, c double, d double"
+    ).select(
+        geo.euclidean_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).collect()[0].km
+    assert 15 < d < 25

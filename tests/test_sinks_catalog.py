@@ -87,3 +87,32 @@ def test_accumulator_observe(spark, sf_dir):
     n = orders.count()
     assert obs.get["n"] == n
     assert obs.get["total"] > 0
+
+
+def test_ddl_databases_and_alter(spark, sf_dir):
+    """Reference CREATE DATABASE (CreateTest.scala:480), USE/SHOW
+    (1000-1055), ALTER TABLE RENAME/SET (650-690)."""
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS eng_scratch")
+    assert "eng_scratch" in {
+        r.namespace for r in spark.sql("SHOW DATABASES").collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    spark.sql("DROP TABLE IF EXISTS eng_scratch.t_orders")
+    spark.sql("DROP TABLE IF EXISTS eng_scratch.t_orders_renamed")
+    # stale locations from interrupted prior sessions block re-creation
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders", "t_orders_renamed"):
+        shutil.rmtree(f"{warehouse}/eng_scratch.db/{t}", ignore_errors=True)
+    orders.write.mode("overwrite").saveAsTable("eng_scratch.t_orders")
+    # ALTER TABLE ... SET TBLPROPERTIES + RENAME TO
+    spark.sql("ALTER TABLE eng_scratch.t_orders SET TBLPROPERTIES ('owner'='engine')")
+    props = spark.sql("SHOW TBLPROPERTIES eng_scratch.t_orders").collect()
+    assert any(r.key == "owner" and r.value == "engine" for r in props)
+    spark.sql("ALTER TABLE eng_scratch.t_orders RENAME TO eng_scratch.t_orders_renamed")
+    tables = {r.tableName for r in spark.sql("SHOW TABLES IN eng_scratch").collect()}
+    assert "t_orders_renamed" in tables and "t_orders" not in tables
+    assert spark.table("eng_scratch.t_orders_renamed").count() == 100
+    spark.sql("DROP TABLE eng_scratch.t_orders_renamed")
+    spark.sql("DROP DATABASE eng_scratch")

@@ -107,9 +107,9 @@ def test_ddl_databases_and_alter(spark, sf_dir):
         shutil.rmtree(f"{warehouse}/eng_scratch.db/{t}", ignore_errors=True)
     orders.write.mode("overwrite").saveAsTable("eng_scratch.t_orders")
     # ALTER TABLE ... SET TBLPROPERTIES + RENAME TO
-    spark.sql("ALTER TABLE eng_scratch.t_orders SET TBLPROPERTIES ('owner'='engine')")
+    spark.sql("ALTER TABLE eng_scratch.t_orders SET TBLPROPERTIES ('team'='engine')")
     props = spark.sql("SHOW TBLPROPERTIES eng_scratch.t_orders").collect()
-    assert any(r.key == "owner" and r.value == "engine" for r in props)
+    assert any(r.key == "team" and r.value == "engine" for r in props)
     spark.sql("ALTER TABLE eng_scratch.t_orders RENAME TO eng_scratch.t_orders_renamed")
     tables = {r.tableName for r in spark.sql("SHOW TABLES IN eng_scratch").collect()}
     assert "t_orders_renamed" in tables and "t_orders" not in tables

@@ -507,3 +507,62 @@ def test_processing_time_timeout_fires(spark):
     finally:
         q.stop()
     assert statuses == {"seen", "timeout"}
+
+
+def test_changelog_retract_stream(spark):
+    """toRetractStream emulation (reference TableSQLFunc.scala:817-859;
+    expected changelog shape at 869-877): a count-per-key aggregation
+    over two micro-batches emits +I for first appearance and -U/+U
+    pairs when a count changes; the materialized table equals the
+    final batch result."""
+    import tempfile
+
+    from flink_demo_spark.streaming.changelog import changelog_sink
+
+    src = tempfile.mkdtemp(prefix="chlog_src_")
+    ckpt = tempfile.mkdtemp(prefix="chlog_ckpt_")
+    target = tempfile.mkdtemp(prefix="chlog_tgt_") + "/table"
+    changelog = tempfile.mkdtemp(prefix="chlog_log_") + "/log"
+
+    def write_src(rows, name):
+        spark.createDataFrame(rows, "name string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    def run_once():
+        agg = (
+            spark.readStream.schema("name string")
+            .parquet(f"{src}/*")
+            .groupBy("name")
+            .count()
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                changelog_sink(spark, target, changelog, ["name"])
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # mirrors the reference's clicks fixture: Mary, Bob / Mary, Liz
+    write_src([("Mary",), ("Bob",)], "b1")
+    run_once()
+    write_src([("Mary",), ("Liz",)], "b2")
+    run_once()
+
+    log = [
+        (r.op, r.name, r["count"])
+        for r in spark.read.parquet(changelog).orderBy("batch_id", "name", "op").collect()
+    ]
+    # batch 1: both +I with count 1
+    assert ("+I", "Mary", 1) in log and ("+I", "Bob", 1) in log
+    # batch 2: Liz inserted; Mary retract 1 -> update 2; Bob unchanged
+    assert ("+I", "Liz", 1) in log
+    assert ("-U", "Mary", 1) in log and ("+U", "Mary", 2) in log
+    assert not any(op == "-U" and name == "Bob" for op, name, _ in log)
+
+    final = {(r.name, r["count"]) for r in spark.read.parquet(target).collect()}
+    assert final == {("Mary", 2), ("Bob", 1), ("Liz", 1)}

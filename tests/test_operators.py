@@ -468,3 +468,47 @@ def test_geo_helpers(spark):
         geo.euclidean_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
     ).collect()[0].km
     assert 15 < d < 25
+
+
+def test_asof_join_reference_golden_rates(spark):
+    """Golden fixture from the reference temporal table function join
+    (changelog-tutorial/.../TemporalJoinTest.scala:19-70): each order
+    joins the latest rate with r.rowtime <= o.rowtime for its currency;
+    Euro orders straddle two rate versions (114 -> 116 at 12:00:05)."""
+    from flink_demo_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2021, 5, 11, 12, 0, s)
+    orders = spark.createDataFrame(
+        [
+            (2, "Euro", t(2)),
+            (1, "US Dollar", t(2)),
+            (50, "Yen", t(4)),
+            (3, "Euro", t(5)),
+        ],
+        "amount long, currency string, rowtime timestamp",
+    )
+    rates = spark.createDataFrame(
+        [
+            ("US Dollar", 102, t(1)),
+            ("Euro", 114, t(1)),
+            ("Yen", 1, t(1)),
+            ("Euro", 116, t(5)),
+            ("Euro", 119, t(7)),
+        ],
+        "currency string, rate long, rowtime timestamp",
+    )
+    joined = asof_join(
+        orders, rates, on="currency", probe_time="rowtime",
+        build_time="rowtime", payload_cols=["rate"],
+    ).withColumn("yen_amount", F.col("amount") * F.col("rate"))
+    got = {
+        (r.currency, r.amount, r.rate, r.yen_amount) for r in joined.collect()
+    }
+    # expected table per the reference's temporal semantics
+    # (TableSQLFunc.scala:1211-1219 records the same join shape)
+    assert got == {
+        ("Euro", 2, 114, 228),        # before the 12:00:05 update
+        ("US Dollar", 1, 102, 102),
+        ("Yen", 50, 1, 50),
+        ("Euro", 3, 116, 348),        # at 12:00:05 the new version applies
+    }

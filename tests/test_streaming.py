@@ -566,3 +566,41 @@ def test_changelog_retract_stream(spark):
 
     final = {(r.name, r["count"]) for r in spark.read.parquet(target).collect()}
     assert final == {("Mary", 2), ("Bob", 1), ("Liz", 1)}
+
+
+def test_hourly_tips_reference_golden(spark):
+    """Reference golden test (HourlyTipsTest.java:46-103): hourly tip
+    sum per driver, then the max across drivers per hour — exact
+    expected tuples, streaming over pre-stamped events."""
+    t0 = dt.datetime(2020, 1, 1, 12, 0)
+
+    def fare(driver, minutes, tip):
+        return (driver, t0 + dt.timedelta(minutes=minutes), tip)
+
+    rows = [fare(1, 0, 1.0), fare(1, 15, 5.0), fare(1, 90, 10.0), fare(2, 90, 20.0)]
+    stream = _mem_stream(
+        spark, rows, "driver_id long, start_time timestamp, tip double"
+    ).withWatermark("start_time", "1 second")
+
+    hourly = (
+        stream.groupBy(F.window("start_time", "1 hour").alias("w"), "driver_id")
+        .agg(F.sum("tip").alias("sum_tips"))
+        .select(
+            F.col("w.end").alias("window_end"), "driver_id", "sum_tips"
+        )
+    )
+    result = run_available_now(hourly, output_mode="complete")
+    # max across drivers per window (reference windowAll + maxBy)
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("window_end").orderBy(F.desc("sum_tips"), "driver_id")
+    top = (
+        result.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select("window_end", "driver_id", "sum_tips")
+    )
+    got = {(r.window_end, r.driver_id, r.sum_tips) for r in top.collect()}
+    assert got == {
+        (t0 + dt.timedelta(minutes=60), 1, 6.0),   # hour 1: driver 1, 1+5
+        (t0 + dt.timedelta(minutes=120), 2, 20.0), # hour 2: driver 2 beats 10
+    }

@@ -512,3 +512,49 @@ def test_asof_join_reference_golden_rates(spark):
         ("Yen", 50, 1, 50),
         ("Euro", 3, 116, 348),        # at 12:00:05 the new version applies
     }
+
+
+def test_match_recognize_ticker_golden(spark):
+    """Reference MATCH_RECOGNIZE golden (QueryTest.scala:942-1026;
+    expected match recorded at TableSQLFunc.scala:1561-1567): ACME
+    ticker, PATTERN (START_ROW PRICE_DOWN+ PRICE_UP) — one V-shape:
+    start 10:00:04 (price 25), bottom 10:00:07 (14), up 10:00:08 (24)."""
+    prices = [12, 17, 19, 21, 25, 18, 15, 14, 24, 25, 19]
+    base = dt.datetime(2021, 5, 11, 10, 0, 0)
+    df = spark.createDataFrame(
+        [("ACME", base + dt.timedelta(seconds=i), p) for i, p in enumerate(prices)],
+        "symbol string, rowtime timestamp, price long",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("symbol").orderBy("rowtime")
+    with_dir = df.withColumn(
+        "dir",
+        F.when(F.col("price") < F.lag("price").over(w), -1)
+        .when(F.col("price") > F.lag("price").over(w), 1)
+        .otherwise(0),
+    )
+    pat = cep.Pattern.begin("start", lambda r: True)
+    pat.next("down", lambda r: r["dir"] == -1).one_or_more()
+    pat.next("up", lambda r: r["dir"] == 1)
+
+    def measures(rows, b):
+        return {
+            "start_tmstp": rows.iloc[b["start"][0]]["rowtime"],
+            "bottom_tmstp": rows.iloc[b["down"][-1]]["rowtime"],
+            "end_tmstp": rows.iloc[b["up"][0]]["rowtime"],
+        }
+
+    out = cep.match_pattern(
+        with_dir, pat, key_cols=["symbol"], ts_col="rowtime",
+        measures=measures,
+        output_schema=(
+            "symbol string, start_tmstp timestamp, bottom_tmstp timestamp, "
+            "end_tmstp timestamp"
+        ),
+    ).collect()
+    assert len(out) == 1
+    m = out[0]
+    assert m.start_tmstp == base + dt.timedelta(seconds=4)
+    assert m.bottom_tmstp == base + dt.timedelta(seconds=7)
+    assert m.end_tmstp == base + dt.timedelta(seconds=8)

@@ -40,6 +40,25 @@ def main() -> None:
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = str(e).split("\n")[0][:200]
 
+    # streaming throughput: full events replay through watermark +
+    # tumbling window agg to a memory sink (reference generators cap at
+    # ~500 ev/s/source, BASELINE.md; this measures the engine's ceiling)
+    stream_eps = None
+    try:
+        from flink_demo_spark.catalog import load_table
+        from flink_demo_spark.sources.streams import events_stream
+        from flink_demo_spark.streaming.runner import run_available_now
+        from flink_demo_spark.streaming.windows import tumbling_agg
+
+        n_events = load_table(spark, SF_DIR, "events").count()
+        t0 = time.perf_counter()
+        run_available_now(
+            tumbling_agg(events_stream(spark, SF_DIR)), output_mode="complete"
+        )
+        stream_eps = round(n_events / (time.perf_counter() - t0))
+    except Exception:
+        pass
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline query wall time at sf (noop sink)",
@@ -48,6 +67,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
+    if stream_eps is not None:
+        out["stream_events_per_sec"] = stream_eps
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -558,3 +558,22 @@ def test_match_recognize_ticker_golden(spark):
     assert m.start_tmstp == base + dt.timedelta(seconds=4)
     assert m.bottom_tmstp == base + dt.timedelta(seconds=7)
     assert m.end_tmstp == base + dt.timedelta(seconds=8)
+
+
+def test_batch_lookup_broadcast_dict(spark, sf_dir):
+    """Vectorized dim lookup (reference DimAsyncFunction.java:119-160):
+    broadcast dict + one Series.map per Arrow batch."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.operators.lookup import batch_lookup
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    table = {"click": "CLICK!", "purchase": "BUY!"}
+    out = batch_lookup(
+        ev, "event_type", table, out_col="label", default="other"
+    )
+    got = {
+        r.event_type: r.label
+        for r in out.select("event_type", "label").distinct().collect()
+    }
+    assert got["click"] == "CLICK!" and got["purchase"] == "BUY!"
+    assert got["view"] == "other"

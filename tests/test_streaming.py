@@ -604,3 +604,30 @@ def test_hourly_tips_reference_golden(spark):
         (t0 + dt.timedelta(minutes=60), 1, 6.0),   # hour 1: driver 1, 1+5
         (t0 + dt.timedelta(minutes=120), 2, 20.0), # hour 2: driver 2 beats 10
     }
+
+
+def test_progress_collector_captures_metrics(spark, sf_dir):
+    """Metrics listener (reference Prometheus export MyClickEventCount.
+    java:142-184): per-batch rows + rates captured via
+    StreamingQueryListener."""
+    from flink_demo_spark.streaming.metrics import attach_progress_collector
+    from flink_demo_spark.sources.streams import events_stream
+
+    collector = attach_progress_collector(spark)
+    try:
+        agg = (
+            events_stream(spark, sf_dir, watermark=None)
+            .groupBy("event_type")
+            .count()
+        )
+        run_available_now(agg, output_mode="complete")
+        import time as _t
+
+        deadline = _t.time() + 15
+        while _t.time() < deadline and not collector.events:
+            _t.sleep(0.5)
+        evs = collector.events
+        assert evs, "listener captured no progress"
+        assert any((e["num_input_rows"] or 0) > 0 for e in evs)
+    finally:
+        spark.streams.removeListener(collector)

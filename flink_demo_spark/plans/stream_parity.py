@@ -263,3 +263,54 @@ def streaming_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(j.select("view_id", "click_id"), output_mode="append")
     return out.orderBy("view_id", "click_id")
+
+
+@query(
+    "streaming_hotitems_topn",
+    oracle="""
+    WITH per_window AS (
+      SELECT window_start, user_id, count(*) AS n_views
+      FROM (
+        SELECT time_bucket(INTERVAL 30 MINUTES, CAST(e.ts AS TIMESTAMP))
+                 - (o.off * INTERVAL 30 MINUTES) AS window_start,
+               e.user_id
+        FROM events e CROSS JOIN (VALUES (0), (1)) AS o(off)
+        WHERE e.event_type = 'view'
+      )
+      GROUP BY window_start, user_id
+    )
+    SELECT window_start, rk, user_id, n_views FROM (
+      SELECT window_start, user_id, n_views,
+             CAST(row_number() OVER (PARTITION BY window_start
+                                     ORDER BY n_views DESC, user_id) AS INT) AS rk
+      FROM per_window
+    ) WHERE rk <= 3
+    ORDER BY window_start, rk
+    """,
+    doc=(
+        "streaming HotItems (reference HotItems.scala:25-122, the "
+        "flagship app): sliding-window view counts in Structured "
+        "Streaming (complete mode), top-3 ranking on the emitted "
+        "result — the aggregate-then-rank split mirrors the reference's "
+        "AggregateFunction + TopN process function."
+    ),
+)
+def streaming_hotitems_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes").where(
+        F.col("event_type") == "view"
+    )
+    per_window = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_views")
+    )
+    emitted = run_available_now(per_window, output_mode="complete")
+    rk = Window.partitionBy("window_start").orderBy(F.desc("n_views"), "user_id")
+    return (
+        emitted.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= 3)
+        .select("window_start", "rk", "user_id", "n_views")
+        .orderBy("window_start", "rk")
+    )

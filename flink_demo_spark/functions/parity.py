@@ -77,7 +77,8 @@ FLINK_FUNCTION_MAP: dict[str, str | Callable[..., Column]] = {
     "similar_to": lambda s, p: (F.col(s) if isinstance(s, str) else s).rlike(p),
     "is_unknown": _is_unknown,
     "dayofmonth": "dayofmonth",
-    "dayofweek": lambda c: F.dayofweek(c) - 1,  # Flink: 0=Sunday
+    "dayofweek": "dayofweek",  # Flink/Calcite DAYOFWEEK is 1=Sunday..7, same as Spark
+    # (reference SqlFuncTest.scala:421 "sunday = 1")
     "dayofyear": "dayofyear",
     "timestampadd": lambda unit, n, ts: F.expr(f"timestampadd({unit}, {n}, {ts})"),
     "timestampdiff": lambda unit, a, b: F.expr(f"timestampdiff({unit}, {a}, {b})"),

@@ -45,7 +45,9 @@ def batch_lookup(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         table = bc.value
         for pdf in batches:
-            pdf[out_col] = pdf[key_col].map(table).fillna(default)
+            mapped = pdf[key_col].map(table)
+            # pandas fillna(None) raises ValueError — misses stay NaN/None
+            pdf[out_col] = mapped if default is None else mapped.fillna(default)
             yield pdf
 
     return df.mapInPandas(fn, out_schema)

@@ -76,12 +76,16 @@ def merge_upsert(
     MERGE INTO (Delta/Iceberg) or the JDBC upsert; the semantics and
     the per-batch idempotence contract are identical.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(target_path)
         keep = existing.join(batch_df.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = keep.unionByName(batch_df)
-    except Exception:  # first batch: target does not exist yet
+    except AnalysisException:  # first batch: target does not exist yet
         merged = batch_df
+    # any other exception (transient/corrupt read) propagates — treating
+    # it as "first batch" would silently overwrite the target
     # localCheckpoint breaks lineage so the rewrite does not read the
     # files it is about to overwrite
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)

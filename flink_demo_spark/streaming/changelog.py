@@ -37,10 +37,14 @@ def changelog_sink(
     def process(new_df: DataFrame, batch_id: int) -> None:
         new_df = new_df.localCheckpoint(eager=True)
         val_cols = [c for c in new_df.columns if c not in key_cols]
+        from pyspark.errors import AnalysisException
+
         try:
             old = spark.read.parquet(target_path)
-        except Exception:
+        except AnalysisException:  # first batch: target not created yet
             old = None
+        # other errors propagate — a transient read failure must not be
+        # mistaken for "first batch" (would relabel everything +I)
 
         if old is None:
             changes = new_df.select(

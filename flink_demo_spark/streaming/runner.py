@@ -30,7 +30,12 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within "
+                f"{timeout_sec}s; memory table would be truncated"
+            )
     finally:
         if q.isActive:
             q.stop()

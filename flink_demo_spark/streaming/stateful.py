@@ -78,6 +78,7 @@ def timeout_detector(
             return
 
         start_ms, has_end = (state.get if state.exists else (None, 0))
+        end_ms = None
         for pdf in pdfs:
             for _, row in pdf.iterrows():
                 ms = int(pd.Timestamp(row[ts_col]).value // 1_000_000)
@@ -85,10 +86,20 @@ def timeout_detector(
                     start_ms = ms if start_ms is None else min(start_ms, ms)
                 else:
                     has_end = 1
-        if has_end:
+                    end_ms = ms if end_ms is None else max(end_ms, ms)
+        if has_end and start_ms is not None:
             # matched: clear state, no alert
             if state.exists:
                 state.remove()
+        elif has_end:
+            # END arrived in a batch before its START (out-of-order):
+            # store (None, 1) so the later START matches instead of
+            # raising a false alert — reference LongRidesSolution.scala
+            # :33-44 stores whichever side arrives first. The timeout
+            # here only GC's orphan state; the timed-out branch never
+            # alerts when has_end is set.
+            state.update((None, 1))
+            state.setTimeoutTimestamp(end_ms + horizon_ms)
         elif start_ms is not None:
             state.update((start_ms, has_end))
             state.setTimeoutTimestamp(start_ms + horizon_ms)

@@ -49,8 +49,9 @@ def test_position(one_row):
 
 
 def test_dayofweek_flink_convention(one_row):
-    # 2024-06-15 is a Saturday: Flink dayofweek is 0=Sunday..6 -> 6
-    assert _val(one_row, flink_fn("dayofweek", F.col("ts"))) == 6
+    # 2024-06-15 is a Saturday: Flink/Calcite DAYOFWEEK is 1=Sunday..7 -> 7
+    # (reference SqlFuncTest.scala:421 "sunday = 1"), identical to Spark.
+    assert _val(one_row, flink_fn("dayofweek", F.col("ts"))) == 7
 
 
 def test_rand_integer_bounds(spark):

@@ -577,3 +577,18 @@ def test_batch_lookup_broadcast_dict(spark, sf_dir):
     }
     assert got["click"] == "CLICK!" and got["purchase"] == "BUY!"
     assert got["view"] == "other"
+
+
+def test_batch_lookup_default_none_keeps_nulls(spark, sf_dir):
+    """default=None must not crash pandas fillna; misses stay NULL."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.operators.lookup import batch_lookup
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    out = batch_lookup(ev, "event_type", {"click": "CLICK!"}, out_col="label")
+    got = {
+        r.event_type: r.label
+        for r in out.select("event_type", "label").distinct().collect()
+    }
+    assert got["click"] == "CLICK!"
+    assert got["view"] is None

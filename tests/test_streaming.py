@@ -65,6 +65,53 @@ def test_timeout_detector_emits_alert_for_unmatched_start(spark):
     assert 2 not in alerts
 
 
+def _mem_stream_batches(spark, batches, schema):
+    """File-backed stream where each element of ``batches`` arrives as
+    its own micro-batch (one file per batch + maxFilesPerTrigger=1)."""
+    import os, tempfile, time, uuid
+
+    d = tempfile.mkdtemp(prefix=f"memstream_{uuid.uuid4().hex[:6]}_")
+    df0 = spark.createDataFrame(batches[0], schema)
+    for i, rows in enumerate(batches):
+        sub = os.path.join(d, f"b{i}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+    return (
+        spark.readStream.schema(df0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "b*.parquet"))
+    )
+
+
+def test_timeout_detector_end_before_start(spark):
+    """An 'end' arriving in an earlier micro-batch than its 'start'
+    must match (no false alert) — reference LongRidesSolution.scala:
+    33-44 stores whichever side arrives first."""
+    t0 = dt.datetime(2024, 1, 1)
+    batch1 = [
+        (5, t0 + dt.timedelta(minutes=30), "end"),  # end first (out of order)
+        (6, t0, "start"),  # never ends -> alert
+    ]
+    batch2 = [
+        (5, t0, "start"),  # its end already arrived -> matched
+        # far-future pair advances the watermark past every horizon
+        (99, t0 + dt.timedelta(hours=10), "start"),
+        (99, t0 + dt.timedelta(hours=10, minutes=1), "end"),
+    ]
+    stream = _mem_stream_batches(
+        spark, [batch1, batch2], "key long, ts timestamp, side string"
+    ).withWatermark("ts", "1 second")
+    out = run_available_now(
+        timeout_detector(stream, horizon_ms=2 * 3600 * 1000),
+        output_mode="append",
+    )
+    alerts = {r.key for r in out.collect()}
+    assert 5 not in alerts, "end-before-start must not raise a false timeout"
+    assert 6 in alerts
+
+
 def test_buffered_enrichment_join_pairs_both_sides(spark):
     """RidesAndFares (RidesAndFaresSolution.scala:19-70): pair ride and
     fare per rideId whichever arrives first."""

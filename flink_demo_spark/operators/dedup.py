@@ -62,39 +62,44 @@ def jaccard_pairs(
     shingles) or switch to prefix filtering (AllPairs/PPJoin) for an
     exact result without the quadratic head.
     """
-    # no cache: recomputing the shingle scan is cheaper than
-    # materializing it, and holds no executor memory at scale
-    sh = shingle_table(df, text_col, id_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Each exploded row carries the doc's shingle-set size, so the
+    # posting-list pairs already hold (n1, n2) — no size-table joins,
+    # ONE scan of the corpus and two shuffles total.
+    arr = df.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh")
+    )
+    sh = arr.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
     posting = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    # ids sorted ascending -> emit (ids[i], ids[j]) for i < j: doc1 < doc2
+    # ids sorted by doc_id -> emit (ids[i], ids[j]) for i < j: doc1 < doc2
     pair = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
                 F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc1"),
+                    x["n"].alias("n1"),
+                    y["doc_id"].alias("doc2"),
+                    y["n"].alias("n2"),
+                ),
             ),
         )
     )
     common = (
         posting.select(F.explode(pair).alias("p"))
-        .select("p.doc1", "p.doc2")
-        .groupBy("doc1", "doc2")
+        .select("p.doc1", "p.n1", "p.doc2", "p.n2")
+        .groupBy("doc1", "doc2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    n1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
-    n2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
-        common.join(n1, "doc1")
-        .join(n2, "doc2")
-        .where(jac >= threshold)
-        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
+    return common.where(jac >= threshold).select(
+        "doc1", "doc2", F.round(jac, 4).alias("jaccard")
     )
 
 

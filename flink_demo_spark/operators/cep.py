@@ -6,12 +6,22 @@ feature tests) and SQL MATCH_RECOGNIZE (``QueryTest.scala:942-1026``,
 implements the subset the reference actually uses:
 
 - a pattern of named steps, each a row predicate;
-- contiguity per step: ``next`` (strictly consecutive) or
-  ``followed_by`` (relaxed — skip non-matching events);
-- quantifiers: ``times(n)``, ``one_or_more`` (greedy);
+- contiguity per step: ``next`` (strictly consecutive),
+  ``followed_by`` (skip-till-next-match), or ``followed_by_any``
+  (skip-till-ANY-match, branch per occurrence — CEPDemo.scala:674);
+- quantifiers: ``times(n)`` / ``times(n, m)`` / ``times_or_more`` /
+  ``one_or_more``, greedy or ``reluctant()``; loop contiguity
+  ``consecutive`` (default) / ``relaxed()`` / ``allow_combinations()``
+  (CEPDemo.scala:211-246);
+- pattern groups (``begin_group``/``next_group``/``followed_by_group``
+  — CEPDemo.scala:740);
 - ``within`` horizon from first to last matched event;
 - skip strategy after a match: ``skip_past_last_event`` (the
-  reference's default choice for its applied patterns).
+  reference's default choice for its applied patterns) or
+  ``skip_to_next``; ``match_pattern_all`` is Flink's NO_SKIP default
+  (every anchor, every branch);
+- timeout side-output for expired partial matches
+  (``match_pattern_with_timeouts`` — TimeoutMatchByCep.scala:10-19).
 
 Execution model (batch): events are grouped per key, sorted by event
 time, and an NFA runs inside ``applyInPandas`` — one shuffle on the
@@ -41,13 +51,19 @@ Predicate = Callable[[pd.Series], bool]
 @dataclass(frozen=True)
 class Step:
     name: str
-    predicate: Predicate
-    contiguity: str = "followed_by"  # or "next"
+    predicate: Predicate | None
+    contiguity: str = "followed_by"  # 'next' | 'followed_by' | 'followed_by_any'
     min_times: int = 1
     max_times: int | None = 1  # None = unbounded (one_or_more when min=1)
     optional: bool = False  # CEP .optional() (CEPDemo.scala:344)
     negated: bool = False  # notNext/notFollowedBy (CEPDemo.scala:566, 640)
     greedy: bool = True  # quantifier preference; False = reluctant B+? (CEPDemo greedy:265)
+    # loop contiguity for quantified steps (CEPDemo.scala:180-246):
+    # 'consecutive' (.consecutive()), 'relaxed' (Flink default: later
+    # repeats skip non-matching events), 'combinations'
+    # (.allowCombinations(): any subset of later matching events)
+    loop: str = "consecutive"
+    group: "Pattern | None" = None  # pattern group (CEPDemo.scala:740)
 
     def replace(self, **kw) -> "Step":
         from dataclasses import replace as _replace
@@ -81,14 +97,46 @@ class Pattern:
         self.steps.append(Step(name, predicate, contiguity="followed_by"))
         return self
 
-    def times(self, n: int) -> "Pattern":
+    def followed_by_any(self, name: str, predicate: Predicate) -> "Pattern":
+        """Skip-till-ANY-match: branch at every later event satisfying
+        the predicate, not just the first (CEP .followedByAny,
+        CEPDemo.scala:674-704 — 'a followByAny c -> (a,c), (a,c)').
+        Branches beyond the first are emitted by ``match_pattern_all``."""
+        self.steps.append(Step(name, predicate, contiguity="followed_by_any"))
+        return self
+
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        """Exactly n repeats, or n..m when ``m`` is given
+        (CEP .times(n) / .times(from, to), CEPDemo.scala:211)."""
         s = self.steps[-1]
-        self.steps[-1] = Step(s.name, s.predicate, s.contiguity, n, n)
+        self.steps[-1] = s.replace(min_times=n, max_times=m if m is not None else n)
+        return self
+
+    def times_or_more(self, n: int) -> "Pattern":
+        """n or more repeats (CEP .timesOrMore, CEPDemo.scala:211)."""
+        s = self.steps[-1]
+        self.steps[-1] = s.replace(min_times=n, max_times=None)
         return self
 
     def one_or_more(self) -> "Pattern":
         s = self.steps[-1]
-        self.steps[-1] = Step(s.name, s.predicate, s.contiguity, 1, None)
+        self.steps[-1] = s.replace(min_times=1, max_times=None)
+        return self
+
+    def relaxed(self) -> "Pattern":
+        """Relaxed loop contiguity for the last quantified step: later
+        repeats skip non-matching events (Flink's default for times/
+        oneOrMore; this library defaults to consecutive())."""
+        self.steps[-1] = self.steps[-1].replace(loop="relaxed")
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """Loop repeats may be ANY subset of later matching events,
+        with other events interleaved (CEP .allowCombinations,
+        CEPDemo.scala:211-246: times(2) over matches at t1<t2<t3 yields
+        {t1,t2}, {t1,t3}, {t2,t3}). All subsets are emitted by
+        ``match_pattern_all``."""
+        self.steps[-1] = self.steps[-1].replace(loop="combinations")
         return self
 
     def optional(self) -> "Pattern":
@@ -164,17 +212,35 @@ class Pattern:
         self.within = pd.Timedelta(duration)
         return self
 
+    # -- pattern groups (CEP Pattern.begin(Pattern), CEPDemo.scala:740) --
 
-def _match_from(
-    rows: pd.DataFrame, start: int, pattern: Pattern, ts_col: str
-) -> tuple[int, dict[str, list[int]]] | None:
-    """Try to match the full pattern anchored at row ``start``.
+    @staticmethod
+    def begin_group(sub: "Pattern", name: str = "group") -> "Pattern":
+        """Start with a pattern group; quantify it with .times()/
+        .one_or_more() (greedy does not apply to groups, as in Flink).
+        Repeats follow relaxed contiguity (Flink's group default)."""
+        return Pattern(steps=[Step(name, None, "followed_by", group=sub)])
+
+    def next_group(self, sub: "Pattern", name: str = "group") -> "Pattern":
+        """Group whose first repeat starts strictly at the next event."""
+        self.steps.append(Step(name, None, "next", group=sub))
+        return self
+
+    def followed_by_group(self, sub: "Pattern", name: str = "group") -> "Pattern":
+        self.steps.append(Step(name, None, "followed_by", group=sub))
+        return self
+
+
+def _iter_matches_from(rows: pd.DataFrame, start: int, pattern: Pattern, ts_col: str):
+    """Yield every (end_index_exclusive, {step: [row indices]}) solution
+    of the pattern anchored at row ``start``.
 
     Backtracking matcher: quantified steps try repeat counts greedily
-    (max->min) or reluctantly (min->max, ``reluctant()``); if the rest
-    of the pattern cannot match, the quantifier backtracks — standard
-    regex/MATCH_RECOGNIZE semantics, which a purely-greedy linear scan
-    would miss. Returns (end_index_exclusive, {step: [row indices]}).
+    (max->min) or reluctantly (min->max, ``reluctant()``); branch
+    points — repeat counts, ``followed_by_any`` occurrences,
+    ``allow_combinations`` subsets, group repeats — are enumerated in
+    preference order, so the FIRST yielded solution is the single-match
+    semantics and the full stream is Flink's NO_SKIP emission.
     """
     n = len(rows)
     steps = pattern.steps
@@ -185,47 +251,55 @@ def _match_from(
             return True
         return rows.iloc[j][ts_col] - t0 <= pattern.within
 
-    def solve(
-        si: int, i: int, pending_neg: tuple[Step, ...], bindings: dict
-    ) -> tuple[int, dict[str, list[int]]] | None:
-        if si == len(steps):
-            return i, dict(bindings)
-        step = steps[si]
+    def until_hit(j: int) -> bool:
+        return pattern.until_pred is not None and pattern.until_pred(rows.iloc[j])
 
-        if step.negated:
-            if step.contiguity == "next":
-                # notNext: the immediately following event must not match
-                if i < n and in_horizon(i) and step.predicate(rows.iloc[i]):
-                    return None
-                bindings[step.name] = []
-                return solve(si + 1, i, pending_neg, bindings)
-            # notFollowedBy: forbidden until the next positive step
-            # matches (trailing negation unsupported, as in Flink)
-            bindings[step.name] = []
-            return solve(si + 1, i, pending_neg + (step,), bindings)
-
-        # find the first occurrence (followed_by skips only
-        # NON-matching rows — followedByAny would branch here)
-        found = -1
+    def candidates_for(step: Step, i: int, anchored: bool, pending_neg):
+        """Start positions for a positive step. followed_by stops at the
+        first match; followed_by_any collects every match (later ones
+        are cut off once a pending notFollowedBy event occurs)."""
+        out: list[int] = []
         j = i
         while j < n and in_horizon(j):
             row = rows.iloc[j]
             if step.predicate(row):
-                found = j
+                out.append(j)
+                if step.contiguity != "followed_by_any":
+                    break
+            elif any(neg.predicate(row) for neg in pending_neg):
+                break  # forbidden event: no candidates past this point
+            if step.contiguity == "next" or anchored:
                 break
-            if any(neg.predicate(row) for neg in pending_neg):
-                return None  # a forbidden event occurred first
-            if step.contiguity == "next" or si == 0:
-                break  # strict position (or anchor) failed
             j += 1
-        if found < 0:
-            if step.optional:
-                bindings[step.name] = []
-                return solve(si + 1, i, pending_neg, bindings)
-            return None
+        return out
 
-        # maximal consecutive run from `found` (Flink consecutive()
-        # quantifier); `until` stops expansion without consuming
+    def expand_quantifier(step: Step, found: int):
+        """Yield index lists for the loop anchored at ``found``, in
+        preference order. Loop contiguity: consecutive (default, Flink
+        .consecutive()), relaxed (skip non-matching between repeats),
+        combinations (.allowCombinations(): any subset of later
+        matches). ``until`` stops expansion without consuming."""
+        if step.loop == "combinations":
+            from itertools import combinations as _combos
+
+            later: list[int] = []
+            j = found + 1
+            while j < n and in_horizon(j):
+                if until_hit(j):
+                    break
+                if step.predicate(rows.iloc[j]):
+                    later.append(j)
+                j += 1
+            max_extra = (
+                len(later) if step.max_times is None else step.max_times - 1
+            )
+            extras = [
+                c for c in range(max(step.min_times - 1, 0), max_extra + 1)
+            ]
+            for c in (reversed(extras) if step.greedy else extras):
+                for combo in _combos(later, c):
+                    yield [found, *combo]
+            return
         run = [found]
         j = found + 1
         while (
@@ -233,27 +307,113 @@ def _match_from(
             and j < n
             and in_horizon(j)
         ):
-            row = rows.iloc[j]
-            if pattern.until_pred is not None and pattern.until_pred(row):
+            if until_hit(j):
                 break
-            if not step.predicate(row):
+            if step.predicate(rows.iloc[j]):
+                run.append(j)
+                j += 1
+            elif step.loop == "relaxed":
+                j += 1  # relaxed: later repeats skip non-matching events
+            else:
                 break
-            run.append(j)
-            j += 1
-        if len(run) >= step.min_times:
-            counts = range(step.min_times, len(run) + 1)
-            for c in (reversed(counts) if step.greedy else counts):
-                taken = run[:c]
+        counts = range(step.min_times, len(run) + 1)
+        for c in (reversed(counts) if step.greedy else counts):
+            yield run[:c]
+
+    def solve_group(step: Step, i: int, anchored: bool, bindings: dict):
+        """Yield end positions after matching the group min..max times.
+        Repeats follow relaxed contiguity (Flink's group semantics;
+        greedy does not apply). Inner bindings accumulate across
+        repeats. Counts are enumerated ascending."""
+        sub = step.group
+        for s in sub.steps:
+            if s.negated or s.optional or s.group is not None:
+                raise NotImplementedError(
+                    "negated/optional/nested steps inside pattern groups"
+                )
+
+        def one_rep(pos: int, first_rep: bool):
+            """Yield end positions of a single group repetition
+            starting its search at pos, restoring bindings after."""
+
+            def sub_solve(ki: int, p: int):
+                if ki == len(sub.steps):
+                    yield p
+                    return
+                st = sub.steps[ki]
+                anchor_here = ki == 0 and first_rep and anchored
+                strict = st.contiguity == "next" or (
+                    ki == 0 and first_rep and step.contiguity == "next"
+                )
+                eff = st.replace(contiguity="next") if strict else st
+                for found in candidates_for(eff, p, anchor_here, ()):
+                    for taken in expand_quantifier(st, found):
+                        prev = bindings.get(st.name)
+                        bindings[st.name] = (prev or []) + taken
+                        yield from sub_solve(ki + 1, taken[-1] + 1)
+                        if prev is None:
+                            del bindings[st.name]
+                        else:
+                            bindings[st.name] = prev
+
+            yield from sub_solve(0, pos)
+
+        def go(reps_done: int, pos: int):
+            if reps_done >= step.min_times:
+                yield pos
+            if step.max_times is not None and reps_done == step.max_times:
+                return
+            for end in one_rep(pos, reps_done == 0):
+                yield from go(reps_done + 1, end)
+
+        yield from go(0, i)
+
+    def solve(si: int, i: int, pending_neg: tuple[Step, ...], bindings: dict):
+        if si == len(steps):
+            yield i, {k: list(v) for k, v in bindings.items()}
+            return
+        step = steps[si]
+
+        if step.negated:
+            if step.contiguity == "next":
+                # notNext: the immediately following event must not match
+                if i < n and in_horizon(i) and step.predicate(rows.iloc[i]):
+                    return
+                bindings[step.name] = []
+                yield from solve(si + 1, i, pending_neg, bindings)
+                del bindings[step.name]
+                return
+            # notFollowedBy: forbidden until the next positive step
+            # matches (trailing negation unsupported, as in Flink)
+            bindings[step.name] = []
+            yield from solve(si + 1, i, pending_neg + (step,), bindings)
+            del bindings[step.name]
+            return
+
+        if step.group is not None:
+            for end in solve_group(step, i, si == 0, bindings):
+                yield from solve(si + 1, end, (), bindings)
+            return
+
+        found_list = candidates_for(step, i, si == 0, pending_neg)
+        for found in found_list:
+            for taken in expand_quantifier(step, found):
                 bindings[step.name] = taken
-                res = solve(si + 1, taken[-1] + 1, (), bindings)
-                if res is not None:
-                    return res
+                yield from solve(si + 1, taken[-1] + 1, (), bindings)
+                del bindings[step.name]
         if step.optional:
             bindings[step.name] = []
-            return solve(si + 1, i, pending_neg, bindings)
-        return None
+            yield from solve(si + 1, i, pending_neg, bindings)
+            del bindings[step.name]
 
-    return solve(0, start, (), {})
+    yield from solve(0, start, (), {})
+
+
+def _match_from(
+    rows: pd.DataFrame, start: int, pattern: Pattern, ts_col: str
+) -> tuple[int, dict[str, list[int]]] | None:
+    """First (preferred) match anchored at ``start``, or None."""
+    return next(iter(_iter_matches_from(rows, start, pattern, ts_col)), None)
 
 
 def match_pattern(
@@ -296,6 +456,149 @@ def match_pattern(
                 start = anchor + 1  # overlapping matches allowed
             else:
                 start = end  # skip past last event
+        if not out:
+            return pd.DataFrame(columns=out_columns)
+        return pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandas(run, output_schema)
+
+
+def match_pattern_all(
+    df: DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str,
+    measures: Callable[[pd.DataFrame, dict[str, list[int]]], dict],
+    output_schema: StructType | str,
+) -> DataFrame:
+    """Flink NO_SKIP emission (CEP's default AfterMatchSkipStrategy):
+    every anchor emits EVERY solution — all followedByAny branches
+    (CEPDemo.scala:674-704), all allowCombinations subsets
+    (CEPDemo.scala:211-246), all non-greedy repeat counts. Use
+    ``match_pattern`` for the consuming skip strategies."""
+    out_columns = [f.name for f in _schema_fields(output_schema)]
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.sort_values([ts_col]).reset_index(drop=True)
+        out: list[dict] = []
+        for anchor in range(len(rows)):
+            for _end, bindings in _iter_matches_from(rows, anchor, pattern, ts_col):
+                rec = measures(rows, bindings)
+                for k in key_cols:
+                    rec.setdefault(k, rows.iloc[0][k])
+                out.append(rec)
+        if not out:
+            return pd.DataFrame(columns=out_columns)
+        return pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandas(run, output_schema)
+
+
+def _partial_bindings(
+    rows: pd.DataFrame, start: int, pattern: Pattern, ts_col: str
+) -> dict[str, list[int]] | None:
+    """Greedy prefix walk for timeout reporting: bind steps until one
+    cannot match. Returns None when the partial dies instantly instead
+    of timing out (strict-``next`` mismatch kills the NFA branch with
+    no timeout, as in Flink) or when the pattern actually completes."""
+    n = len(rows)
+    t0 = rows.iloc[start][ts_col]
+    bindings: dict[str, list[int]] = {}
+    i = start
+    for si, step in enumerate(pattern.steps):
+        if step.negated or step.group is not None:
+            bindings[step.name] = []
+            continue
+        found = -1
+        j = i
+        while j < n:
+            if pattern.within is not None and (
+                rows.iloc[j][ts_col] - t0 > pattern.within
+            ):
+                break
+            if step.predicate(rows.iloc[j]):
+                found = j
+                break
+            if step.contiguity == "next" or si == 0:
+                break
+            j += 1
+        if found < 0:
+            if step.optional:
+                bindings[step.name] = []
+                continue
+            if step.contiguity == "next" and si > 0:
+                return None  # branch died immediately — no timeout
+            return bindings if bindings else None
+        run = [found]
+        j = found + 1
+        while (
+            (step.max_times is None or len(run) < step.max_times)
+            and j < n
+            and step.predicate(rows.iloc[j])
+        ):
+            run.append(j)
+            j += 1
+        if len(run) < step.min_times:
+            return bindings if bindings else None
+        bindings[step.name] = run
+        i = run[-1] + 1
+    return None  # completed — not a timeout
+
+
+def match_pattern_with_timeouts(
+    df: DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str,
+    measures: Callable[[pd.DataFrame, dict[str, list[int]]], dict],
+    timeout_measures: Callable[[pd.DataFrame, dict[str, list[int]]], dict],
+    output_schema: StructType | str,
+) -> DataFrame:
+    """Match with a timeout side-output (Flink
+    ``PatternFlatTimeoutFunction``, reference TimeoutMatchByCep.scala:
+    10-19 / OrderPay.scala:31-53): anchors that begin a partial match
+    but cannot complete within ``pattern.within`` emit a row built by
+    ``timeout_measures`` with ``is_timeout=true``; completed matches
+    emit ``measures`` rows with ``is_timeout=false``. One DataFrame
+    with an ``is_timeout`` flag is the Spark shape of a side output —
+    filter to split (same pattern as operators/streams_util.py).
+
+    ``output_schema`` must contain an ``is_timeout boolean`` field.
+    Requires ``pattern.within``; a partial that merely dies on a
+    strict-``next`` mismatch emits nothing, matching Flink.
+    """
+    if pattern.within is None:
+        raise ValueError("timeout output requires pattern.within_time(...)")
+    out_columns = [f.name for f in _schema_fields(output_schema)]
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.sort_values([ts_col]).reset_index(drop=True)
+        out: list[dict] = []
+        start = 0
+        n = len(rows)
+        while start < n:
+            m = None
+            anchor = start
+            for anchor in range(start, n):
+                m = _match_from(rows, anchor, pattern, ts_col)
+                if m is not None:
+                    break
+                partial = _partial_bindings(rows, anchor, pattern, ts_col)
+                if partial:
+                    rec = timeout_measures(rows, partial)
+                    rec["is_timeout"] = True
+                    for k in key_cols:
+                        rec.setdefault(k, rows.iloc[0][k])
+                    out.append(rec)
+            if m is None:
+                break
+            end, bindings = m
+            rec = measures(rows, bindings)
+            rec["is_timeout"] = False
+            for k in key_cols:
+                rec.setdefault(k, rows.iloc[0][k])
+            out.append(rec)
+            start = anchor + 1 if pattern.after_match == "skip_to_next" else end
         if not out:
             return pd.DataFrame(columns=out_columns)
         return pd.DataFrame(out)

@@ -288,6 +288,41 @@ def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_order_timeout",
+    oracle=None,  # sequential skip-past-last consumption not SQL-expressible
+    doc=(
+        "CEP timeout side-output (reference TimeoutMatchByCep.scala:10-19, "
+        "OrderPay.scala:31-53): signup followedBy purchase within 7 days "
+        "per user; completed pairs emit status=success, expired partials "
+        "emit status=timeout with the anchoring signup — one DataFrame "
+        "with an is_timeout flag (the Spark shape of a side output)."
+    ),
+)
+def cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    pat = (
+        cep.Pattern.begin("begin", lambda r: r["event_type"] == "signup")
+        .followed_by("follow", lambda r: r["event_type"] == "purchase")
+        .within_time("7D")
+    )
+
+    def ok(rows, b):
+        return {"anchor_id": int(rows.iloc[b["begin"][0]]["event_id"]),
+                "status": "success"}
+
+    def timed_out(rows, b):
+        return {"anchor_id": int(rows.iloc[b["begin"][0]]["event_id"]),
+                "status": "timeout"}
+
+    return cep.match_pattern_with_timeouts(
+        ev, pat, ["user_id"], "ts", ok, timed_out,
+        "user_id long, anchor_id long, status string, is_timeout boolean",
+    ).orderBy("anchor_id")
+
+
+@query(
     "cep_v_pattern",
     oracle=None,  # NFA skip-past-last-event semantics not SQL-expressible
     doc=(

@@ -592,3 +592,157 @@ def test_batch_lookup_default_none_keeps_nulls(spark, sf_dir):
     }
     assert got["click"] == "CLICK!"
     assert got["view"] is None
+
+
+def _sensor_df(spark, rows):
+    """(sensor_id, ts_ms) events on one logical stream (key=0)."""
+    return spark.createDataFrame(
+        [
+            (0, sid, dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=ms))
+            for sid, ms in rows
+        ],
+        "k long, sensor string, ts timestamp",
+    )
+
+
+def test_cep_followed_by_any_reference_golden(spark):
+    """followedByAny branches at every later match (CEPDemo.scala:
+    674-704 golden: 4 matches). sensor_2's first event is shifted
+    +500ms off the reference's tie so event order is deterministic."""
+    df = _sensor_df(
+        spark,
+        [("sensor_1", 92000), ("sensor_2", 92500), ("sensor_1", 94000),
+         ("sensor_1", 96000), ("sensor_2", 99000)],
+    )
+    pat = cep.Pattern.begin(
+        "first", lambda r: r["sensor"] == "sensor_1"
+    ).followed_by_any("third", lambda r: r["sensor"] == "sensor_2")
+
+    def measures(rows_df, b):
+        return {
+            "first_ts": rows_df.iloc[b["first"][0]]["ts"],
+            "third_ts": rows_df.iloc[b["third"][0]]["ts"],
+        }
+
+    out = cep.match_pattern_all(
+        df, pat, ["k"], "ts", measures,
+        "k long, first_ts timestamp, third_ts timestamp",
+    ).collect()
+    got = sorted((r.first_ts.second, r.third_ts.second) for r in out)
+    assert got == [(32, 32), (32, 39), (34, 39), (36, 39)]
+
+
+def test_cep_allow_combinations_reference_golden(spark):
+    """times(2).allowCombinations() emits every 2-subset anchored at
+    each match (CEPDemo.scala:211-246 golden: {92,94} {92,96} {94,96})."""
+    df = _sensor_df(
+        spark,
+        [("sensor_1", 92000), ("sensor_2", 93000), ("sensor_1", 94000),
+         ("sensor_1", 96000), ("sensor_2", 99000)],
+    )
+    pat = (
+        cep.Pattern.begin("first", lambda r: r["sensor"] == "sensor_1")
+        .times(2)
+        .allow_combinations()
+    )
+
+    def measures(rows_df, b):
+        return {
+            "t1": rows_df.iloc[b["first"][0]]["ts"],
+            "t2": rows_df.iloc[b["first"][1]]["ts"],
+        }
+
+    out = cep.match_pattern_all(
+        df, pat, ["k"], "ts", measures, "k long, t1 timestamp, t2 timestamp"
+    ).collect()
+    got = sorted((r.t1.second, r.t2.second) for r in out)
+    assert got == [(32, 34), (32, 36), (34, 36)]
+
+
+def test_cep_pattern_group_reference_golden(spark):
+    """Pattern group (2×sensor_1, relaxed) then strictly-next sensor_2
+    (CEPDemo.scala:740 golden: start=[94, 96], second=[99])."""
+    df = _sensor_df(
+        spark,
+        [("sensor_1", 92000), ("sensor_2", 93000), ("sensor_1", 94000),
+         ("sensor_1", 96000), ("sensor_2", 99000)],
+    )
+    sub = (
+        cep.Pattern.begin("start", lambda r: r["sensor"] == "sensor_1")
+        .times(2)
+        .relaxed()
+    )
+    pat = cep.Pattern.begin_group(sub).next(
+        "second", lambda r: r["sensor"] == "sensor_2"
+    )
+
+    def measures(rows_df, b):
+        return {
+            "s1": rows_df.iloc[b["start"][0]]["ts"],
+            "s2": rows_df.iloc[b["start"][1]]["ts"],
+            "sec": rows_df.iloc[b["second"][0]]["ts"],
+        }
+
+    out = cep.match_pattern_all(
+        df, pat, ["k"], "ts", measures,
+        "k long, s1 timestamp, s2 timestamp, sec timestamp",
+    ).collect()
+    got = sorted((r.s1.second, r.s2.second, r.sec.second) for r in out)
+    assert got == [(34, 36, 39)]
+
+
+def test_cep_timeout_side_output(spark):
+    """create->pay within 15min; unpaid orders go to the timeout side
+    output (reference TimeoutMatchByCep.scala:10-19, OrderPay.scala:
+    31-53: success for paid, 'timeout' with the create event for not)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "create", t0), (1, "pay", t0 + dt.timedelta(minutes=10)),
+        (2, "create", t0),  # never paid -> timeout
+        (3, "pay", t0),     # pay without create -> nothing
+    ]
+    df = spark.createDataFrame(rows, "order_id long, etype string, ts timestamp")
+    pat = (
+        cep.Pattern.begin("begin", lambda r: r["etype"] == "create")
+        .followed_by("follow", lambda r: r["etype"] == "pay")
+        .within_time("15min")
+    )
+
+    def ok(rows_df, b):
+        return {"status": "success"}
+
+    def timed_out(rows_df, b):
+        assert b.get("begin"), "timeout must carry the partial begin event"
+        return {"status": "timeout"}
+
+    out = cep.match_pattern_with_timeouts(
+        df, pat, ["order_id"], "ts", ok, timed_out,
+        "order_id long, status string, is_timeout boolean",
+    ).collect()
+    got = {(r.order_id, r.status, r.is_timeout) for r in out}
+    assert got == {(1, "success", False), (2, "timeout", True)}
+
+
+def test_cep_times_range_and_times_or_more(spark):
+    """times(n, m) enumerates all counts under NO_SKIP when not greedy
+    (CEPDemo.scala greedy golden: non-greedy emits [92],[93],[92,93])."""
+    df = _sensor_df(
+        spark,
+        [("sensor_1", 92000), ("sensor_1", 93000), ("sensor_2", 94000)],
+    )
+    pat = (
+        cep.Pattern.begin("first", lambda r: r["sensor"] == "sensor_1")
+        .times(1, 2)
+        .reluctant()
+        .followed_by("second", lambda r: r["sensor"] == "sensor_2")
+    )
+
+    def measures(rows_df, b):
+        return {"n_first": len(b["first"]), "t1": rows_df.iloc[b["first"][0]]["ts"]}
+
+    out = cep.match_pattern_all(
+        df, pat, ["k"], "ts", measures, "k long, n_first long, t1 timestamp"
+    ).collect()
+    got = sorted((r.t1.second, r.n_first) for r in out)
+    # anchor@92: counts 1 and 2; anchor@93: count 1
+    assert got == [(32, 1), (32, 2), (33, 1)]

@@ -314,3 +314,89 @@ def streaming_hotitems_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "rk", "user_id", "n_views")
         .orderBy("window_start", "rk")
     )
+
+
+@query(
+    "streaming_uv_per_element",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (
+               PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)), user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+      FROM events
+    )
+    SELECT window_start, event_id,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY window_start ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS uv
+    FROM e
+    ORDER BY window_start, event_id
+    """,
+    doc=(
+        "per-element-trigger UV (reference UvTriggerByElement.scala:9-17 "
+        "FIRE per element + UvCountWithBloomByWindow.scala:19-40): one "
+        "updated distinct-user count per arriving event, keyed by hourly "
+        "window, seen-set in group state; equals the running-UV oracle."
+    ),
+)
+def streaming_uv_per_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import per_element_uv
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes").select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_id",
+        "user_id",
+        "ts",
+    )
+    out = run_available_now(per_element_uv(ev), output_mode="append")
+    return out.orderBy("window_start", "event_id")
+
+
+@query(
+    "streaming_triggered_agg",
+    oracle="""
+    WITH running AS (
+      SELECT user_id, event_id, value,
+             count(*) OVER w AS n_events,
+             sum(CAST(value AS DECIMAL(18,4))) OVER w AS sum_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id AS key, event_id, n_events,
+           round(CAST(sum_v AS DOUBLE), 2) AS sum_value
+    FROM running WHERE value > 400
+    ORDER BY key, event_id
+    """,
+    doc=(
+        "GlobalWindows + custom element trigger (reference "
+        "GlobalWindowsApp.scala:17-33 MarksTrigger): running per-user "
+        "reduce that FIREs the current (count, sum) whenever the "
+        "incoming element's value exceeds the threshold; never purged. "
+        "Exact decimal(18,4) fixed-point state; equals the running "
+        "window-frame oracle."
+    ),
+)
+def streaming_triggered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import triggered_global_agg
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes").select(
+        F.col("user_id").alias("key"),
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("v4"),
+    )
+    fired = triggered_global_agg(ev, fire=lambda r: float(r["value"]) > 400)
+    out = run_available_now(fired, output_mode="append")
+    return out.select(
+        "key",
+        "event_id",
+        "n_events",
+        F.round(F.col("sum_v4") / 10000.0, 2).alias("sum_value"),
+    ).orderBy("key", "event_id")

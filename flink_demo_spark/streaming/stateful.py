@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -230,6 +231,122 @@ def count_window(
     return tagged.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=COUNT_WINDOW_OUTPUT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+UV_PER_ELEMENT_SCHEMA = StructType(
+    [
+        StructField("window_start", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("uv", LongType()),
+    ]
+)
+
+
+def per_element_uv(
+    events: DataFrame,
+    window_col: str = "window_start",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-element-trigger UV: emit the updated distinct-user count of
+    the window on EVERY arriving event.
+
+    Reference: ``UvTriggerByElement.scala:9-17`` (FIRE_AND_PURGE per
+    element on the hourly window) + ``UvCountWithBloomByWindow.scala:
+    19-40`` (incremental seen-set in an external bitmap so the purged
+    window re-derives nothing). Spark shape: key the stream by window
+    start, keep the seen-set in group state, emit one (window_start,
+    event_id, uv) row per input element — identical output cardinality
+    to the reference's per-element firing. State is an exact id set
+    here; at 100 TB swap it for a serialized HLL/bloom sketch (the
+    reference's choice) so per-window state is O(sketch), not O(users).
+    Events are processed in (ts, event_id) order within a batch.
+    """
+    state_schema = StructType([StructField("seen", ArrayType(LongType()))])
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (seen_list,) = state.get if state.exists else ([],)
+        seen = set(seen_list or [])
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        if len(batch):
+            batch = batch.sort_values([ts_col, id_col])
+            for _, r in batch.iterrows():
+                seen.add(int(r[user_col]))
+                out.append((key[0], int(r[id_col]), len(seen)))
+        state.update((sorted(seen),))
+        yield pd.DataFrame(out, columns=["window_start", "event_id", "uv"])
+
+    return events.groupBy(window_col).applyInPandasWithState(
+        fn,
+        outputStructType=UV_PER_ELEMENT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+TRIGGERED_AGG_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("event_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_v4", LongType()),  # exact 1e-4 fixed-point sum
+    ]
+)
+
+
+def triggered_global_agg(
+    events: DataFrame,
+    fire,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value4_col: str = "v4",
+) -> DataFrame:
+    """GlobalWindows + custom element trigger: running per-key reduce,
+    FIRE (emit current aggregate) when the incoming element satisfies
+    ``fire(row)``, CONTINUE otherwise; never purged.
+
+    Reference: ``GlobalWindowsApp.scala:17-33`` (MarksTrigger: fire the
+    global window when element.mark > 90 over a running reduce).
+    ``value4_col`` must be an exact fixed-point long (value scaled by
+    1e4, produced JVM-side via a decimal(18,4) cast) so state sums stay
+    exact across micro-batches; convert back with F.round(sum_v4/1e4)
+    after the stateful op.
+    """
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("v4", LongType())]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        cnt, v4 = state.get if state.exists else (0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        if len(batch):
+            batch = batch.sort_values([ts_col, id_col])
+            for _, r in batch.iterrows():
+                cnt += 1
+                v4 += int(r[value4_col])
+                if fire(r):
+                    out.append((key[0], int(r[id_col]), cnt, v4))
+        state.update((cnt, v4))
+        yield pd.DataFrame(
+            out, columns=["key", "event_id", "n_events", "sum_v4"]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=TRIGGERED_AGG_SCHEMA,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -1,0 +1,132 @@
+"""Physical-plan regression suite for the headline queries.
+
+Pins the scale-critical plan shapes (human-readable dumps: PLANS.md,
+regenerate with `python tools/dump_plans.py`):
+
+- small dimensions join via broadcast, never a shuffled cartesian;
+- rank Top-N pushes the limit below the shuffle (WindowGroupLimit);
+- aggregations are partial (map-side combine before the exchange);
+- filters reach the parquet scan (PushedFilters);
+- shuffle counts don't regress (each Exchange is a full-data shuffle
+  — one extra at 100 TB is the difference between a plan that works
+  and one that doesn't).
+
+A plan change that trips these is either a Spark upgrade (re-baseline
+deliberately) or a real regression in how an operator is expressed.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def n_exchanges(plan: str) -> int:
+    # shuffle exchanges only (BroadcastExchange is cheap by design)
+    return len(re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+def n_hash_aggregates(plan: str) -> int:
+    return len(re.findall(r"\n\(\d+\) HashAggregate", plan))
+
+
+# per-query expectations: substrings that must / must not appear,
+# shuffle-count ceilings, and partial-aggregation requirements
+EXPECT = {
+    "topn_per_group": dict(
+        contains=["WindowGroupLimit"], absent=["CartesianProduct"], max_exchanges=2
+    ),
+    "hotitems_topn": dict(
+        contains=["WindowGroupLimit"], partial_agg=True, max_exchanges=3
+    ),
+    "pv_uv_hourly": dict(partial_agg=True, max_exchanges=3),
+    "dedup_jaccard_pairs": dict(
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        partial_agg=True,
+        max_exchanges=3,
+    ),
+    "dedup_minhash_lsh": dict(
+        contains=["BroadcastHashJoin"], absent=["CartesianProduct"], partial_agg=True
+    ),
+    # brute-force ANN: broadcast the (tiny) query set and stream the
+    # corpus — the broadcast nested-loop cross is the intended shape;
+    # a shuffled CartesianProduct is not
+    "similarity_topk": dict(
+        contains=["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+        absent=["CartesianProduct"],
+        max_exchanges=2,
+    ),
+    "q1_pricing_summary": dict(
+        pushed=["l_shipdate"], partial_agg=True, max_exchanges=2
+    ),
+    "q3_top_revenue": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        pushed=["c_mktsegment", "o_orderdate"],
+        partial_agg=True,
+        max_exchanges=1,
+    ),
+    "q5_regional_revenue": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        pushed=["r_name"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    "q10_returned_items": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        pushed=["l_returnflag"],
+        partial_agg=True,
+        max_exchanges=1,
+    ),
+    "count_window_agg": dict(partial_agg=True, max_exchanges=2),
+    "window_tumbling_hourly": dict(partial_agg=True, max_exchanges=2),
+    "window_session": dict(partial_agg=True, max_exchanges=2),
+    "interval_join": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        max_exchanges=1,
+    ),
+    "asof_join_latest_signup": dict(
+        # union + last_value over one shuffle — no join operator at all
+        absent=["Join"],
+        max_exchanges=2,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECT))
+def test_plan_shape(name, spark, sf_dir):
+    plan = plan_str(REGISTRY[name].fn(spark, sf_dir))
+    exp = EXPECT[name]
+    for s in exp.get("contains", []):
+        assert s in plan, f"{name}: expected {s} in plan\n{plan}"
+    for s in exp.get("absent", []):
+        assert s not in plan, f"{name}: {s} must not appear\n{plan}"
+    for col in exp.get("pushed", []):
+        assert re.search(rf"PushedFilters: \[[^\]]*{col}", plan), (
+            f"{name}: filter on {col} not pushed to the scan\n{plan}"
+        )
+    if exp.get("partial_agg"):
+        assert n_hash_aggregates(plan) >= 2, (
+            f"{name}: expected partial+final HashAggregate\n{plan}"
+        )
+    if "max_exchanges" in exp:
+        got = n_exchanges(plan)
+        assert got <= exp["max_exchanges"], (
+            f"{name}: {got} shuffle exchanges (budget "
+            f"{exp['max_exchanges']}) — a new shuffle crept in\n{plan}"
+        )

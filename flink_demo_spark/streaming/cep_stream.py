@@ -18,7 +18,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -83,4 +83,102 @@ def consecutive_pattern_stream(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BUFFERED_STATE_SCHEMA = StructType(
+    [
+        StructField("last_is_match", LongType()),
+        StructField("last_id", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_match", ArrayType(LongType())),
+    ]
+)
+
+
+def buffered_consecutive_pattern_stream(
+    events: DataFrame,
+    match_type: str = "error",
+    horizon_us: int = 30 * 60 * 1_000_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-order-tolerant streaming CEP: the watermark-sorted buffer
+    Flink CEP keeps internally (events are queued per key and the NFA
+    only consumes them in event-time order once the watermark passes).
+
+    Events above the current watermark wait in group state; each
+    invocation (new data, or the event-time timer set at wm+1ms so the
+    flush happens even when a later batch brings this key no rows)
+    releases the buffered prefix <= watermark to the detector in
+    (ts, id) order. Events at or below the watermark on arrival are
+    dropped as late, matching Flink CEP's late-event handling. One
+    semantic difference, documented: a bounded Flink job emits a final
+    MAX_WATERMARK that flushes the tail; Spark's availableNow does not,
+    so events inside the final watermark delay stay buffered (use the
+    in-order ``consecutive_pattern_stream`` for bounded replays).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            last_is_match, last_id, last_ts, b_ts, b_id, b_match = state.get
+            buf = list(zip(b_ts or [], b_id or [], b_match or []))
+        else:
+            last_is_match, last_id, last_ts, buf = 0, None, None, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for _, row in pdf.iterrows():
+                    ts_us = int(pd.Timestamp(row[ts_col]).value // 1_000)
+                    if wm_us > 0 and ts_us <= wm_us:
+                        continue  # late past watermark: dropped, as in Flink
+                    buf.append(
+                        (
+                            ts_us,
+                            int(row[id_col]),
+                            1 if row[type_col] == match_type else 0,
+                        )
+                    )
+        buf.sort()
+        released = [e for e in buf if e[0] <= wm_us]
+        remaining = [e for e in buf if e[0] > wm_us]
+        out = []
+        for ts_us, eid, is_match in released:
+            if (
+                is_match
+                and last_is_match
+                and last_ts is not None
+                and ts_us - last_ts <= horizon_us
+            ):
+                out.append((key[0], last_id, eid))
+            last_is_match, last_id, last_ts = is_match, eid, ts_us
+        state.update(
+            (
+                last_is_match,
+                last_id,
+                last_ts,
+                [e[0] for e in remaining],
+                [e[1] for e in remaining],
+                [e[2] for e in remaining],
+            )
+        )
+        if remaining:
+            # wake this key as soon as the watermark moves again
+            state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        yield pd.DataFrame(
+            out, columns=["user_id", "first_error_id", "second_error_id"]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=BUFFERED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -678,3 +678,51 @@ def test_progress_collector_captures_metrics(spark, sf_dir):
         assert any((e["num_input_rows"] or 0) > 0 for e in evs)
     finally:
         spark.streams.removeListener(collector)
+
+
+def test_buffered_cep_handles_out_of_order_batches(spark):
+    """Flink CEP's watermark-sorted buffer: an earlier event arriving
+    in a LATER micro-batch is re-ordered before the NFA consumes it.
+    The unbuffered detector would see (e2, e1) and miss the pair."""
+    from flink_demo_spark.streaming.cep_stream import (
+        buffered_consecutive_pattern_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch1 = [(1, 2, "error", t0 + dt.timedelta(seconds=10))]  # arrives first
+    batch2 = [(1, 1, "error", t0)]                             # but happened first
+    batch3 = [(99, 9, "ok", t0 + dt.timedelta(hours=3))]       # watermark advancer
+    stream = _mem_stream_batches(
+        spark,
+        [batch1, batch2, batch3],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    ).withWatermark("ts", "1 hour")
+    out = run_available_now(
+        buffered_consecutive_pattern_stream(stream), output_mode="append"
+    )
+    got = {(r.user_id, r.first_error_id, r.second_error_id) for r in out.collect()}
+    assert got == {(1, 1, 2)}, (
+        "buffered NFA must emit (e1, e2) despite out-of-order delivery"
+    )
+
+
+def test_buffered_cep_drops_late_events(spark):
+    """An event at or below the watermark on arrival is dropped (Flink
+    CEP late-event handling): no pair forms with a too-late event."""
+    from flink_demo_spark.streaming.cep_stream import (
+        buffered_consecutive_pattern_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch1 = [(1, 2, "error", t0 + dt.timedelta(hours=2))]  # pushes wm to t0+1h
+    batch2 = [(1, 1, "error", t0)]                          # t0 < wm: late, dropped
+    batch3 = [(99, 9, "ok", t0 + dt.timedelta(hours=6))]    # flush
+    stream = _mem_stream_batches(
+        spark,
+        [batch1, batch2, batch3],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    ).withWatermark("ts", "1 hour")
+    out = run_available_now(
+        buffered_consecutive_pattern_stream(stream), output_mode="append"
+    )
+    assert out.count() == 0

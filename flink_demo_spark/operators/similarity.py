@@ -205,3 +205,96 @@ def ivf_top_k(
         .where(F.col("rk") <= k)
         .select(query_id_col, "rk", "neighbor_id", "cosine_sim")
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """All near-duplicate pairs by exact cosine >= threshold
+    (embedding-cosine dedup; output (doc1, doc2, cosine_sim), doc1 <
+    doc2).
+
+    Block-matrix brute force: one side of the similarity matrix is
+    broadcast as a float64 matrix (ids, vectors, norms); each Arrow
+    batch of the corpus computes its block against it in numpy. The
+    accumulation loops run dimension-sequentially, which reproduces
+    the sequential fold of ``F.aggregate``/DuckDB's list_dot_product
+    bit-for-bit — a BLAS matmul would differ in the last ulp and break
+    oracle comparison. At 100 TB replace the broadcast with a cross
+    join of row-group blocks (same kernel per block pair); the
+    LSH-bucketed variant below is the sub-quadratic scale path.
+    """
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    b_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = b_mat.shape[1]
+    b_norm2 = np.zeros(len(b_ids))
+    for k in range(dim):  # sequential, matches the fold order
+        b_norm2 += b_mat[:, k] * b_mat[:, k]
+    b_norm = np.sqrt(b_norm2)
+    bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    def fn(batches):
+        import pandas as pd
+
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((len(a_ids), len(ids_b)))
+            a_norm2 = np.zeros(len(a_ids))
+            for k in range(dim):
+                acc += a_mat[:, k][:, None] * mat_b[:, k][None, :]
+                a_norm2 += a_mat[:, k] * a_mat[:, k]
+            cos = acc / (np.sqrt(a_norm2)[:, None] * norm_b[None, :])
+            ai, bi = np.nonzero((cos >= threshold) & (a_ids[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {
+                    "doc1": a_ids[ai],
+                    "doc2": ids_b[bi],
+                    "cosine_sim": cos[ai, bi],
+                }
+            )
+
+    out = df.mapInPandas(fn, "doc1 long, doc2 long, cosine_sim double")
+    return out.select(
+        "doc1", "doc2", F.round("cosine_sim", round_to).alias("cosine_sim")
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs: random-hyperplane buckets
+    form the candidates (pairs only join inside a bucket — shuffle
+    keyed on bucket id, sub-quadratic), then exact cosine verifies.
+    Verified pairs are a subset of ``cosine_pairs`` at the same
+    threshold (LSH may miss pairs whose signatures differ)."""
+    b = random_hyperplane_buckets(df, planes, vec_col)
+    a = b.select(
+        "bucket", F.col(id_col).alias("doc1"), F.col(vec_col).alias("__va")
+    )
+    c = b.select(
+        "bucket", F.col(id_col).alias("doc2"), F.col(vec_col).alias("__vb")
+    )
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(c, "bucket")
+        .where(F.col("doc1") < F.col("doc2"))
+        .where(sim >= threshold)
+        .select("doc1", "doc2", F.round(sim, round_to).alias("cosine_sim"))
+        .distinct()
+    )

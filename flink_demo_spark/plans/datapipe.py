@@ -238,6 +238,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS doc1, b.vec_id AS doc2,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    ORDER BY doc1, doc2
+    """,
+    doc=(
+        "embedding-cosine near-dup pairs (exact, cosine >= 0.4): "
+        "block-matrix brute force in a vectorized Pandas UDF with "
+        "fold-order-exact accumulation; the LSH variant is the "
+        "sub-quadratic scale path."
+    ),
+    bench=True,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, "vec_id", "embedding", 0.4).orderBy(
+        "doc1", "doc2"
+    )
+
+
+@query(
+    "dedup_embedding_cosine_lsh",
+    oracle=None,  # approximate candidates; subset test vs exact pairs
+    doc=(
+        "embedding near-dup via random-hyperplane LSH buckets + exact "
+        "cosine verify: pairs only form inside a bucket (shuffle keyed "
+        "on bucket id) — the sub-quadratic 100 TB path."
+    ),
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_lsh(
+        emb, LSH_PLANES, "vec_id", "embedding", 0.4
+    ).orderBy("doc1", "doc2")
+
+
+@query(
     "similarity_topk",
     oracle="""
     WITH q AS (

@@ -746,3 +746,19 @@ def test_cep_times_range_and_times_or_more(spark):
     got = sorted((r.t1.second, r.n_first) for r in out)
     # anchor@92: counts 1 and 2; anchor@93: count 1
     assert got == [(32, 1), (32, 2), (33, 1)]
+
+
+def test_cosine_pairs_lsh_subset_of_exact(spark, sf_dir):
+    """LSH-bucketed embedding near-dups (verified at t) must be a
+    subset of the exact cosine pairs at t, with identical sims."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.doc1, r.doc2): r.cosine_sim
+        for r in similarity.cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    lsh = similarity.cosine_pairs_lsh(
+        emb, LSH_PLANES, "vec_id", "embedding", 0.4
+    ).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert exact[(r.doc1, r.doc2)] == pytest.approx(r.cosine_sim, abs=1e-9)

@@ -67,8 +67,8 @@ def fingerprint(text: str | Column) -> Column:
     return F.md5(F.array_join(bag, " "))
 
 
-def shingles(text: str | Column, k: int = 3) -> Column:
-    """Distinct k-token shingles ('w1 w2 w3' strings).
+def shingles_positional(text: str | Column, k: int = 3) -> Column:
+    """All k-token shingles in document order (duplicates kept).
 
     Formulated as ``zip_with`` over k shifted slices of the token array
     rather than ``transform(sequence(...), i -> slice(toks, i, k))``:
@@ -87,4 +87,59 @@ def shingles(text: str | Column, k: int = 3) -> Column:
             joined, F.slice(toks, i + 1, m), lambda x, y: F.concat_ws(" ", x, y)
         )
     empty = F.array().cast("array<string>")
-    return F.array_distinct(F.when(n >= k, joined).otherwise(empty))
+    return F.when(n >= k, joined).otherwise(empty)
+
+
+def shingles(text: str | Column, k: int = 3) -> Column:
+    """Distinct k-token shingles ('w1 w2 w3' strings)."""
+    return F.array_distinct(shingles_positional(text, k))
+
+
+# BPE-ish pre-tokenizer: letter runs, single digits (GPT-2 style),
+# single non-space symbols. Deliberately lookahead-free so the Java
+# (Spark) and RE2 (DuckDB oracle) regex engines agree.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    """Subword-ish token count from the BPE-style pre-tokenizer regex
+    (a cheap proxy for LLM token budgeting at corpus scale)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+):
+    """Winnowing document fingerprints (rolling-hash selection, the
+    Schleimer/Wilkerson/Aiken scheme): hash every k-shingle in document
+    order, slide a ``window``-wide frame over the hash sequence, keep
+    the minimum per frame. The selected set is position-robust (local
+    edits perturb few fingerprints) and tunably sparse.
+
+    Returns (doc_id, n_fingerprints, min_fp): distinct selected count
+    and the global minimum fingerprint. Shaped as posexplode + one
+    windowed pass + one aggregation — two shuffles on doc_id, no
+    per-row Python; docs shorter than k+window-1 tokens emit nothing
+    (no full frame), same as the oracle.
+    """
+    from pyspark.sql import Window
+
+    rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingles_positional(text_col, k)).alias("pos", "shingle"),
+    ).select("doc_id", "pos", F.md5("shingle").alias("h"))
+    fr = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    winmins = rows.select(
+        "doc_id",
+        F.min("h").over(fr).alias("win_min"),
+        F.count("h").over(fr).alias("cnt"),
+    ).where(F.col("cnt") == window)
+    return winmins.groupBy("doc_id").agg(
+        F.countDistinct("win_min").alias("n_fingerprints"),
+        F.min("win_min").alias("min_fp"),
+    )

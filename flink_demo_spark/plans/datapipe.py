@@ -238,6 +238,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_word_runs,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+           CAST(len(regexp_extract_all(text,
+             '[^A-Za-z0-9\\s]')) AS INT) AS n_symbols
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc=(
+        "BPE-style pre-tokenizer counts (letter runs, single digits, "
+        "single symbols — lookahead-free so Java and RE2 regex agree): "
+        "the cheap LLM-token-budget estimate for a 100 TB corpus scan."
+    ),
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+"), F.lit(0))).alias(
+            "n_word_runs"
+        ),
+        F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), F.lit(0))).alias(
+            "n_digits"
+        ),
+        F.size(
+            F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        ).alias("n_symbols"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i:i+2], ' ')) AS h
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+           AS g(i)
+    ), w AS (
+      SELECT doc_id, min(h) OVER fr AS win_min, count(*) OVER fr AS cnt
+      FROM sh
+      WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+    )
+    SELECT doc_id, CAST(count(DISTINCT win_min) AS BIGINT) AS n_fingerprints,
+           min(win_min) AS min_fp
+    FROM w WHERE cnt = 4
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "winnowing fingerprints (rolling-hash min per 4-frame over "
+        "3-shingle md5s, Schleimer et al.): position-robust document "
+        "signatures; posexplode + windowed min + agg, two shuffles."
+    ),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, "text", "doc_id", k=3, window=4).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (

@@ -351,3 +351,46 @@ def triggered_global_agg(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tag_late_events(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Late-data side output (Flink ``sideOutputLateData`` /
+    allowedLateness, reference Window.scala late-side-output usage):
+    pass every event through keyed state and tag it ``is_late`` when
+    its event time is at or below the watermark current at arrival —
+    the rows Spark's windowed aggregations would silently drop.
+
+    Route with a filter pair (the side-output shape of
+    ``operators/streams_util.split_stream``): on-time rows to the
+    aggregation, late rows to a dead-letter/audit sink via
+    foreachBatch. Flink's allowedLateness itself maps to widening the
+    watermark delay (delay = out-of-orderness + allowed lateness);
+    this operator recovers the side-output half. ``key_col``
+    cardinality only governs parallelism — state is never written.
+    """
+    out_schema = StructType(
+        [*stream.schema.fields, StructField("is_late", LongType())]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf[ts_col].astype("int64") // 1_000
+            pdf["is_late"] = ((wm_us > 0) & (ts_us <= wm_us)).astype("int64")
+            yield pdf
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=StructType([StructField("unused", LongType())]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -726,3 +726,23 @@ def test_buffered_cep_drops_late_events(spark):
         buffered_consecutive_pattern_stream(stream), output_mode="append"
     )
     assert out.count() == 0
+
+
+def test_tag_late_events_side_output(spark):
+    """allowedLateness side output (Flink sideOutputLateData): events
+    at/below the watermark on arrival are tagged late instead of
+    silently dropped; on-time events pass untagged."""
+    from flink_demo_spark.streaming.stateful import tag_late_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch1 = [(1, 10, t0 + dt.timedelta(hours=2))]   # pushes wm to t0+1h
+    batch2 = [
+        (1, 11, t0),                                  # below wm: late
+        (1, 12, t0 + dt.timedelta(hours=2, minutes=1)),  # above wm: on time
+    ]
+    stream = _mem_stream_batches(
+        spark, [batch1, batch2], "key long, event_id long, ts timestamp"
+    ).withWatermark("ts", "1 hour")
+    out = run_available_now(tag_late_events(stream, "key"), output_mode="append")
+    got = {r.event_id: r.is_late for r in out.collect()}
+    assert got == {10: 0, 11: 1, 12: 0}

@@ -85,6 +85,7 @@ def _load_all() -> None:
         stream_parity,
         subqueries,
         temporal,
+        tpch,
     )
 
     _LOADED = True

@@ -1,0 +1,553 @@
+"""TPC-H-style suite completion (adapted to the driver's reduced schema).
+
+Round 1 shipped Q1/Q3/Q5/Q10/Q14/Q18/Q22; this module adds the
+remaining patterns the test schema supports: Q4 (correlated EXISTS),
+Q6 (selective scan-agg), Q7/Q8/Q9 (multi-way join + year extraction +
+conditional share), Q12 (conditional counts), Q13 (outer-join
+distribution), Q15 (view + scalar-max equality), Q16 (NOT IN + distinct
+count), Q17 (correlated avg subquery), Q19 (OR-of-ANDs pushdown),
+Q21 (double EXISTS/NOT EXISTS via per-key window sets).
+
+The reference exercises the same relational surface through its Blink
+planner batch demos (``TableSQLFunc.scala:390-402``, ``QueryTest
+.scala:356-388``); TPC-H shapes are the canonical stand-ins.
+
+Adaptations forced by the schema (no partsupp, no commit/receipt
+dates, no shipmode/shipinstruct): Q2/Q11/Q20 are not expressible and
+stay documented as n/a; Q4/Q21 define "late" as shipping >60 days
+after the order date; Q12 buckets by l_returnflag instead of
+l_shipmode; Q16 counts lineitem suppliers instead of partsupp rows.
+
+Scale notes (100 TB): every query keeps the fact tables (lineitem,
+orders) on the build side of shuffles keyed by their join keys;
+dimension tables (region, nation, supplier, part subsets) are
+broadcast so they never shuffle the fact side. Q17 semi-filters
+lineitem down to the brand's parts BEFORE the per-part average so the
+heavy groupBy runs on ~1/25 of the data. Q21's double-EXISTS is one
+window pass over (orderkey)-partitioned lineitem — no self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..catalog import load_table
+from ._util import dsum, osum
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+_OREV = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H-Q4-style: correlated EXISTS -> left-semi join with a "
+    "non-equi residual (late = shipped >60d after order).",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT round({osum('l_extendedprice * l_discount', 6)}, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H-Q6: selective scan + single agg; all predicates push to "
+    "the parquet scan (verified in tests/test_plan_properties.py).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * F.col("l_discount"), 6), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, round({osum('volume', 6)}, 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             {_OREV} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H-Q7: bi-national volume; dims broadcast, facts shuffle "
+    "once per equi-join key.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(dsum(_rev(), 6), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round({osum("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END", 6)}
+                 / {osum('volume', 6)}, 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {_OREV} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H-Q8: market share of NATION_5 suppliers in EUROPE for "
+    "ECONOMY parts; conditional share of decimal-exact sums.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    vol = _rev()
+    base = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"), "inner")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    share_num = F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0)
+    return (
+        base.groupBy("o_year")
+        .agg(F.round(dsum(share_num, 6) / dsum(F.col("volume"), 6), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, round({osum('amount', 6)}, 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {_OREV} AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H-Q9 (no partsupp -> revenue in place of profit): "
+    "LIKE-filtered part dim broadcast against the lineitem fact.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(dsum(_rev(), 6), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_returnflag,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END)
+             AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H-Q12-style (returnflag for shipmode): conditional counts "
+    "by priority class.",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H-Q13: outer join with an ON-clause residual, two-level "
+    "aggregation (per-customer then distribution).",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    cond = (cu["c_custkey"] == o["o_custkey"]) & (
+        o["o_orderpriority"] != "1-URGENT"
+    )
+    return (
+        cu.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST({_OREV} AS DECIMAL(18,6))) AS total_rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(total_rev_dec AS DOUBLE), 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev_dec = (SELECT max(total_rev_dec) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H-Q15: revenue view + scalar max subquery; equality is "
+    "safe because revenue accumulates in exact DECIMAL on both engines.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev().cast(DecimalType(18, 6))).alias("total_rev_dec")
+    )
+    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev_dec") == F.col("mx"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev_dec").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < -500)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H-Q16-style (lineitem suppliers for partsupp): NOT IN "
+    "anti-join + count distinct.",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < -500).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    SELECT round({osum('l_extendedprice')} / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS avg_pk,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    / count(l_quantity)) AS qty_threshold
+      FROM lineitem
+      GROUP BY l_partkey
+    ) pa ON avg_pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < qty_threshold
+    """,
+    doc="TPC-H-Q17: correlated per-part average -> semi-filter lineitem "
+    "to the brand's parts first so the heavy per-part agg runs on the "
+    "reduced set (per-part avg is unchanged by the part filter).",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = branded.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        branded.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("avg_pk"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(dsum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT round({osum(_OREV, 6)}, 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H-Q19-style: OR-of-ANDs join residual; Catalyst extracts "
+    "the common p_partkey equi-key so this stays a hash join.",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm(
+        "Brand#4", 15, 20, 30
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.round(dsum(_rev(), 6), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H-Q21-style (late = shipped >60d after order date): the "
+    "EXISTS/NOT-EXISTS pair collapses to one window pass over "
+    "orderkey-partitioned lineitem — distinct-supplier count >1 and "
+    "distinct LATE-supplier count ==1 — instead of two self-joins.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    j = j.withColumn("is_late", late).select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        j.where(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -28,6 +28,11 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM/codegen paths once with a trivial action
     spark.range(1000).count()
+    # warm the Python/Arrow worker pool too, so the first pandas-UDF
+    # query isn't charged the one-time worker spin-up
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import fingerprint, shingles
+from .text import fan_out, fingerprint, shingles
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -37,7 +37,7 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) inverted-index rows, distinct per doc."""
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("shingle")
     )
 
@@ -65,7 +65,7 @@ def jaccard_pairs(
     # Each exploded row carries the doc's shingle-set size, so the
     # posting-list pairs already hold (n1, n2) — no size-table joins,
     # ONE scan of the corpus and two shuffles total.
-    arr = df.select(
+    arr = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh")
     )
     sh = arr.select(
@@ -218,7 +218,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         m = 1 << b
         return m - (1 << 64) if b == 63 else m
 
-    tok_tbl = df.select(
+    tok_tbl = fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("h"))
     votes = tok_tbl.groupBy("doc_id").agg(

@@ -17,6 +17,22 @@ from pyspark.sql import functions as F
 STOPWORDS = ("a", "and", "in", "is", "of", "the", "to")
 
 
+
+def fan_out(df):
+    """Spread a narrow scan across the cluster before CPU-heavy
+    per-row expressions.
+
+    A small parquet table often arrives as a single input split, which
+    serializes the whole shingle/tokenize stage onto one core. When
+    the scan has fewer partitions than the cluster's parallelism,
+    one cheap round-robin shuffle of the raw rows buys full fan-out
+    for everything downstream. At 100 TB the scan already has
+    thousands of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 def tokens(text: str | Column) -> Column:
     """Whitespace tokenization (split on runs of whitespace)."""
     c = F.col(text) if isinstance(text, str) else text

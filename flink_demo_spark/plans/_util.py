@@ -37,3 +37,16 @@ def osum(expr: str, scale: int = 4) -> str:
 def oavg(expr: str, scale: int = 4) -> str:
     """Oracle-side SQL fragment matching ``davg``."""
     return f"({osum(expr, scale)} / count({expr}))"
+
+
+def ordered_small(df, *cols):
+    """Total order for a SMALL result set without the global sort's
+    RangePartitioner sampling pass.
+
+    ``orderBy`` range-partitions, and sampling the range bounds
+    executes the child plan a second time — ruinous when the child is
+    an expensive pandas-UDF stage. A single-partition hash exchange +
+    in-partition sort yields the identical total order with exactly
+    one child execution. Only for outputs known to be driver-small
+    (pair lists, top-k, per-group summaries)."""
+    return df.repartition(1).sortWithinPartitions(*cols)

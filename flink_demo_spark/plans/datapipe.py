@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup, similarity, text
+from ._util import ordered_small
 from .registry import query
 
 _SW = ", ".join(f"'{s}'" for s in text.STOPWORDS)
@@ -43,7 +44,7 @@ LSH_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(6)]
     bench=True,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
@@ -81,7 +82,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     # distinct-token count here is case-folded, matching the oracle
     n = text.token_count("text").cast("long")
     d = F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).cast(
@@ -121,7 +122,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="language-ID heuristic: function-word hit ratio.",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     score = text.langid_en_score("text")
     return docs.select(
         "doc_id",
@@ -145,7 +146,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="order-insensitive md5 fingerprint over the distinct token bag.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", text.fingerprint("text").alias("fp")).orderBy(
         "doc_id"
     )
@@ -169,7 +170,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact dedup: hash-groupBy on normalized fingerprint (1 shuffle).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return dedup.exact_duplicates(docs, "text", "doc_id").orderBy("fp")
 
 
@@ -205,9 +206,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.3).orderBy(
-        "doc1", "doc2"
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    return ordered_small(
+        dedup.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.3),
+        "doc1", "doc2",
     )
 
 
@@ -221,10 +223,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=16, bands=4, k=3, verify_threshold=0.3
-    ).orderBy("doc1", "doc2")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    return ordered_small(
+        dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=4, k=3, verify_threshold=0.3
+        ),
+        "doc1", "doc2",
+    )
 
 
 @query(
@@ -233,7 +238,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="64-bit SimHash signatures per document.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return dedup.simhash(docs, "text", "doc_id").orderBy("doc_id")
 
 
@@ -257,7 +262,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -303,7 +308,7 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return text.winnow_fingerprints(docs, "text", "doc_id", k=3, window=4).orderBy(
         "doc_id"
     )
@@ -335,8 +340,8 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, "vec_id", "embedding", 0.4).orderBy(
-        "doc1", "doc2"
+    return ordered_small(
+        similarity.cosine_pairs(emb, "vec_id", "embedding", 0.4), "doc1", "doc2"
     )
 
 
@@ -538,7 +543,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
@@ -563,7 +568,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="document length histogram (100-char buckets) for corpus QA.",
 )
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.groupBy(F.expr("n_chars div 100").alias("bucket"))
         .agg(
@@ -600,7 +605,7 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
         docs.select("doc_id", text.fingerprint("text").alias("fp"))

@@ -52,10 +52,14 @@ EXPECT = {
         contains=["WindowGroupLimit"], partial_agg=True, max_exchanges=3
     ),
     "pv_uv_hourly": dict(partial_agg=True, max_exchanges=3),
+    # 4 exchanges by design: scan fan-out (single-split input -> all
+    # cores), shingle groupBy, pair groupBy, single-partition output
+    # sort (ordered_small avoids the RangePartitioner's second child
+    # execution)
     "dedup_jaccard_pairs": dict(
         absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
         partial_agg=True,
-        max_exchanges=3,
+        max_exchanges=4,
     ),
     "dedup_minhash_lsh": dict(
         contains=["BroadcastHashJoin"], absent=["CartesianProduct"], partial_agg=True

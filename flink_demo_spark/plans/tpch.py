@@ -378,10 +378,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev().cast(DecimalType(18, 6))).alias("total_rev_dec")
     )
-    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
+    # scalar max via a window over the aggregated (supplier-cardinality)
+    # result, NOT a second aggregation of lineitem: one fact-table scan
+    # total; the empty partitionBy is safe because rev is dim-sized
+    mx = F.max("total_rev_dec").over(Window.partitionBy())
     su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), F.col("total_rev_dec") == F.col("mx"))
+        rev.withColumn("mx", mx)
+        .where(F.col("total_rev_dec") == F.col("mx"))
         .join(F.broadcast(su), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",

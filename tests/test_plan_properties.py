@@ -109,6 +109,91 @@ EXPECT = {
         absent=["Join"],
         max_exchanges=2,
     ),
+    # --- TPC-H-style suite (plans/tpch.py): dims must broadcast, the
+    # fact tables shuffle at most on groupBy keys + the output sort ---
+    "q4_order_priority": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        pushed=["o_orderdate"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    "q6_forecast_revenue": dict(
+        pushed=["l_shipdate", "l_discount", "l_quantity"],
+        partial_agg=True,
+        max_exchanges=1,
+    ),
+    "q7_volume_shipping": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        pushed=["l_shipdate"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    "q8_market_share": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        pushed=["p_type", "r_name"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    "q9_product_profit": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        pushed=["p_name"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    "q12_priority_shipping": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin"],
+        pushed=["l_shipdate"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    "q13_customer_distribution": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin"],
+        partial_agg=True,
+        max_exchanges=3,
+    ),
+    # one lineitem scan only: the scalar max is a window over the
+    # aggregated supplier-revenue rows, not a second fact aggregation
+    "q15_top_supplier": dict(
+        contains=["Window"],
+        absent=["SortMergeJoin"],
+        pushed=["l_shipdate"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    "q16_supplier_cnt": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin"],
+        pushed=["p_brand"],
+        partial_agg=True,
+        max_exchanges=3,
+    ),
+    "q17_small_qty_revenue": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin"],
+        pushed=["p_brand"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    "q19_discounted_revenue": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        pushed=["l_quantity"],
+        partial_agg=True,
+        max_exchanges=1,
+    ),
+    "q21_waiting_suppliers": dict(
+        contains=["BroadcastHashJoin", "Window"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        pushed=["o_orderstatus"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
 }
 
 

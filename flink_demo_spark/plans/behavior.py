@@ -370,3 +370,115 @@ def cep_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bottom_value double"
         ),
     ).orderBy("user_id", "start_id")
+
+
+# ---------------------------------------------------------------------------
+# Funnel + retention analytics (user-behavior suite; the reference's
+# hot-item/UV apps are per-window — these add the cross-session user
+# journey shapes every behavior pipeline needs at scale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+    doc=(
+        "ordered funnel view->click->purchase per user (each stage "
+        "strictly after the previous stage's first occurrence): three "
+        "keyed aggregations, each stage's table shrinks — no event "
+        "self-join blowup at scale."
+    ),
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@query(
+    "retention_weekly_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP)))
+                  AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week,
+                 date_trunc('week', CAST(e.ts AS TIMESTAMP))) / 7) AS BIGINT)
+             AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc=(
+        "weekly cohort retention: cohort = week of first activity; "
+        "one agg for cohorts (user-cardinality, broadcastable), one "
+        "distinct-count keyed on (cohort, offset)."
+    ),
+)
+def retention_weekly_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / 7
+                )
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

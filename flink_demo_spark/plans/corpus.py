@@ -1,0 +1,238 @@
+"""Corpus-curation queries: dup-cluster assignment, deterministic
+stratified sampling, token-length quantiles, n-gram statistics.
+
+Beyond-reference surface (SURVEY.md §7 phase 6): the operations that
+turn near-dup PAIRS and per-doc stats into the keep/drop and
+inspection artifacts a 100 TB training-data pipeline actually ships.
+All four are DuckDB-oracle-backed — the clustering oracle uses a
+recursive CTE, the sampling oracle shares the exact integer hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, graph, text
+from .registry import query
+
+# the shingle->pairs CTE chain shared with dedup_jaccard_pairs
+_JACCARD_PAIRS_CTES = """
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc1, doc2
+      FROM common
+      JOIN sizes n1 ON n1.doc_id = doc1
+      JOIN sizes n2 ON n2.doc_id = doc2
+      WHERE n_common / (n1.n + n2.n - n_common) >= 0.3
+    )
+"""
+
+
+@query(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id,
+           (node = min(comp)) AS keep
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+    doc=(
+        "near-dup cluster assignment: Jaccard>=0.3 pairs -> connected "
+        "components (min-label propagation, operators/graph.py) -> one "
+        "canonical keeper per cluster. The end-to-end keep/drop "
+        "decision of a corpus dedup pipeline; oracle = recursive CTE."
+    ),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    edges = dedup.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.3)
+    labels = graph.connected_components(
+        edges, "doc1", "doc2", nodes=docs.select("doc_id")
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             (((doc_id % 1000003) * 2654435761 + 12345) % 1000000007) % 1000
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM s
+    WHERE bucket < CASE lang WHEN 'en' THEN 150 WHEN 'zh' THEN 400 ELSE 250 END
+    ORDER BY doc_id
+    """,
+    doc=(
+        "deterministic per-stratum sampling: multiplicative integer "
+        "hash of doc_id -> bucket in [0,1000), per-language keep rate "
+        "(downsample over-represented en, upsample zh). Pure integer "
+        "arithmetic so any engine reproduces the same sample; a "
+        "narrow filter (no shuffle) that composes with the scan at "
+        "100 TB. The doc_id % 1000003 pre-fold keeps the product in "
+        "int64 for arbitrarily large ids."
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        ((F.col("doc_id") % 1000003) * 2654435761 + 12345) % 1000000007
+    ) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 150)
+        .when(F.col("lang") == "zh", 400)
+        .otherwise(250)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(bucket < rate)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_token_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents
+    ), r AS (
+      SELECT lang, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS cnt
+      FROM s
+    )
+    SELECT lang,
+           max(CASE WHEN rk = ceil(cnt * 0.5) THEN n END) AS p50_tokens,
+           max(CASE WHEN rk = ceil(cnt * 0.9) THEN n END) AS p90_tokens,
+           max(CASE WHEN rk = ceil(cnt * 0.99) THEN n END) AS p99_tokens,
+           max(cnt) AS n_docs
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "exact per-language token-length quantiles by rank selection "
+        "(discrete quantile: value at row ceil(p*n)) — integer output, "
+        "so engines agree bit-for-bit where interpolated quantiles "
+        "would drift. One shuffle on lang; at 100 TB swap the exact "
+        "per-group sort for approx_percentile on the same spine."
+    ),
+)
+def text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    s = docs.select(
+        "lang", "doc_id", text.token_count("text").cast("long").alias("n")
+    )
+    r = s.select(
+        "lang",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("n", "doc_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    )
+
+    def _at(p: float) -> F.Column:
+        return F.max(F.when(F.col("rk") == F.ceil(F.col("cnt") * p), F.col("n")))
+
+    return (
+        r.groupBy("lang")
+        .agg(
+            _at(0.5).alias("p50_tokens"),
+            _at(0.9).alias("p90_tokens"),
+            _at(0.99).alias("p99_tokens"),
+            F.max("cnt").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), bg AS (
+      SELECT lang,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ), c AS (
+      SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2
+    )
+    SELECT lang, bigram, n, rk FROM (
+      SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+      FROM c
+    ) WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+    doc=(
+        "top-5 word bigrams per language: explode adjacent token "
+        "pairs, partial-aggregating count, rank filter (Spark plans a "
+        "WindowGroupLimit so only each partition's top rows reach the "
+        "final sort). The n-gram LM / contamination-scan primitive."
+    ),
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = (
+        toks.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    )
+    return (
+        c.select("lang", "bigram", "n", rk.cast("long").alias("rk"))
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )

@@ -79,6 +79,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         analytics,
         behavior,
+        corpus,
         datapipe,
         predicates,
         relational,

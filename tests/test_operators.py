@@ -762,3 +762,27 @@ def test_cosine_pairs_lsh_subset_of_exact(spark, sf_dir):
     assert len(lsh) > 0
     for r in lsh:
         assert exact[(r.doc1, r.doc2)] == pytest.approx(r.cosine_sim, abs=1e-9)
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A 4-node chain (needs multi-round label propagation), a pair,
+    and an isolated node must each collapse to their minimum id."""
+    from flink_demo_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(3, 4), (4, 5), (5, 6), (10, 11)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [3, 4, 5, 6, 10, 11, 99]], "id long")
+    got = {
+        (r.node, r.comp)
+        for r in graph.connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {(3, 3), (4, 3), (5, 3), (6, 3), (10, 10), (11, 10), (99, 99)}
+
+
+def test_connected_components_nodes_inferred_from_edges(spark):
+    from flink_demo_spark.operators import graph
+
+    edges = spark.createDataFrame([(2, 1), (2, 3)], "src long, dst long")
+    got = {(r.node, r.comp) for r in graph.connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}

@@ -103,24 +103,57 @@ def jaccard_pairs(
     )
 
 
+# Portable MinHash parameters: one md5 digest per shingle folded to a
+# 60-bit int, then num_hashes affine transforms (a*x + b) % P over the
+# universal-hash family. Every constant fits the product in int64, so
+# ANY engine (Spark, DuckDB, a plain python check) reproduces the
+# signatures bit-for-bit — which is what lets the LSH pipeline be
+# oracle-verified end-to-end instead of rows-only.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_mh_rng = __import__("random").Random(7)
+MINHASH_COEF = [
+    (_mh_rng.randrange(1, MINHASH_P), _mh_rng.randrange(0, MINHASH_P))
+    for _ in range(64)
+]
+# polynomial band-bucket combine constants (int64-safe: < 2^31 each)
+BAND_M = 1048573
+BAND_Q = 2147483629
+
+
+def portable_hash60(col: str | Column) -> Column:
+    """60-bit integer digest both Spark and DuckDB compute identically:
+    first 15 hex chars of md5, folded base-16 (big-endian).
+
+    Spark: ``conv(substr(md5(s),1,15),16,10)``; DuckDB:
+    ``list_reduce(nibbles, (a,b) -> a*16+b)`` over the same chars.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def minhash_table(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
     """Per-doc MinHash as num_hashes columns h0..h{n-1}:
-    min over shingles of xxhash64(shingle, seed_i).
+    min over shingles of ``(a_i * digest(shingle) + b_i) % P``.
 
-    Formulation: explode shingles -> 16 codegen'd xxhash64 columns ->
-    groupBy(doc_id).min(...). The min() aggregation is partial
-    (map-side combine), so the shuffle carries one row per doc — this
-    is ~10x faster than folding over the shingle array per row (which
-    re-evaluates the shingle expression per hash after projection
-    collapse) and scales linearly in corpus size.
+    Formulation: explode shingles -> ONE md5 digest per shingle ->
+    num_hashes codegen'd affine columns -> groupBy(doc_id).min(...).
+    The min() aggregation is partial (map-side combine), so the
+    shuffle carries one row per doc — ~10x faster than folding over
+    the shingle array per row (which re-evaluates the shingle
+    expression per hash after projection collapse) and linear in
+    corpus size. The md5-based digest (vs xxhash64 seeds) costs one
+    digest per shingle but makes the signature engine-portable, so
+    the whole LSH path is DuckDB-oracle-checkable.
     """
-    sh = shingle_table(df, text_col, id_col, k)
+    sh = shingle_table(df, text_col, id_col, k).select(
+        "doc_id", (portable_hash60("shingle") % MINHASH_P).alias("x")
+    )
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min((F.col("x") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_COEF[:num_hashes])
         ]
     )
 
@@ -154,6 +187,14 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_table(df, text_col, id_col, num_hashes, k)
+    def band_bucket(b: int) -> Column:
+        # polynomial fold of the band's minhashes, int64-safe and
+        # engine-portable (same expression reproduces in the oracle)
+        acc: Column = F.lit(0).cast("long")
+        for r in range(rows):
+            acc = (acc * BAND_M + F.col(f"h{b * rows + r}")) % BAND_Q
+        return acc
+
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -161,9 +202,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                        ).alias("bucket"),
+                        band_bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]

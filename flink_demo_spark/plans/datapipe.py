@@ -27,6 +27,75 @@ _rng = random.Random(42)
 LSH_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(6)]
 
 
+def _minhash_lsh_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.3
+) -> str:
+    """DuckDB SQL reproducing minhash_lsh_pairs bit-for-bit: the
+    portable md5-fold digest, the same affine MinHash family
+    (operators/dedup.MINHASH_COEF), the same polynomial band buckets,
+    then exact-Jaccard verification of the candidates."""
+    rows = num_hashes // bands
+    hcols = ",\n             ".join(
+        f"min((x * {a} + {b}) % {dedup.MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_COEF[:num_hashes])
+    )
+
+    def bucket_expr(b: int) -> str:
+        acc = "0"
+        for r in range(rows):
+            acc = f"(({acc}) * {dedup.BAND_M} + h{b * rows + r}) % {dedup.BAND_Q}"
+        return acc
+
+    bands_sql = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks
+      )
+    ), xs AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 15),
+               i -> strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1),
+               (a, b) -> a * 16 + b) % {dedup.MINHASH_P} AS x
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {hcols}
+      FROM xs GROUP BY doc_id
+    ), banded AS (
+      {bands_sql}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.doc1, c.doc2, count(*) AS n_common
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc1
+      JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(n_common / (n1.n + n2.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes n1 ON n1.doc_id = doc1
+    JOIN sizes n2 ON n2.doc_id = doc2
+    WHERE n_common / (n1.n + n2.n - n_common) >= {threshold}
+    ORDER BY doc1, doc2
+    """
+
+
 @query(
     "text_token_stats",
     oracle=f"""
@@ -215,10 +284,12 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based; verified by unit test against jaccard_pairs
+    oracle=_minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.3),
     doc=(
         "MinHash(16) + LSH(4 bands) candidate pairs, verified with exact "
-        "Jaccard >= 0.3 — the 100 TB-scale near-dup path."
+        "Jaccard >= 0.3 — the 100 TB-scale near-dup path. Fully "
+        "oracle-backed: the portable md5-fold digest makes signatures, "
+        "buckets, and the final verified pairs engine-exact."
     ),
     bench=True,
 )

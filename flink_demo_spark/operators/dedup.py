@@ -241,38 +241,102 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over tokens: each token votes its xxhash64 bit
-    pattern; signature bit b is 1 iff positive vote margin.
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """SimHash over tokens: each token votes its digest's bit pattern;
+    signature bit b is 1 iff positive vote margin.
 
-    Same scale shape as minhash_table: explode tokens, hash once per
-    token, 64 partial-aggregated vote sums per doc, then assemble the
-    signature from the vote columns (one shuffle row per doc).
+    Uses the portable 60-bit md5-fold digest (``portable_hash60``), so
+    the signature always fits a positive int64 (no sign-bit handling)
+    and a DuckDB oracle reproduces it bit-for-bit. Same scale shape as
+    minhash_table: explode tokens, ONE digest per token, ``bits``
+    partial-aggregated vote sums per doc, then assemble the signature
+    from the vote columns (one shuffle row per doc).
     """
     from functools import reduce
 
     from .text import tokens
 
-    def mask(b: int) -> int:  # signed-64 bit mask (bit 63 is the sign bit)
-        m = 1 << b
-        return m - (1 << 64) if b == 63 else m
-
-    tok_tbl = fan_out(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    assert bits <= 60  # digest width
+    tok_tbl = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .select("doc_id", portable_hash60("tok").alias("h"))
+    )
     votes = tok_tbl.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
             ).alias(f"v{b}")
             for b in range(bits)
         ]
     )
     sig = reduce(
         lambda acc, b: acc.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.lit(mask(b))).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0).cast("long"))
         ),
         range(bits),
         F.lit(0).cast("long"),
     )
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Banded block-match (Manku et al., "Detecting Near-Duplicates for
+    Web Crawling", WWW'07): split the signature into ``bands`` equal
+    bit blocks; a pair within hamming h < bands must agree EXACTLY on
+    at least ``bands - h`` blocks (pigeonhole), so joining only inside
+    block-equality buckets has perfect recall for h <= bands-1 while
+    the shuffle is keyed on (band, block) — no all-pairs stage. The
+    final ``bit_count(xor)`` filter removes bucket false positives,
+    so the result is EXACTLY the hamming ball, verifiable by a
+    brute-force oracle.
+    """
+    assert max_hamming < bands
+    width = bits // bands
+    sig = simhash(df, text_col, id_col, bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.where(ham <= max_hamming).select(
+        "doc1", "doc2", ham.cast("long").alias("hamming")
+    )

@@ -303,14 +303,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared CTE chain computing the 60-bit portable SimHash signature
+_SIMHASH_SIG_CTES = """
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), xs AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 15),
+               i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+               (a, b) -> a * 16 + b) AS x
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, bs.b AS b,
+             sum(CASE WHEN (x >> bs.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM xs CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based signature; determinism pinned by unit test
-    doc="64-bit SimHash signatures per document.",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
+    """,
+    doc=(
+        "60-bit SimHash signatures per document (portable md5-fold "
+        "digest -> bit votes), oracle-exact across engines."
+    ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return dedup.simhash(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES}
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc1, doc2
+    """,
+    doc=(
+        "SimHash near-dup pairs (hamming <= 3) via Manku 4-band "
+        "block-match — exact recall by pigeonhole, shuffle keyed on "
+        "(band, block) instead of all-pairs; the brute-force oracle "
+        "verifies both the distance math AND the banding guarantee."
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    return ordered_small(
+        dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=4),
+        "doc1", "doc2",
+    )
 
 
 @query(

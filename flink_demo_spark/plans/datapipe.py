@@ -27,6 +27,24 @@ _rng = random.Random(42)
 LSH_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(6)]
 
 
+def _plane_lit(p: list[float]) -> str:
+    # repr() is the shortest round-trip decimal, so DuckDB parses the
+    # bit-identical double the Spark literal carries
+    return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    """DuckDB expression for the random-hyperplane bucket id of `vec`
+    — same planes, same sequential-fold dot product, same sign test
+    as operators/similarity.random_hyperplane_buckets."""
+    terms = [
+        f"CASE WHEN list_dot_product({vec}, {_plane_lit(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(LSH_PLANES)
+    ]
+    return "(" + "\n             + ".join(terms) + ")"
+
+
 def _minhash_lsh_oracle(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.3
 ) -> str:
@@ -474,11 +492,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine_lsh",
-    oracle=None,  # approximate candidates; subset test vs exact pairs
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             {_lsh_bucket_sql('v')} AS bucket
+      FROM e
+    )
+    SELECT a.vec_id AS doc1, c.vec_id AS doc2,
+           round(list_dot_product(a.v, c.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_dot_product(a.v, c.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(c.v, c.v))) >= 0.4
+    ORDER BY doc1, doc2
+    """,
     doc=(
         "embedding near-dup via random-hyperplane LSH buckets + exact "
         "cosine verify: pairs only form inside a bucket (shuffle keyed "
-        "on bucket id) — the sub-quadratic 100 TB path."
+        "on bucket id) — the sub-quadratic 100 TB path. Oracle-backed: "
+        "the hyperplanes ship as double literals and both engines fold "
+        "the dot product in the same order, so bucket ids and verified "
+        "pairs are bit-exact."
     ),
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,8 +565,35 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_lsh_topk",
-    oracle=None,  # approximate path; recall pinned by unit test vs brute force
-    doc="LSH-bucketed ANN top-5 (random hyperplane signatures).",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             {_lsh_bucket_sql('v')} AS bucket
+      FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine_sim
+      FROM b c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, rk, neighbor_id, cosine_sim FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "LSH-bucketed ANN top-5 (random hyperplane signatures), "
+        "oracle-backed: literal-shipped hyperplanes make the candidate "
+        "buckets and within-bucket ranking engine-exact."
+    ),
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -82,7 +82,9 @@ class Pattern:
 
     steps: list[Step] = field(default_factory=list)
     within: pd.Timedelta | None = None
-    after_match: str = "skip_past_last_event"
+    # 'skip_past_last_event' | 'skip_to_next' | ('skip_to_first', name)
+    # | ('skip_to_last', name)
+    after_match: str | tuple[str, str] = "skip_past_last_event"
     until_pred: Predicate | None = None  # stop condition (CEPDemo.scala:489)
 
     @staticmethod
@@ -206,6 +208,29 @@ class Pattern:
         """AFTER MATCH SKIP TO NEXT ROW: emit overlapping matches
         (CEP skip strategies, CEPDemo.scala:846)."""
         self.after_match = "skip_to_next"
+        return self
+
+    def skip_to_first(self, name: str) -> "Pattern":
+        """AFTER MATCH SKIP TO FIRST <name> (CEP
+        ``AfterMatchSkipStrategy.skipToFirst``, CEPDemo.scala:914):
+        the anchor stays pinned at the first event bound to ``name``,
+        so EVERY solution anchored there is emitted (the reference
+        golden shows all repeat counts [a b], [a b c], [a b c d] for
+        one anchor); matching then resumes at that first event if it
+        advances the scan, else past the consumed events. Pair with
+        ``reluctant()`` to replicate the streaming goldens, which emit
+        in earliest-completion order."""
+        self.after_match = ("skip_to_first", name)
+        return self
+
+    def skip_to_last(self, name: str) -> "Pattern":
+        """AFTER MATCH SKIP TO LAST <name> (CEP
+        ``AfterMatchSkipStrategy.skipToLast``, CEPDemo.scala:949):
+        after a match, resume at the LAST event bound to ``name`` —
+        that event may start the next match, giving the reference
+        golden's sliding chain [92,93] -> [93,94] -> [94,96]. Pair
+        with ``reluctant()`` to replicate the streaming goldens."""
+        self.after_match = ("skip_to_last", name)
         return self
 
     def within_time(self, duration: str) -> "Pattern":
@@ -448,11 +473,35 @@ def match_pattern(
             if m is None:
                 break
             end, bindings = m
+            if (
+                isinstance(pattern.after_match, tuple)
+                and pattern.after_match[0] == "skip_to_first"
+            ):
+                # anchor is pinned: emit every solution at this anchor
+                pname = pattern.after_match[1]
+                max_end = end
+                for e2, b2 in _iter_matches_from(rows, anchor, pattern, ts_col):
+                    rec = measures(rows, b2)
+                    for k in key_cols:
+                        rec.setdefault(k, rows.iloc[0][k])
+                    out.append(rec)
+                    max_end = max(max_end, e2)
+                idxs = bindings.get(pname) or []
+                first_idx = min(idxs) if idxs else anchor
+                start = first_idx if first_idx > anchor else max_end
+                continue
             rec = measures(rows, bindings)
             for k in key_cols:
                 rec.setdefault(k, rows.iloc[0][k])
             out.append(rec)
-            if pattern.after_match == "skip_to_next":
+            if (
+                isinstance(pattern.after_match, tuple)
+                and pattern.after_match[0] == "skip_to_last"
+            ):
+                idxs = bindings.get(pattern.after_match[1]) or []
+                last_idx = max(idxs) if idxs else anchor
+                start = last_idx if last_idx > anchor else end
+            elif pattern.after_match == "skip_to_next":
                 start = anchor + 1  # overlapping matches allowed
             else:
                 start = end  # skip past last event

@@ -298,6 +298,56 @@ def test_cep_skip_to_next_overlapping(spark):
     assert counts["skip_next"] == 2  # (0,1) and (1,2)
 
 
+def test_cep_skip_to_first_and_last_goldens(spark):
+    """Replicates the CEPDemo.scala skipToFirst:914 / skipToLast:949 /
+    skipPastLastEvent:879 golden outputs: ``timesOrMore(2)`` over the
+    WaterSensor stream. Flink's loop default is relaxed contiguity, and
+    its streaming NFA emits matches at earliest completion — which in
+    this batch engine is ``relaxed().reluctant()``."""
+
+    def water(seq):
+        return spark.createDataFrame(
+            [
+                (1, i, dt.datetime(1970, 1, 1) + dt.timedelta(seconds=s), v)
+                for i, s, v in seq
+            ],
+            "k long, id string, ts timestamp, vc long",
+        )
+
+    def run(df, pat):
+        def measures(rows_df, b):
+            return {
+                "members": ",".join(
+                    str(int(rows_df.iloc[i]["ts"].timestamp()))
+                    for i in b["first"]
+                )
+            }
+
+        out = cep.match_pattern(
+            df, pat, key_cols=["k"], ts_col="ts",
+            measures=measures, output_schema="k long, members string",
+        )
+        return {r.members for r in out.collect()}
+
+    def pat():
+        p = cep.Pattern.begin("first", lambda r: r["id"] == "sensor_1")
+        return p.times_or_more(2).relaxed().reluctant()
+
+    seq = [
+        ("sensor_1", 92, 20), ("sensor_1", 93, 21), ("sensor_1", 94, 22),
+        ("sensor_2", 92, 22), ("sensor_1", 96, 22), ("sensor_2", 99, 24),
+    ]
+    # CEPDemo:908-912 — anchor pinned at the first event, all lengths
+    got = run(water(seq), pat().skip_to_first("first"))
+    assert got == {"92,93", "92,93,94", "92,93,94,96"}
+    # CEPDemo:943-947 — sliding chain re-anchored at the last event
+    got = run(water(seq), pat().skip_to_last("first"))
+    assert got == {"92,93", "93,94", "94,96"}
+    # CEPDemo:875-877 — non-overlapping shift
+    got = run(water(seq), pat())
+    assert got == {"92,93", "94,96"}
+
+
 def test_cep_until_stops_one_or_more(spark):
     """b+ until(e): expansion stops at the until row
     (reference CEPDemo until:489)."""

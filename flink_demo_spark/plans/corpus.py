@@ -236,3 +236,165 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ), c AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+             CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM c GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_tokens,
+           round((p.n_tokens - p.n_distinct) * 1.0 / p.n_tokens, 6)
+             AS dup_token_frac,
+           CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                THEN round(a.top_bigram_n * 1.0 / a.n_bigrams, 6) END
+             AS top_bigram_frac,
+           ((p.n_tokens - p.n_distinct) * 100 <= 55 * p.n_tokens
+            AND coalesce(a.top_bigram_n, 0) * 1000
+                <= 50 * coalesce(a.n_bigrams, 0)) AS keep
+    FROM per_doc p LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Gopher-style repetition quality filter (token basis): "
+        "duplicate-token fraction and most-frequent-bigram fraction "
+        "per document, keep/drop decided in exact integer arithmetic "
+        "(dup <= 0.55, top-bigram <= 0.05). The thresholds are scaled "
+        "to the synthetic corpus; real pipelines use the Gopher paper "
+        "line/ngram cutoffs. Explode+partial-agg keeps the per-doc "
+        "bigram histogram distributed — no per-row array folds."
+    ),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    per_doc = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+    )
+    # same sequence(1,0)-descending guard as text_bigram_topk
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    agg = (
+        toks.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_n"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    j = per_doc.join(agg, "doc_id", "left")
+    dup = F.col("n_tokens") - F.col("n_distinct")
+    return (
+        j.select(
+            "doc_id",
+            "n_tokens",
+            F.round(dup.cast("double") / F.col("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.round(
+                    F.col("top_bigram_n").cast("double") / F.col("n_bigrams"), 6
+                ),
+            ).alias("top_bigram_frac"),
+            (
+                (dup * 100 <= F.col("n_tokens") * 55)
+                & (
+                    F.coalesce("top_bigram_n", F.lit(0)) * 1000
+                    <= F.coalesce("n_bigrams", F.lit(0)) * 50
+                )
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(t) - 2),
+                 i -> array_to_string(t[i:i+2], ' '))) AS ng
+        FROM toks
+      )
+    ), bench AS (
+      SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM g JOIN bench USING (ng)
+      WHERE g.doc_id % 97 <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "benchmark decontamination: flag training documents sharing "
+        "any word n-gram with the held-out benchmark set (docs with "
+        "doc_id % 97 == 0 stand in for an eval suite). Real pipelines "
+        "use 8-13-grams (GPT-3 appendix C); the tiny synthetic "
+        "vocabulary makes trigrams the analog. The benchmark n-gram "
+        "set is orders of magnitude smaller than the corpus, so the "
+        "join is an explicit broadcast — at 100 TB the scan side "
+        "never shuffles."
+    ),
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    ngrams = F.when(
+        F.size("t") >= 3,
+        F.expr(
+            "transform(sequence(1, size(t) - 2),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1),"
+            " ' ', element_at(t, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select("doc_id", F.explode(ngrams).alias("ng")).distinct()
+    bench = g.where(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    hits = (
+        g.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    scan = docs.select("doc_id").where(F.col("doc_id") % 97 != 0)
+    n_hits = F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+    return (
+        scan.join(hits, "doc_id", "left")
+        .select("doc_id", n_hits, (F.coalesce("n_hits", F.lit(0)) >= 1).alias("contaminated"))
+        .orderBy("doc_id")
+    )

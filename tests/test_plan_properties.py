@@ -187,6 +187,20 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=1,
     ),
+    # bigram histogram via explode + partial agg; no cartesian anywhere
+    "text_repetition_filter": dict(
+        absent=["CartesianProduct", "SortMergeJoin"],
+        partial_agg=True,
+        max_exchanges=5,
+    ),
+    # the benchmark n-gram set must broadcast; the corpus side only
+    # shuffles for its own distinct/groupBy, never for the join
+    "decontam_ngram_overlap": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        partial_agg=True,
+        max_exchanges=7,
+    ),
     "q21_waiting_suppliers": dict(
         contains=["BroadcastHashJoin", "Window"],
         absent=["SortMergeJoin", "CartesianProduct"],

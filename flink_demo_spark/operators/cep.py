@@ -448,6 +448,7 @@ def match_pattern(
     ts_col: str,
     measures: Callable[[pd.DataFrame, dict[str, list[int]]], dict],
     output_schema: StructType | str,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Run the NFA per key over time-sorted events (batch).
 
@@ -459,7 +460,7 @@ def match_pattern(
     out_columns = [f.name for f in _schema_fields(output_schema)]
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values([ts_col]).reset_index(drop=True)
+        rows = group.sort_values(order_cols or [ts_col]).reset_index(drop=True)
         out: list[dict] = []
         start = 0
         n = len(rows)
@@ -519,6 +520,7 @@ def match_pattern_all(
     ts_col: str,
     measures: Callable[[pd.DataFrame, dict[str, list[int]]], dict],
     output_schema: StructType | str,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Flink NO_SKIP emission (CEP's default AfterMatchSkipStrategy):
     every anchor emits EVERY solution — all followedByAny branches
@@ -528,7 +530,7 @@ def match_pattern_all(
     out_columns = [f.name for f in _schema_fields(output_schema)]
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values([ts_col]).reset_index(drop=True)
+        rows = group.sort_values(order_cols or [ts_col]).reset_index(drop=True)
         out: list[dict] = []
         for anchor in range(len(rows)):
             for _end, bindings in _iter_matches_from(rows, anchor, pattern, ts_col):
@@ -602,6 +604,7 @@ def match_pattern_with_timeouts(
     measures: Callable[[pd.DataFrame, dict[str, list[int]]], dict],
     timeout_measures: Callable[[pd.DataFrame, dict[str, list[int]]], dict],
     output_schema: StructType | str,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Match with a timeout side-output (Flink
     ``PatternFlatTimeoutFunction``, reference TimeoutMatchByCep.scala:
@@ -621,7 +624,7 @@ def match_pattern_with_timeouts(
     out_columns = [f.name for f in _schema_fields(output_schema)]
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values([ts_col]).reset_index(drop=True)
+        rows = group.sort_values(order_cols or [ts_col]).reset_index(drop=True)
         out: list[dict] = []
         start = 0
         n = len(rows)

@@ -289,7 +289,50 @@ def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cep_order_timeout",
-    oracle=None,  # sequential skip-past-last consumption not SQL-expressible
+    # the NFA's sequential skip-past-last consumption IS SQL-expressible
+    # here because anchor scanning is monotone: a signup is emitted iff
+    # it is not strictly inside a consumed (success, purchase] interval,
+    # and the consumed intervals are a recursive chain over successes
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS rn
+      FROM events
+    ), nb AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np_rn
+      FROM base
+    ), sig AS (
+      SELECT n.user_id, n.event_id, n.rn, n.np_rn,
+             (n.np_rn IS NOT NULL
+              AND p.ts <= n.ts + INTERVAL 7 DAY) AS np_ok
+      FROM nb n
+      LEFT JOIN base p ON p.user_id = n.user_id AND p.rn = n.np_rn
+      WHERE n.event_type = 'signup'
+    ), succ AS (
+      SELECT user_id, rn, np_rn FROM sig WHERE np_ok
+    ), walk(user_id, s_rn, np_rn) AS (
+      SELECT user_id, rn, np_rn FROM succ s1
+      WHERE rn = (SELECT min(rn) FROM succ s2 WHERE s2.user_id = s1.user_id)
+      UNION ALL
+      SELECT s.user_id, s.rn, s.np_rn
+      FROM walk w JOIN succ s ON s.user_id = w.user_id
+      WHERE s.rn = (SELECT min(rn) FROM succ s2
+                    WHERE s2.user_id = w.user_id AND s2.rn > w.np_rn)
+    )
+    SELECT g.user_id, g.event_id AS anchor_id,
+           CASE WHEN g.np_ok THEN 'success' ELSE 'timeout' END AS status,
+           NOT g.np_ok AS is_timeout
+    FROM sig g
+    WHERE NOT EXISTS (
+      SELECT 1 FROM walk c
+      WHERE c.user_id = g.user_id AND g.rn > c.s_rn AND g.rn <= c.np_rn
+    )
+    ORDER BY anchor_id
+    """,
     doc=(
         "CEP timeout side-output (reference TimeoutMatchByCep.scala:10-19, "
         "OrderPay.scala:31-53): signup followedBy purchase within 7 days "
@@ -319,12 +362,72 @@ def cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cep.match_pattern_with_timeouts(
         ev, pat, ["user_id"], "ts", ok, timed_out,
         "user_id long, anchor_id long, status string, is_timeout boolean",
+        order_cols=["ts", "event_id"],
     ).orderBy("anchor_id")
 
 
 @query(
     "cep_v_pattern",
-    oracle=None,  # NFA skip-past-last-event semantics not SQL-expressible
+    # SQL-expressible for THIS pattern (start any; down+ consecutive,
+    # skip-till-first-down; up skip-till-first-up; skip past last):
+    # a failed anchor implies all later anchors fail (the first down
+    # island and the first up after it only move right), so matches
+    # form a recursive chain pos -> up_rn + 1
+    oracle="""
+    WITH RECURSIVE pur AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), base AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             CASE WHEN value < lag(value) OVER w THEN -1
+                  WHEN value > lag(value) OVER w THEN 1
+                  ELSE 0 END AS dir
+      FROM pur
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+      -- consecutive dir=-1 islands and their right edge
+      SELECT user_id, rn,
+             max(rn) OVER (PARTITION BY user_id, grp) AS run_end
+      FROM (
+        SELECT user_id, rn,
+               rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                 AS grp
+        FROM base WHERE dir = -1
+      )
+    ), nx AS (
+      SELECT b.*,
+             min(CASE WHEN b.dir = -1 THEN b.rn END) OVER (
+               PARTITION BY b.user_id ORDER BY b.rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_down,
+             min(CASE WHEN b.dir = 1 THEN b.rn END) OVER (
+               PARTITION BY b.user_id ORDER BY b.rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_up
+      FROM base b
+    ), match_at AS (
+      SELECT a.user_id, a.rn AS pos,
+             a.event_id AS start_id,
+             e.event_id AS bottom_id,
+             up.event_id AS up_id,
+             e.value AS bottom_value,
+             up.rn AS up_rn
+      FROM nx a
+      JOIN isl i ON i.user_id = a.user_id AND i.rn = a.next_down
+      JOIN nx e ON e.user_id = a.user_id AND e.rn = i.run_end
+      JOIN nx up ON up.user_id = a.user_id AND up.rn = e.next_up
+    ), walk(user_id, pos) AS (
+      SELECT user_id, CAST(1 AS BIGINT) FROM (SELECT DISTINCT user_id FROM pur)
+      UNION ALL
+      SELECT m.user_id, m.up_rn + 1
+      FROM walk w JOIN match_at m ON m.user_id = w.user_id AND m.pos = w.pos
+    )
+    SELECT m.user_id, m.start_id, m.bottom_id, m.up_id, m.bottom_value
+    FROM walk w JOIN match_at m ON m.user_id = w.user_id AND m.pos = w.pos
+    ORDER BY m.user_id, m.start_id
+    """,
     doc=(
         "CEP V-pattern via the NFA operator (reference MATCH_RECOGNIZE "
         "QueryTest.scala:942-1026: PATTERN (START PRICE_DOWN+ PRICE_UP)): "
@@ -369,6 +472,7 @@ def cep_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, start_id long, bottom_id long, up_id long, "
             "bottom_value double"
         ),
+        order_cols=["ts", "event_id"],
     ).orderBy("user_id", "start_id")
 
 

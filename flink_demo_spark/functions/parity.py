@@ -50,6 +50,12 @@ def _is_unknown(c: Column) -> Column:
     return c.isNull()
 
 
+def _overlaps(s1: Column, e1: Column, s2: Column, e2: Column) -> Column:
+    a_lo, a_hi = F.least(s1, e1), F.greatest(s1, e1)
+    b_lo, b_hi = F.least(s2, e2), F.greatest(s2, e2)
+    return ((a_lo < b_hi) & (b_lo < a_hi)) | (a_lo == b_lo)
+
+
 # Flink name -> same-name Spark builtin (identity mappings kept for the
 # mechanical translator + as documentation of verified parity)
 _IDENTICAL = (
@@ -85,6 +91,12 @@ FLINK_FUNCTION_MAP: dict[str, str | Callable[..., Column]] = {
     "overlay": lambda s, r, pos, ln=None: F.overlay(s, r, pos, ln)
     if ln is not None
     else F.overlay(s, r, pos),
+    # (s1,e1) OVERLAPS (s2,e2) — SQL-standard period overlap as in
+    # Calcite/Flink (SqlFuncTest.scala:477-478): strict interior
+    # intersection, plus the S1=S2 equal-start clause (zero-length
+    # periods at the same instant overlap; merely touching endpoints
+    # do not). Periods are normalized so (e, s) == (s, e).
+    "overlaps": _overlaps,
 }
 
 

@@ -64,3 +64,31 @@ def test_rand_integer_bounds(spark):
 def test_identity_names_resolve():
     for name in ("abs", "upper", "coalesce", "year"):
         assert name in FLINK_FUNCTION_MAP
+
+
+def test_overlaps_reference_golden(one_row):
+    """(a,b) OVERLAPS (c,d) — reference SqlFuncTest.scala:477-478:
+    (02:44:31, +1h) OVERLAPS (03:21:31, +2h) -> TRUE;
+    (02:44:31, 03:44:31) OVERLAPS (03:45:31, 05:45:31) -> FALSE."""
+    t = lambda s: F.to_timestamp(F.lit(f"2024-06-15 {s}"))
+    assert _val(
+        one_row,
+        flink_fn("overlaps", t("02:44:31"), t("03:44:31"),
+                 t("03:21:31"), t("05:21:31")),
+    ) is True
+    assert _val(
+        one_row,
+        flink_fn("overlaps", t("02:44:31"), t("03:44:31"),
+                 t("03:45:31"), t("05:45:31")),
+    ) is False
+    # touching endpoints do not overlap; equal starts do
+    assert _val(
+        one_row,
+        flink_fn("overlaps", t("02:00:00"), t("03:00:00"),
+                 t("03:00:00"), t("04:00:00")),
+    ) is False
+    assert _val(
+        one_row,
+        flink_fn("overlaps", t("02:00:00"), t("02:00:00"),
+                 t("02:00:00"), t("02:00:00")),
+    ) is True

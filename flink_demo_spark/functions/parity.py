@@ -59,7 +59,8 @@ def _overlaps(s1: Column, e1: Column, s2: Column, e2: Column) -> Column:
 # Flink name -> same-name Spark builtin (identity mappings kept for the
 # mechanical translator + as documentation of verified parity)
 _IDENTICAL = (
-    "abs mod sqrt ln log10 log2 exp power ceil floor sin sinh cos tan tanh "
+    "abs mod sqrt ln log10 log2 exp power ceil floor sin sinh cos cot tan tanh "
+    "left right log "
     "asin acos atan cosh degrees radians sign round rand uuid bin hex "
     "concat_ws upper lower trim ltrim rtrim repeat regexp_replace replace "
     "regexp_extract initcap lpad rpad from_base64 to_base64 chr decode encode "

@@ -746,3 +746,32 @@ def test_tag_late_events_side_output(spark):
     out = run_available_now(tag_late_events(stream, "key"), output_mode="append")
     got = {r.event_id: r.is_late for r in out.collect()}
     assert got == {10: 0, 11: 1, 12: 0}
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The RocksDB state store (Spark's scale state backend — the
+    analog of the reference's RocksDBStateBackend,
+    StateBackendDemo.scala:20) produces the same windowed aggregate
+    as the default HDFS-backed store. At 100 TB this is the backend
+    that keeps large keyed state off-heap and incrementally
+    checkpointed."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream_result = run_available_now(
+            tumbling_agg(events_stream(spark, sf_dir)), output_mode="complete"
+        )
+        batch = tumbling_agg(load_table(spark, sf_dir, "events"))
+        assert sorted(map(tuple, stream_result.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -256,9 +256,18 @@ class Pattern:
         return self
 
 
-def _iter_matches_from(rows: pd.DataFrame, start: int, pattern: Pattern, ts_col: str):
+def _iter_matches_from(
+    rows: pd.DataFrame,
+    start: int,
+    pattern: Pattern,
+    ts_col: str,
+    recs: list[dict] | None = None,
+):
     """Yield every (end_index_exclusive, {step: [row indices]}) solution
     of the pattern anchored at row ``start``.
+
+    ``recs`` is the rows as ``to_dict("records")`` — computed once per
+    group by the callers; per-probe ``iloc`` is ~10x slower.
 
     Backtracking matcher: quantified steps try repeat counts greedily
     (max->min) or reluctantly (min->max, ``reluctant()``); branch
@@ -267,17 +276,19 @@ def _iter_matches_from(rows: pd.DataFrame, start: int, pattern: Pattern, ts_col:
     preference order, so the FIRST yielded solution is the single-match
     semantics and the full stream is Flink's NO_SKIP emission.
     """
-    n = len(rows)
+    if recs is None:
+        recs = rows.to_dict("records")
+    n = len(recs)
     steps = pattern.steps
-    t0 = rows.iloc[start][ts_col]
+    t0 = recs[start][ts_col]
 
     def in_horizon(j: int) -> bool:
         if pattern.within is None:
             return True
-        return rows.iloc[j][ts_col] - t0 <= pattern.within
+        return recs[j][ts_col] - t0 <= pattern.within
 
     def until_hit(j: int) -> bool:
-        return pattern.until_pred is not None and pattern.until_pred(rows.iloc[j])
+        return pattern.until_pred is not None and pattern.until_pred(recs[j])
 
     def candidates_for(step: Step, i: int, anchored: bool, pending_neg):
         """Start positions for a positive step. followed_by stops at the
@@ -286,7 +297,7 @@ def _iter_matches_from(rows: pd.DataFrame, start: int, pattern: Pattern, ts_col:
         out: list[int] = []
         j = i
         while j < n and in_horizon(j):
-            row = rows.iloc[j]
+            row = recs[j]
             if step.predicate(row):
                 out.append(j)
                 if step.contiguity != "followed_by_any":
@@ -312,7 +323,7 @@ def _iter_matches_from(rows: pd.DataFrame, start: int, pattern: Pattern, ts_col:
             while j < n and in_horizon(j):
                 if until_hit(j):
                     break
-                if step.predicate(rows.iloc[j]):
+                if step.predicate(recs[j]):
                     later.append(j)
                 j += 1
             max_extra = (
@@ -334,7 +345,7 @@ def _iter_matches_from(rows: pd.DataFrame, start: int, pattern: Pattern, ts_col:
         ):
             if until_hit(j):
                 break
-            if step.predicate(rows.iloc[j]):
+            if step.predicate(recs[j]):
                 run.append(j)
                 j += 1
             elif step.loop == "relaxed":
@@ -402,7 +413,7 @@ def _iter_matches_from(rows: pd.DataFrame, start: int, pattern: Pattern, ts_col:
         if step.negated:
             if step.contiguity == "next":
                 # notNext: the immediately following event must not match
-                if i < n and in_horizon(i) and step.predicate(rows.iloc[i]):
+                if i < n and in_horizon(i) and step.predicate(recs[i]):
                     return
                 bindings[step.name] = []
                 yield from solve(si + 1, i, pending_neg, bindings)
@@ -435,10 +446,14 @@ def _iter_matches_from(rows: pd.DataFrame, start: int, pattern: Pattern, ts_col:
 
 
 def _match_from(
-    rows: pd.DataFrame, start: int, pattern: Pattern, ts_col: str
+    rows: pd.DataFrame,
+    start: int,
+    pattern: Pattern,
+    ts_col: str,
+    recs: list[dict] | None = None,
 ) -> tuple[int, dict[str, list[int]]] | None:
     """First (preferred) match anchored at ``start``, or None."""
-    return next(iter(_iter_matches_from(rows, start, pattern, ts_col)), None)
+    return next(iter(_iter_matches_from(rows, start, pattern, ts_col, recs)), None)
 
 
 def match_pattern(
@@ -461,6 +476,7 @@ def match_pattern(
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.sort_values(order_cols or [ts_col]).reset_index(drop=True)
+        recs = rows.to_dict("records")
         out: list[dict] = []
         start = 0
         n = len(rows)
@@ -468,7 +484,7 @@ def match_pattern(
             m = None
             anchor = start
             for anchor in range(start, n):
-                m = _match_from(rows, anchor, pattern, ts_col)
+                m = _match_from(rows, anchor, pattern, ts_col, recs)
                 if m is not None:
                     break
             if m is None:
@@ -481,7 +497,7 @@ def match_pattern(
                 # anchor is pinned: emit every solution at this anchor
                 pname = pattern.after_match[1]
                 max_end = end
-                for e2, b2 in _iter_matches_from(rows, anchor, pattern, ts_col):
+                for e2, b2 in _iter_matches_from(rows, anchor, pattern, ts_col, recs):
                     rec = measures(rows, b2)
                     for k in key_cols:
                         rec.setdefault(k, rows.iloc[0][k])
@@ -531,9 +547,10 @@ def match_pattern_all(
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.sort_values(order_cols or [ts_col]).reset_index(drop=True)
+        recs = rows.to_dict("records")
         out: list[dict] = []
         for anchor in range(len(rows)):
-            for _end, bindings in _iter_matches_from(rows, anchor, pattern, ts_col):
+            for _end, bindings in _iter_matches_from(rows, anchor, pattern, ts_col, recs):
                 rec = measures(rows, bindings)
                 for k in key_cols:
                     rec.setdefault(k, rows.iloc[0][k])
@@ -546,14 +563,20 @@ def match_pattern_all(
 
 
 def _partial_bindings(
-    rows: pd.DataFrame, start: int, pattern: Pattern, ts_col: str
+    rows: pd.DataFrame,
+    start: int,
+    pattern: Pattern,
+    ts_col: str,
+    recs: list[dict] | None = None,
 ) -> dict[str, list[int]] | None:
     """Greedy prefix walk for timeout reporting: bind steps until one
     cannot match. Returns None when the partial dies instantly instead
     of timing out (strict-``next`` mismatch kills the NFA branch with
     no timeout, as in Flink) or when the pattern actually completes."""
-    n = len(rows)
-    t0 = rows.iloc[start][ts_col]
+    if recs is None:
+        recs = rows.to_dict("records")
+    n = len(recs)
+    t0 = recs[start][ts_col]
     bindings: dict[str, list[int]] = {}
     i = start
     for si, step in enumerate(pattern.steps):
@@ -564,10 +587,10 @@ def _partial_bindings(
         j = i
         while j < n:
             if pattern.within is not None and (
-                rows.iloc[j][ts_col] - t0 > pattern.within
+                recs[j][ts_col] - t0 > pattern.within
             ):
                 break
-            if step.predicate(rows.iloc[j]):
+            if step.predicate(recs[j]):
                 found = j
                 break
             if step.contiguity == "next" or si == 0:
@@ -585,7 +608,7 @@ def _partial_bindings(
         while (
             (step.max_times is None or len(run) < step.max_times)
             and j < n
-            and step.predicate(rows.iloc[j])
+            and step.predicate(recs[j])
         ):
             run.append(j)
             j += 1
@@ -625,6 +648,7 @@ def match_pattern_with_timeouts(
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.sort_values(order_cols or [ts_col]).reset_index(drop=True)
+        recs = rows.to_dict("records")
         out: list[dict] = []
         start = 0
         n = len(rows)
@@ -632,10 +656,10 @@ def match_pattern_with_timeouts(
             m = None
             anchor = start
             for anchor in range(start, n):
-                m = _match_from(rows, anchor, pattern, ts_col)
+                m = _match_from(rows, anchor, pattern, ts_col, recs)
                 if m is not None:
                     break
-                partial = _partial_bindings(rows, anchor, pattern, ts_col)
+                partial = _partial_bindings(rows, anchor, pattern, ts_col, recs)
                 if partial:
                     rec = timeout_measures(rows, partial)
                     rec["is_timeout"] = True

@@ -294,25 +294,25 @@ def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it is not strictly inside a consumed (success, purchase] interval,
     # and the consumed intervals are a recursive chain over successes
     oracle="""
-    WITH RECURSIVE base AS (
+    WITH RECURSIVE base AS MATERIALIZED (
       SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
              row_number() OVER (
                PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
              ) AS rn
       FROM events
-    ), nb AS (
+    ), nb AS MATERIALIZED (
       SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
                PARTITION BY user_id ORDER BY rn
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np_rn
       FROM base
-    ), sig AS (
+    ), sig AS MATERIALIZED (
       SELECT n.user_id, n.event_id, n.rn, n.np_rn,
              (n.np_rn IS NOT NULL
               AND p.ts <= n.ts + INTERVAL 7 DAY) AS np_ok
       FROM nb n
       LEFT JOIN base p ON p.user_id = n.user_id AND p.rn = n.np_rn
       WHERE n.event_type = 'signup'
-    ), succ AS (
+    ), succ AS MATERIALIZED (
       SELECT user_id, rn, np_rn FROM sig WHERE np_ok
     ), walk(user_id, s_rn, np_rn) AS (
       SELECT user_id, rn, np_rn FROM succ s1
@@ -374,10 +374,10 @@ def cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # island and the first up after it only move right), so matches
     # form a recursive chain pos -> up_rn + 1
     oracle="""
-    WITH RECURSIVE pur AS (
+    WITH RECURSIVE pur AS MATERIALIZED (
       SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
       FROM events WHERE event_type = 'purchase'
-    ), base AS (
+    ), base AS MATERIALIZED (
       SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn,
@@ -386,7 +386,7 @@ def cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 0 END AS dir
       FROM pur
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), isl AS (
+    ), isl AS MATERIALIZED (
       -- consecutive dir=-1 islands and their right edge
       SELECT user_id, rn,
              max(rn) OVER (PARTITION BY user_id, grp) AS run_end
@@ -396,7 +396,7 @@ def cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS grp
         FROM base WHERE dir = -1
       )
-    ), nx AS (
+    ), nx AS MATERIALIZED (
       SELECT b.*,
              min(CASE WHEN b.dir = -1 THEN b.rn END) OVER (
                PARTITION BY b.user_id ORDER BY b.rn
@@ -407,7 +407,7 @@ def cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
                AS next_up
       FROM base b
-    ), match_at AS (
+    ), match_at AS MATERIALIZED (
       SELECT a.user_id, a.rn AS pos,
              a.event_id AS start_id,
              e.event_id AS bottom_id,

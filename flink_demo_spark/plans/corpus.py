@@ -398,3 +398,72 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", n_hits, (F.coalesce("n_hits", F.lit(0)) >= 1).alias("contaminated"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_lm_rank_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY 1
+    ), rk AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+               AS r
+      FROM vocab
+    ), d AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(r.r) AS BIGINT) AS rank_sum
+      FROM toks t JOIN rk r USING (tok)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           CAST(rank_sum * 10000 // n_tokens AS BIGINT) AS mean_rank_bp,
+           rank_sum * 10000 // n_tokens > 170000 AS flag_rare_heavy
+    FROM d ORDER BY doc_id
+    """,
+    doc=(
+        "LM-style quality scoring (CCNet's 'perplexity filter' shape): "
+        "score each document by the mean corpus-frequency RANK of its "
+        "tokens — under Zipf, rank tracks exp(surprisal), so rare-"
+        "token-heavy documents score high, like high-perplexity docs "
+        "under a unigram LM. Ranks and the mean (integer basis "
+        "points, DIV) are exact integers, so the score is bit-stable "
+        "across engines — the deterministic stand-in for -log p "
+        "scoring, whose float sums diverge by partition order. The "
+        "ranked vocab broadcasts (vocabularies are MBs even at 100 TB "
+        "corpus scale; if ranking itself outgrows one task, rank by "
+        "(count bucket, token) ranges instead)."
+    ),
+)
+def text_lm_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    rk = vocab.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "tok"))
+        .cast("long")
+        .alias("r"),
+    )
+    d = (
+        toks.join(F.broadcast(rk), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("r").cast("long").alias("rank_sum"),
+        )
+    )
+    score = F.expr("rank_sum * 10000 DIV n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("mean_rank_bp"),
+        (score > 170000).alias("flag_rare_heavy"),
+    ).orderBy("doc_id")

@@ -201,6 +201,14 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=7,
     ),
+    # ranked vocab broadcasts to the token stream; corpus side only
+    # shuffles for its own aggs (vocab count, per-doc sum)
+    "text_lm_rank_score": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        partial_agg=True,
+        max_exchanges=6,
+    ),
     "q21_waiting_suppliers": dict(
         contains=["BroadcastHashJoin", "Window"],
         absent=["SortMergeJoin", "CartesianProduct"],

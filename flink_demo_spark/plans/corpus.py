@@ -467,3 +467,71 @@ def text_lm_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("mean_rank_bp"),
         (score > 170000).alias("flag_rare_heavy"),
     ).orderBy("doc_id")
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT lang, doc_id, n_tokens, start_offset,
+           start_offset // 512 AS pack_id,
+           start_offset % 512 AS pack_offset,
+           (start_offset // 512) <> ((start_offset + n_tokens - 1) // 512)
+             AS straddles
+    FROM c
+    ORDER BY lang, doc_id
+    """,
+    doc=(
+        "sequence packing for training (concat-and-chunk): documents "
+        "are concatenated per language in doc_id order and cut into "
+        "fixed 512-token packs; each document gets its pack id, offset "
+        "within the pack, and a straddle flag (real loaders either "
+        "split straddlers or pad). One cumulative-sum window per "
+        "language partition — packing is embarrassingly parallel "
+        "across shards, never a global sequence. All-integer, so "
+        "bit-stable across engines."
+    ),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = toks.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w).cast("long") - F.col("n_tokens")).alias(
+            "start_offset"
+        ),
+    )
+    pack = F.expr("start_offset DIV 512")
+    end_pack = F.expr("(start_offset + n_tokens - 1) DIV 512")
+    return c.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        pack.alias("pack_id"),
+        (F.col("start_offset") % 512).alias("pack_offset"),
+        (pack != end_pack).alias("straddles"),
+    ).orderBy("lang", "doc_id")

@@ -131,3 +131,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(docs, "doc_id", "payload", n_frames=4).orderBy(
         "doc_id", "frame_no"
     )
+
+
+@query(
+    "scalar_string_funcs3",
+    oracle="""
+    SELECT doc_id,
+           lpad(lang, 5, '_')                          AS padded_l,
+           rpad(lang, 5, '_')                          AS padded_r,
+           repeat(lang, 2)                             AS doubled,
+           reverse(lang)                               AS rev,
+           left(lang, 1)                               AS l1,
+           right(lang, 1)                              AS r1,
+           CAST(ascii(lang) AS INT)                    AS first_code,
+           chr(ascii(lang))                            AS first_char,
+           CAST(strpos(source, 'c') AS INT)            AS c_pos,
+           upper(substr(lang, 1, 1)) || substr(lang, 2) AS capped,
+           substr(source, 1, 1) || 'XX' || substr(source, 4) AS overlaid
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    doc=(
+        "third string batch (reference SqlFuncTest.scala:224-292: "
+        "lpad, rpad, repeat, reverse, left, right, ascii, chr, "
+        "locate/position, initcap, overlay ... placing). DuckDB lacks "
+        "initcap/overlay, so the oracle emulates both with substr "
+        "concatenation — exact on this single-word column."
+    ),
+)
+def scalar_string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.lpad("lang", 5, "_").alias("padded_l"),
+        F.rpad("lang", 5, "_").alias("padded_r"),
+        F.repeat("lang", 2).alias("doubled"),
+        F.reverse("lang").alias("rev"),
+        F.expr("left(lang, 1)").alias("l1"),
+        F.expr("right(lang, 1)").alias("r1"),
+        F.ascii("lang").alias("first_code"),
+        F.expr("char(ascii(lang))").alias("first_char"),
+        F.instr("source", "c").alias("c_pos"),
+        F.initcap("lang").alias("capped"),
+        F.overlay("source", F.lit("XX"), F.lit(2), F.lit(2)).alias("overlaid"),
+    ).orderBy("doc_id")

@@ -1146,3 +1146,48 @@ def zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         (F.row_number().over(w) - 1).cast("long").alias("idx"), "o_orderkey"
     ).orderBy("idx")
+
+
+@query(
+    "scalar_datetime_funcs2",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS TIMESTAMP) + INTERVAL 3 HOUR               AS plus3h,
+           CAST(ts AS TIMESTAMP) + INTERVAL 2 MONTH              AS plus2mo,
+           CAST(date_diff('minute',
+                  date_trunc('day', CAST(ts AS TIMESTAMP)),
+                  CAST(ts AS TIMESTAMP)) AS INT)                 AS mins_into_day,
+           CAST(last_day(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                AS TIMESTAMP)                                    AS eom,
+           CAST(week(CAST(ts AS TIMESTAMP)) AS INT)              AS wk,
+           CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS INT)         AS doy,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)   AS unix_s
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+    doc=(
+        "second temporal batch (reference SqlFuncTest.scala:296-504: "
+        "TIMESTAMPADD, TIMESTAMPDIFF, LAST_DAY, WEEK, DAYOFYEAR, unix "
+        "conversions). Cross-engine traps pinned here: DuckDB epoch() "
+        "ROUNDS fractional seconds (oracle floors to match Spark's "
+        "truncating unix_timestamp), Spark add_months drops the "
+        "time-of-day (timestampadd keeps it, matching DuckDB interval "
+        "arithmetic), and last_day is DATE-typed (cast TIMESTAMP both "
+        "sides per the determinism contract)."
+    ),
+)
+def scalar_datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.expr("timestampadd(HOUR, 3, ts)").alias("plus3h"),
+        F.expr("timestampadd(MONTH, 2, ts)").alias("plus2mo"),
+        F.expr("timestampdiff(MINUTE, date_trunc('day', ts), ts)")
+        .cast("int")
+        .alias("mins_into_day"),
+        F.last_day("ts").cast("timestamp").alias("eom"),
+        F.weekofyear("ts").alias("wk"),
+        F.dayofyear("ts").alias("doy"),
+        F.unix_timestamp("ts").alias("unix_s"),
+    ).orderBy("event_id")

@@ -640,7 +640,10 @@ def match_pattern_with_timeouts(
 
     ``output_schema`` must contain an ``is_timeout boolean`` field.
     Requires ``pattern.within``; a partial that merely dies on a
-    strict-``next`` mismatch emits nothing, matching Flink.
+    strict-``next`` mismatch emits nothing, matching Flink. Skip
+    strategies here: skip-past-last-event (default) and skip_to_next;
+    the named skip_to_first/skip_to_last strategies fall back to
+    skip-past (use ``match_pattern`` for those).
     """
     if pattern.within is None:
         raise ValueError("timeout output requires pattern.within_time(...)")

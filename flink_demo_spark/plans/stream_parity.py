@@ -400,3 +400,67 @@ def streaming_triggered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sum_v4") / 10000.0, 2).alias("sum_value"),
     ).orderBy("key", "event_id")
+
+
+@query(
+    "streaming_decontam",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' '))) AS ng
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM g JOIN bench USING (ng)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY 1 ORDER BY doc_id
+    """,
+    doc=(
+        "streaming benchmark decontamination: a document FEED "
+        "(readStream) exploded to n-grams and joined against the "
+        "static benchmark n-gram set (stream-static broadcast join, "
+        "the production shape for screening an incoming crawl), "
+        "counting contaminated n-gram occurrences per document in "
+        "complete mode. Equals the batch/oracle result; the distinct-"
+        "type variant is the batch query `decontam_ngram_overlap`."
+    ),
+)
+def streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..sources.streams import documents_stream
+
+    ngrams = F.when(
+        F.size("t") >= 3,
+        F.expr(
+            "transform(sequence(1, size(t) - 2),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1),"
+            " ' ', element_at(t, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 == 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .select(F.explode(ngrams).alias("ng"))
+        .distinct()
+    )
+    feed = (
+        documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .select("doc_id", F.explode(ngrams).alias("ng"))
+    )
+    hits = (
+        feed.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    result = run_available_now(hits, output_mode="complete")
+    return result.orderBy("doc_id")

@@ -73,6 +73,26 @@ def events_stream(
     return df
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table as a stream (no event-time column —
+    corpus pipelines consume document feeds in arrival order)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    apply_runtime_confs(spark)
+    return spark.readStream.schema(schema).parquet(
+        _stage_stream_dir(sf_dir, "documents")
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     """Built-in rate source: (timestamp, value) rows."""
     return (

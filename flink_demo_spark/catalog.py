@@ -8,11 +8,13 @@ exposes canonical temp views.
 Tables (see /root/repo/TESTDATA.md): region nation customer supplier
 part orders lineitem events documents embeddings.
 
-The only normalization needed: ``events.ts`` is parquet
-TIMESTAMP(NANOS); Spark reads it as int64 nanos (with
-``spark.sql.legacy.parquet.nanosAsLong``) and we truncate ns -> µs,
-matching DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation so oracle
-comparisons agree.
+The only normalization needed: ``events.ts`` arrives either as
+parquet TIMESTAMP(NANOS) — Spark reads it as int64 nanos under
+``spark.sql.legacy.parquet.nanosAsLong``, truncate ns -> µs — or as
+TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+TIMESTAMP_NTZ. Both normalize to session-tz TimestampType (session
+tz is pinned to UTC) so plans and DuckDB oracles (``ts`` is a naive
+TIMESTAMP there) agree byte-for-byte.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from .session import apply_runtime_confs
 
@@ -48,9 +51,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # int64 nanos -> TimestampType(µs); `div` truncates like
-        # DuckDB's TIMESTAMP_NS -> TIMESTAMP cast
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType regardless of the
+    parquet physical encoding (int64 nanos under nanosAsLong, or
+    TIMESTAMP_NTZ from a µs-precision file). UTC session tz makes the
+    NTZ -> TZ cast wall-clock-preserving."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # `div` truncates ns -> µs like DuckDB's TIMESTAMP_NS cast
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

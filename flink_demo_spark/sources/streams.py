@@ -29,17 +29,25 @@ from pyspark.sql.types import (
 
 from ..session import apply_runtime_confs
 
-# events parquet physical schema under nanosAsLong (ts stored as int64 ns)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(sf_dir: str) -> StructType:
+    """Events read schema, matching the parquet physical encoding of
+    ``ts``: int64 under nanosAsLong when the file is TIMESTAMP(NANOS),
+    TIMESTAMP_NTZ when it is µs-precision without UTC adjustment."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    ts_type = LongType() if getattr(t, "unit", None) == "ns" else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def _stage_stream_dir(sf_dir: str, table: str) -> str:
@@ -61,13 +69,13 @@ def events_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Replay the events table as a stream with its event-time column."""
+    from ..catalog import normalize_events_ts
+
     apply_runtime_confs(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(_events_raw_schema(sf_dir))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(_stage_stream_dir(sf_dir, "events")).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    df = normalize_events_ts(reader.parquet(_stage_stream_dir(sf_dir, "events")))
     if watermark:
         df = df.withWatermark("ts", watermark)
     return df

@@ -213,14 +213,23 @@ def cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     round_to: int = 6,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """All near-duplicate pairs by exact cosine >= threshold
     (embedding-cosine dedup; output (doc1, doc2, cosine_sim), doc1 <
     doc2).
 
-    Block-matrix brute force: one side of the similarity matrix is
-    broadcast as a float64 matrix (ids, vectors, norms); each Arrow
-    batch of the corpus computes its block against it in numpy.
+    Distributed block-pair brute force — NOTHING is collected to the
+    driver. Rows are assigned to ``num_blocks`` blocks by id; each row
+    is replicated to every block *pair* it participates in (side 'A'
+    for pairs (b, j>=b), side 'B' for pairs (i<=b, b)), one shuffle
+    keyed on (bi, bj), and each of the B*(B+1)/2 block-pair groups
+    runs the dense kernel over its two blocks inside
+    ``applyInPandas``. Per-task memory is O((n/B)^2 bool + 2*(n/B)*dim
+    floats) regardless of total corpus size: at 100x the data, raise
+    ``num_blocks`` ~100x (B scales linearly with n for fixed task
+    memory; replication factor is B+1, the price of exact all-pairs).
+    The LSH-bucketed variant below stays the sub-quadratic scale path.
 
     Exactness strategy: the n_a x n_b block runs through one BLAS
     matmul as a CANDIDATE filter only (threshold minus a margin far
@@ -229,58 +238,85 @@ def cosine_pairs(
     reproduces ``F.aggregate``/DuckDB's list_dot_product bit-for-bit.
     The emitted value is always the sequential-fold one, so the oracle
     hash-matches while the O(n_a*n_b*dim) work stays inside dgemm
-    instead of dim rank-1 numpy updates (~10x on wide blocks). At
-    100 TB replace the broadcast with a cross join of row-group blocks
-    (same kernel per block pair); the LSH-bucketed variant below is
-    the sub-quadratic scale path.
+    instead of dim rank-1 numpy updates (~10x on wide blocks).
     """
     import numpy as np
 
-    rows = df.select(id_col, vec_col).collect()
-    b_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    b_mat = np.array([r[1] for r in rows], dtype=np.float64)
-    dim = b_mat.shape[1]
-    b_norm2 = np.zeros(len(b_ids))
-    for k in range(dim):  # sequential, matches the fold order
-        b_norm2 += b_mat[:, k] * b_mat[:, k]
-    b_norm = np.sqrt(b_norm2)
-    bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
+    nb = int(num_blocks)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    # A-side: row in block b joins pairs (b, j) for j >= b
+    a_rows = (
+        base.withColumn("__b", F.pmod(F.col("__id"), F.lit(nb)).cast("int"))
+        .withColumn("bj", F.explode(F.sequence(F.col("__b"), F.lit(nb - 1))))
+        .select(
+            F.col("__b").alias("bi"),
+            "bj",
+            F.lit("A").alias("side"),
+            "__id",
+            "__vec",
+        )
+    )
+    # B-side: row in block b joins pairs (i, b) for i <= b
+    b_rows = (
+        base.withColumn("__b", F.pmod(F.col("__id"), F.lit(nb)).cast("int"))
+        .withColumn("bi", F.explode(F.sequence(F.lit(0), F.col("__b"))))
+        .select(
+            "bi",
+            F.col("__b").alias("bj"),
+            F.lit("B").alias("side"),
+            "__id",
+            "__vec",
+        )
+    )
+    both = a_rows.unionByName(b_rows)
     margin = 1e-6  # >> BLAS-vs-fold divergence, << any real gap
 
-    def fn(batches):
+    def kernel(pdf):
         import pandas as pd
 
-        ids_b, mat_b, norm_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            a_norm2 = np.zeros(len(a_ids))
-            for k in range(dim):
-                a_norm2 += a_mat[:, k] * a_mat[:, k]
-            a_norm = np.sqrt(a_norm2)
-            approx = (a_mat @ mat_b.T) / (a_norm[:, None] * norm_b[None, :])
-            ai, bi = np.nonzero(
-                (approx >= threshold - margin)
-                & (a_ids[:, None] < ids_b[None, :])
-            )
-            # exact sequential-fold recompute on the sparse candidates
-            av, bv = a_mat[ai], mat_b[bi]
-            acc = np.zeros(len(ai))
-            for k in range(dim):
-                acc += av[:, k] * bv[:, k]
-            cos = acc / (a_norm[ai] * norm_b[bi])
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "doc1": a_ids[ai[keep]],
-                    "doc2": ids_b[bi[keep]],
-                    "cosine_sim": cos[keep],
-                }
-            )
+        a_pdf = pdf[pdf["side"] == "A"]
+        b_pdf = pdf[pdf["side"] == "B"]
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame(
+                {"doc1": [], "doc2": [], "cosine_sim": []}
+            ).astype({"doc1": "int64", "doc2": "int64", "cosine_sim": "float64"})
+        diagonal = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        a_ids = a_pdf["__id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["__id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a_pdf["__vec"]), dtype=np.float64)
+        b_mat = np.array(list(b_pdf["__vec"]), dtype=np.float64)
+        dim = a_mat.shape[1]
+        a_norm2 = np.zeros(len(a_ids))
+        b_norm2 = np.zeros(len(b_ids))
+        for k in range(dim):  # sequential, matches the fold order
+            a_norm2 += a_mat[:, k] * a_mat[:, k]
+            b_norm2 += b_mat[:, k] * b_mat[:, k]
+        a_norm, b_norm = np.sqrt(a_norm2), np.sqrt(b_norm2)
+        approx = (a_mat @ b_mat.T) / (a_norm[:, None] * b_norm[None, :])
+        cand = approx >= threshold - margin
+        if diagonal:
+            # both sides hold the same block: keep one orientation
+            cand &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(cand)
+        # exact sequential-fold recompute on the sparse candidates
+        av, bv = a_mat[ai], b_mat[bi]
+        acc = np.zeros(len(ai))
+        for k in range(dim):
+            acc += av[:, k] * bv[:, k]
+        cos = acc / (a_norm[ai] * b_norm[bi])
+        keep = cos >= threshold
+        d1, d2 = a_ids[ai[keep]], b_ids[bi[keep]]
+        return pd.DataFrame(
+            {
+                "doc1": np.minimum(d1, d2),
+                "doc2": np.maximum(d1, d2),
+                "cosine_sim": cos[keep],
+            }
+        )
 
-    out = df.mapInPandas(fn, "doc1 long, doc2 long, cosine_sim double")
+    out = both.groupBy("bi", "bj").applyInPandas(
+        kernel, "doc1 long, doc2 long, cosine_sim double"
+    )
     return out.select(
         "doc1", "doc2", F.round("cosine_sim", round_to).alias("cosine_sim")
     )

@@ -477,9 +477,10 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "embedding-cosine near-dup pairs (exact, cosine >= 0.4): "
-        "block-matrix brute force in a vectorized Pandas UDF with "
-        "fold-order-exact accumulation; the LSH variant is the "
-        "sub-quadratic scale path."
+        "distributed block-pair join (no driver collect) — rows "
+        "replicate to their block pairs, one shuffle on (bi, bj), "
+        "dense dgemm kernel with fold-order-exact accumulation per "
+        "block pair; the LSH variant is the sub-quadratic scale path."
     ),
     bench=True,
 )

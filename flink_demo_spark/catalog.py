@@ -60,13 +60,20 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     parquet physical encoding (int64 nanos under nanosAsLong, or
     TIMESTAMP_NTZ from a µs-precision file). UTC session tz makes the
     NTZ -> TZ cast wall-clock-preserving."""
+    from pyspark.sql.types import TimestampType
+
     dt = df.schema["ts"].dataType
     if isinstance(dt, LongType):
         # `div` truncates ns -> µs like DuckDB's TIMESTAMP_NS cast
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if isinstance(dt, TimestampNTZType):
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    if isinstance(dt, TimestampType):
+        return df
+    # anything else (e.g. StringType from a malformed file) would fail
+    # far downstream with a confusing watermark/comparison error —
+    # catch encoding drift at load time instead
+    raise TypeError(f"events.ts has unsupported dtype {dt!r}")
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

@@ -36,10 +36,20 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) inverted-index rows, distinct per doc."""
-    return fan_out(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("shingle")
+    """(id, shingle) inverted-index rows, distinct per doc.
+
+    ``explode_outer`` + null filter instead of plain ``explode``:
+    InferFiltersFromGenerate would add a ``size(shingles(text)) > 0``
+    predicate that pushes BELOW the fan-out repartition, evaluating the
+    whole shingle expression a second time per row on the narrow
+    pre-shuffle scan (measured ~2x the stage cost). The outer variant
+    infers nothing; the post-generate null filter is free.
+    """
+    exploded = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(shingles(text_col, k)).alias("shingle"),
     )
+    return exploded.where(F.col("shingle").isNotNull())
 
 
 def jaccard_pairs(
@@ -48,6 +58,7 @@ def jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.4,
+    max_posting: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard >= threshold.
 
@@ -57,25 +68,42 @@ def jaccard_pairs(
     sizes. One pass over the inverted index (the self-join formulation
     evaluates the shingle expansion twice and broadcasts a string-keyed
     table; this is ~2.5× faster and shuffles only (shingle, id) rows).
-    Skew note: a shingle appearing in f docs yields f(f-1)/2 pairs in
-    one task — at 100 TB, cap posting-list length (drop ultra-frequent
-    shingles) or switch to prefix filtering (AllPairs/PPJoin) for an
-    exact result without the quadratic head.
+
+    Skew guard: a shingle appearing in f docs yields f(f-1)/2 pairs in
+    one task, so ultra-frequent (boilerplate) shingles with
+    f > ``max_posting`` are dropped from the candidate index — without
+    the cap one viral shingle at 100 TB turns into a single-task
+    straggler. Dropped shingles no longer contribute to n_common, so
+    for pairs sharing a capped shingle the reported Jaccard is a lower
+    bound (set sizes n1/n2 stay exact); discriminative shingles are
+    unaffected. The number of capped shingles is observable per run via
+    the ``jaccard_posting_cap`` observation (metric
+    ``dropped_shingles``). Pass ``max_posting=None`` for the uncapped
+    exact result.
     """
     # Each exploded row carries the doc's shingle-set size, so the
     # posting-list pairs already hold (n1, n2) — no size-table joins,
     # ONE scan of the corpus and two shuffles total.
+    # explode_outer + null filter: see shingle_table for why plain
+    # explode would double-evaluate the shingle expression below the
+    # fan-out repartition.
     arr = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh")
     )
     sh = arr.select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+        "doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
+    posting = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids")
     )
-    posting = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
+    if max_posting is not None:
+        posting = posting.observe(
+            f"jaccard_posting_cap_{max_posting}",
+            F.sum(
+                F.when(F.size("ids") > max_posting, 1).otherwise(0)
+            ).alias("dropped_shingles"),
+        ).where(F.size("ids") <= max_posting)
+    posting = posting.where(F.size("ids") > 1)
     # ids sorted by doc_id -> emit (ids[i], ids[j]) for i < j: doc1 < doc2
     pair = F.flatten(
         F.transform(
@@ -259,7 +287,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     assert bits <= 60  # digest width
     tok_tbl = (
         fan_out(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokens(text_col)).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
         .select("doc_id", portable_hash60("tok").alias("h"))
     )
     votes = tok_tbl.groupBy("doc_id").agg(

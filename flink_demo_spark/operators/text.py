@@ -22,15 +22,32 @@ def fan_out(df):
     """Spread a narrow scan across the cluster before CPU-heavy
     per-row expressions.
 
-    A small parquet table often arrives as a single input split, which
-    serializes the whole shingle/tokenize stage onto one core. When
-    the scan has fewer partitions than the cluster's parallelism,
-    one cheap round-robin shuffle of the raw rows buys full fan-out
-    for everything downstream. At 100 TB the scan already has
-    thousands of splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    A small parquet table often arrives as a single input split (or a
+    handful of row groups), which serializes the whole shingle/
+    tokenize stage onto a few cores. When the optimizer's size
+    estimate says the scan cannot fill the cluster's parallelism with
+    full partitions, one cheap round-robin shuffle of the raw rows
+    buys full fan-out for everything downstream. The decision uses
+    driver-side catalyst statistics only — no ``df.rdd`` conversion,
+    no job. At 100 TB the estimate is far past the threshold and this
+    is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_part = "".join(
+            c
+            for c in str(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            )
+            if c.isdigit()
+        )
+        if size_bytes < target * int(max_part or "134217728"):
+            return df.repartition(target)
+    except Exception:
+        pass  # stats unavailable (e.g. streaming plan): leave as-is
     return df
 
 def tokens(text: str | Column) -> Column:
@@ -145,10 +162,19 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    rows = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(shingles_positional(text_col, k)).alias("pos", "shingle"),
-    ).select("doc_id", "pos", F.md5("shingle").alias("h"))
+    # posexplode_outer + null filter: plain posexplode makes
+    # InferFiltersFromGenerate re-evaluate the whole shingle expression
+    # in a pushed-down size() predicate (see shingle_table in dedup.py)
+    rows = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode_outer(shingles_positional(text_col, k)).alias(
+                "pos", "shingle"
+            ),
+        )
+        .where(F.col("shingle").isNotNull())
+        .select("doc_id", "pos", F.md5("shingle").alias("h"))
+    )
     fr = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     winmins = rows.select(
         "doc_id",

@@ -102,7 +102,8 @@ def pv_uv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "uv_approx_hll",
-    oracle=None,  # HLL sketch differs per engine; bounds pinned by unit test
+    oracle=None,  # HLL sketch differs per engine; |HLL-exact| <= 5*rsd
+    # pinned by tests/test_plans.py::test_uv_approx_hll_within_error_bound
     doc=(
         "approximate UV via HLL (reference Bloom-filter UV "
         "UvCountWithBloomByWindow.scala:13-38 -> approx_count_distinct, "

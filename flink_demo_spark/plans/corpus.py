@@ -224,7 +224,11 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     c = (
-        toks.select("lang", F.explode(bigrams).alias("bigram"))
+        # explode_outer + null filter: avoids InferFiltersFromGenerate
+        # re-evaluating the bigram expression below the fan-out
+        # repartition (see dedup.shingle_table)
+        toks.select("lang", F.explode_outer(bigrams).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -298,7 +302,8 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     agg = (
-        toks.select("doc_id", F.explode(bigrams).alias("bigram"))
+        toks.select("doc_id", F.explode_outer(bigrams).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -383,7 +388,11 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ' ', element_at(t, i + 2)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = toks.select("doc_id", F.explode(ngrams).alias("ng")).distinct()
+    g = (
+        toks.select("doc_id", F.explode_outer(ngrams).alias("ng"))
+        .where(F.col("ng").isNotNull())
+        .distinct()
+    )
     bench = g.where(F.col("doc_id") % 97 == 0).select("ng").distinct()
     hits = (
         g.where(F.col("doc_id") % 97 != 0)
@@ -442,8 +451,8 @@ def text_lm_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
-    )
+        F.explode_outer(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok").isNotNull())
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     rk = vocab.select(
         "tok",

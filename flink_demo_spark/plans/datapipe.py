@@ -276,9 +276,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), kept AS (
+      -- mirror of the engine's posting-list cap (max_posting=64):
+      -- ultra-frequent shingles leave the candidate index
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
     ), common AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT doc1, doc2,
@@ -289,13 +294,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_common / (n1.n + n2.n - n_common) >= 0.3
     ORDER BY doc1, doc2
     """,
-    doc="n-gram (3-shingle) Jaccard near-dup pairs via inverted index.",
+    doc=(
+        "n-gram (3-shingle) Jaccard near-dup pairs via inverted index; "
+        "posting lists capped at 64 docs (skew guard, mirrored in the "
+        "oracle)."
+    ),
     bench=True,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return ordered_small(
-        dedup.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.3),
+        dedup.jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+        ),
         "doc1", "doc2",
     )
 
@@ -739,8 +750,11 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+            F.explode_outer(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+                "word"
+            )
         )
+        .where(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "word")

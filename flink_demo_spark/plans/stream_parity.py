@@ -448,14 +448,16 @@ def streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 97 == 0)
         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
-        .select(F.explode(ngrams).alias("ng"))
+        .select(F.explode_outer(ngrams).alias("ng"))
+        .where(F.col("ng").isNotNull())
         .distinct()
     )
     feed = (
         documents_stream(spark, sf_dir)
         .where(F.col("doc_id") % 97 != 0)
         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
-        .select("doc_id", F.explode(ngrams).alias("ng"))
+        .select("doc_id", F.explode_outer(ngrams).alias("ng"))
+        .where(F.col("ng").isNotNull())
     )
     hits = (
         feed.join(F.broadcast(bench), "ng")

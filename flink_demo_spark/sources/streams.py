@@ -29,15 +29,42 @@ from pyspark.sql.types import (
 
 from ..session import apply_runtime_confs
 
-def _events_raw_schema(sf_dir: str) -> StructType:
+def _events_raw_schema(staged_dir: str) -> StructType:
     """Events read schema, matching the parquet physical encoding of
     ``ts``: int64 under nanosAsLong when the file is TIMESTAMP(NANOS),
-    TIMESTAMP_NTZ when it is µs-precision without UTC adjustment."""
-    import pyarrow.parquet as pq
-    from pyspark.sql.types import TimestampNTZType
+    TIMESTAMP_NTZ when it is µs-precision without UTC adjustment.
 
-    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    ts_type = LongType() if getattr(t, "unit", None) == "ns" else TimestampNTZType()
+    Sniffs the FIRST parquet file in the staged stream directory (the
+    same files the reader consumes — sniffing the origin dir could
+    diverge if staging ever rewrites files). Any other ``ts`` encoding
+    (tz-adjusted, second/milli precision, non-timestamp) raises
+    immediately rather than silently declaring NTZ and failing deep in
+    the streaming query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in os.listdir(staged_dir) if f.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files staged in {staged_dir}")
+    t = pq.read_schema(os.path.join(staged_dir, files[0])).field("ts").type
+    if not pa.types.is_timestamp(t):
+        raise TypeError(
+            f"events.ts must be a parquet timestamp column, got {t!r}"
+        )
+    if t.unit == "ns":
+        ts_type: object = LongType()  # read raw int64 under nanosAsLong
+    elif t.unit == "us" and t.tz is None:
+        from pyspark.sql.types import TimestampNTZType
+
+        ts_type = TimestampNTZType()
+    else:
+        raise TypeError(
+            "unsupported events.ts encoding: "
+            f"unit={t.unit!r} tz={t.tz!r} (expected ns, or us without "
+            "UTC adjustment)"
+        )
     return StructType(
         [
             StructField("event_id", LongType()),
@@ -72,10 +99,11 @@ def events_stream(
     from ..catalog import normalize_events_ts
 
     apply_runtime_confs(spark)
-    reader = spark.readStream.schema(_events_raw_schema(sf_dir))
+    staged = _stage_stream_dir(sf_dir, "events")
+    reader = spark.readStream.schema(_events_raw_schema(staged))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = normalize_events_ts(reader.parquet(_stage_stream_dir(sf_dir, "events")))
+    df = normalize_events_ts(reader.parquet(staged))
     if watermark:
         df = df.withWatermark("ts", watermark)
     return df

@@ -57,3 +57,43 @@ def test_interval_join_filters_pushed(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["interval_join"].fn(spark, sf_dir))
     assert "EqualTo(event_type,purchase)" in plan
     assert "EqualTo(event_type,click)" in plan
+
+
+def test_uv_approx_hll_within_error_bound(spark, sf_dir):
+    """Pin the one no-oracle query: the HLL estimate must sit within
+    5x the configured relative standard deviation (rsd=0.02) of the
+    exact per-window distinct count. Spark's HLL is deterministic for
+    a given dataset, so this is a stable regression bound, not a
+    flaky statistical one."""
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.plans.behavior import _events
+
+    approx = {
+        r["window_start"]: r["uv_approx"]
+        for r in REGISTRY["uv_approx_hll"].fn(spark, sf_dir).collect()
+    }
+    exact_df = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").alias("uv"))
+        .select(F.col("w.start").alias("window_start"), "uv")
+    )
+    exact = {r["window_start"]: r["uv"] for r in exact_df.collect()}
+    assert set(approx) == set(exact)
+    for w, uv in exact.items():
+        rel = abs(approx[w] - uv) / uv
+        assert rel <= 5 * 0.02, (w, approx[w], uv, rel)
+
+
+def test_jaccard_shingle_expression_evaluated_once(spark, sf_dir):
+    """InferFiltersFromGenerate must not duplicate the shingle
+    expression below the fan-out repartition (the explode_outer
+    formulation in dedup.jaccard_pairs prevents it): the zip_with
+    shingle chain appears exactly once in the optimized plan."""
+    df = REGISTRY["dedup_jaccard_pairs"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("zip_with(zip_with") == 1, (
+        "shingle expression duplicated — a pushed-down inferred filter "
+        "is re-evaluating it on the pre-shuffle scan"
+    )

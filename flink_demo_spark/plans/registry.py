@@ -81,6 +81,7 @@ def _load_all() -> None:
         behavior,
         corpus,
         datapipe,
+        matchrec,
         predicates,
         relational,
         stream_parity,

@@ -1,0 +1,377 @@
+"""MATCH_RECOGNIZE translator goldens.
+
+Each test replays a reference test's literal input data and SQL text
+and asserts the reference's printed golden output:
+
+- QueryTest.scala:942-1026   (V-pattern, SKIP TO LAST PRICE_UP)
+- TableSQLFunc.scala:1727-1790 (A+ B rise-fall, SKIP PAST LAST ROW)
+- TableSQLFunc.scala:1881-2010 (B* / B*? / B{1,}? quantifier modes)
+- TableSQLFunc.scala:2012-2110 (WITHIN INTERVAL strictness)
+- TableSQLFunc.scala:2149-2248 (unqualified SUM, LAST offsets)
+- TableSQLFunc2.scala:20-133  (SUM(A.price) budget, 3 skip strategies)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_demo_spark.operators.match_recognize import (
+    match_recognize,
+    match_recognize_sql,
+    parse_match_recognize,
+)
+
+
+def _t(s: str) -> dt.datetime:
+    return dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+def _ticker(spark, rows):
+    return spark.createDataFrame(
+        [(sym, _t(ts), price, tax, i) for i, (sym, ts, price, tax) in enumerate(rows)],
+        "symbol string, ctime timestamp, price bigint, tax bigint, rid bigint",
+    )
+
+
+# docs/reference ACME ticker (QueryTest.scala:947-958)
+ACME_V = [
+    ("ACME", "2021-05-11 10:00:00", 12, 1),
+    ("ACME", "2021-05-11 10:00:01", 17, 2),
+    ("ACME", "2021-05-11 10:00:02", 19, 1),
+    ("ACME", "2021-05-11 10:00:03", 21, 3),
+    ("ACME", "2021-05-11 10:00:04", 25, 2),
+    ("ACME", "2021-05-11 10:00:05", 18, 1),
+    ("ACME", "2021-05-11 10:00:06", 15, 1),
+    ("ACME", "2021-05-11 10:00:07", 14, 2),
+    ("ACME", "2021-05-11 10:00:08", 24, 2),
+    ("ACME", "2021-05-11 10:00:09", 25, 2),
+    ("ACME", "2021-05-11 10:00:10", 19, 1),
+]
+
+
+def test_v_pattern_skip_to_last_price_up(spark):
+    df = _ticker(spark, ACME_V)
+    out = match_recognize(
+        df,
+        """
+        SELECT * FROM Ticker MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ctime
+          MEASURES
+            START_ROW.ctime AS start_tmstp,
+            LAST(PRICE_DOWN.ctime) AS bottom_tmstp,
+            PRICE_UP.ctime AS end_tmstp
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO LAST PRICE_UP
+          PATTERN (START_ROW PRICE_DOWN+ PRICE_UP)
+          DEFINE
+            PRICE_DOWN AS
+              (LAST(PRICE_DOWN.price,1) IS NULL AND PRICE_DOWN.price < START_ROW.price) OR
+              PRICE_DOWN.price < LAST(PRICE_DOWN.price,1),
+            PRICE_UP AS
+              PRICE_UP.price > LAST(PRICE_DOWN.price,1)
+        ) MR
+        """,
+    ).collect()
+    assert [(r.start_tmstp, r.bottom_tmstp, r.end_tmstp) for r in out] == [
+        (_t("2021-05-11 10:00:04"), _t("2021-05-11 10:00:07"), _t("2021-05-11 10:00:08"))
+    ]
+
+
+# TableSQLFunc.scala:1735-1746 (two rows share ts 10:00:07 — arrival
+# order 14 then 15; rid keeps that order deterministic in batch)
+ACME_RISE_FALL = [
+    ("ACME", "2021-05-11 10:00:00", 12, 1),
+    ("ACME", "2021-05-11 10:00:01", 17, 2),
+    ("ACME", "2021-05-11 10:00:02", 19, 1),
+    ("ACME", "2021-05-11 10:00:03", 21, 3),
+    ("ACME", "2021-05-11 10:00:04", 25, 2),
+    ("ACME", "2021-05-11 10:00:07", 14, 2),
+    ("ACME", "2021-05-11 10:00:07", 15, 2),
+    ("ACME", "2021-05-11 10:00:08", 24, 2),
+    ("ACME", "2021-05-11 10:00:09", 25, 2),
+    ("ACME", "2021-05-11 10:00:10", 19, 1),
+]
+
+RISE_FALL_SQL = """
+SELECT * FROM Ticker MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY ctime, rid
+  MEASURES
+    FIRST(A.price) AS START_PRICE,
+    LAST(A.price) AS TOP_PRICE,
+    B.price AS END_PRICE
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A+ B)
+  DEFINE
+    A AS LAST(A.price,1) IS NULL OR A.price > LAST(A.price,1),
+    B AS B.price < LAST(A.price,1)
+) MR
+"""
+
+
+def test_rise_fall_skip_past_last_row(spark):
+    # golden TableSQLFunc.scala:1720-1727
+    df = _ticker(spark, ACME_RISE_FALL)
+    out = match_recognize(df, RISE_FALL_SQL).collect()
+    assert [(r.START_PRICE, r.TOP_PRICE, r.END_PRICE) for r in out] == [
+        (12, 25, 14),
+        (15, 25, 19),
+    ]
+
+
+# TableSQLFunc2.scala:27-34 XYZ data
+XYZ = [
+    ("XYZ", "2018-09-17 10:00:01", 7, 1),
+    ("XYZ", "2018-09-17 10:00:02", 9, 2),
+    ("XYZ", "2018-09-17 10:00:03", 10, 1),
+    ("XYZ", "2018-09-17 10:00:04", 5, 2),
+    ("XYZ", "2018-09-17 10:00:05", 10, 2),
+    ("XYZ", "2018-09-17 10:00:06", 7, 2),
+    ("XYZ", "2018-09-17 10:00:07", 14, 2),
+]
+
+
+def _sum_budget_sql(skip: str) -> str:
+    return f"""
+    SELECT * FROM Ticker MATCH_RECOGNIZE (
+      PARTITION BY symbol
+      ORDER BY ctime
+      MEASURES
+        SUM(A.price) AS SUM_PRICE,
+        FIRST(ctime) AS START_TIME,
+        LAST(ctime) AS LAST_TIME
+      ONE ROW PER MATCH
+      AFTER MATCH {skip}
+      PATTERN(A+ B)
+      DEFINE
+        A AS SUM(A.price) < 30
+    ) MR
+    """
+
+
+def test_sum_budget_skip_past_last_row(spark):
+    # golden TableSQLFunc2.scala:44-51
+    out = match_recognize(_ticker(spark, XYZ), _sum_budget_sql("SKIP PAST LAST ROW")).collect()
+    assert [(r.SUM_PRICE, r.START_TIME, r.LAST_TIME) for r in out] == [
+        (26, _t("2018-09-17 10:00:01"), _t("2018-09-17 10:00:04")),
+        (17, _t("2018-09-17 10:00:05"), _t("2018-09-17 10:00:07")),
+    ]
+
+
+def test_sum_budget_skip_to_next_row(spark):
+    # golden TableSQLFunc2.scala:75-84 — note NO match anchored at
+    # 10:00:06: eager A+ swallows the last row and B starves
+    out = match_recognize(_ticker(spark, XYZ), _sum_budget_sql("SKIP TO NEXT ROW")).collect()
+    assert [(r.SUM_PRICE, r.START_TIME, r.LAST_TIME) for r in out] == [
+        (26, _t("2018-09-17 10:00:01"), _t("2018-09-17 10:00:04")),
+        (24, _t("2018-09-17 10:00:02"), _t("2018-09-17 10:00:05")),
+        (25, _t("2018-09-17 10:00:03"), _t("2018-09-17 10:00:06")),
+        (22, _t("2018-09-17 10:00:04"), _t("2018-09-17 10:00:07")),
+        (17, _t("2018-09-17 10:00:05"), _t("2018-09-17 10:00:07")),
+    ]
+
+
+def test_sum_budget_skip_to_last_a(spark):
+    # golden TableSQLFunc2.scala:107-114
+    out = match_recognize(_ticker(spark, XYZ), _sum_budget_sql("SKIP TO LAST A")).collect()
+    assert [(r.SUM_PRICE, r.START_TIME, r.LAST_TIME) for r in out] == [
+        (26, _t("2018-09-17 10:00:01"), _t("2018-09-17 10:00:04")),
+        (25, _t("2018-09-17 10:00:03"), _t("2018-09-17 10:00:06")),
+        (17, _t("2018-09-17 10:00:05"), _t("2018-09-17 10:00:07")),
+    ]
+
+
+# TableSQLFunc.scala:1887-1895
+XYZ_STAR = [
+    ("XYZ", "2018-09-17 10:00:02", 10, 1),
+    ("XYZ", "2018-09-17 10:00:03", 11, 2),
+    ("XYZ", "2018-09-17 10:00:04", 12, 1),
+    ("XYZ", "2018-09-17 10:00:05", 13, 2),
+    ("XYZ", "2018-09-17 10:00:06", 14, 1),
+    ("XYZ", "2018-09-17 10:00:07", 13, 1),
+    ("XYZ", "2018-09-17 10:00:08", 16, 2),
+]
+
+
+def _star_sql(quant: str) -> str:
+    return f"""
+    SELECT * FROM Ticker MATCH_RECOGNIZE (
+      PARTITION BY symbol
+      ORDER BY ctime
+      MEASURES
+        A.price AS START_PRICE,
+        FIRST(B.price) AS B_START,
+        LAST(B.price) AS B_LAST,
+        C.price AS END_PRICE
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN(A B{quant} C)
+      DEFINE
+        A AS A.price > 12,
+        B AS B.price < 15,
+        C AS C.price > 10
+    ) MR
+    """
+
+
+def test_star_greedy(spark):
+    # golden TableSQLFunc.scala:1917-1922
+    out = match_recognize(_ticker(spark, XYZ_STAR), _star_sql("*")).collect()
+    assert [(r.START_PRICE, r.B_START, r.B_LAST, r.END_PRICE) for r in out] == [
+        (13, 14, 13, 16)
+    ]
+
+
+def test_star_reluctant_prefers_zero_repeats(spark):
+    # golden TableSQLFunc.scala:1949-1955
+    out = match_recognize(_ticker(spark, XYZ_STAR), _star_sql("*?")).collect()
+    assert [(r.START_PRICE, r.B_START, r.B_LAST, r.END_PRICE) for r in out] == [
+        (13, None, None, 14),
+        (13, None, None, 16),
+    ]
+
+
+def test_one_or_more_reluctant_behaves_greedy(spark):
+    # golden TableSQLFunc.scala:1981-1987 — Flink's {1,}? quirk
+    out = match_recognize(_ticker(spark, XYZ_STAR), _star_sql("{1,}?")).collect()
+    assert [(r.START_PRICE, r.B_START, r.B_LAST, r.END_PRICE) for r in out] == [
+        (13, 14, 13, 16)
+    ]
+
+
+# TableSQLFunc.scala:2021-2032
+ACME_WITHIN = [
+    ("ACME", "2021-05-11 10:00:00", 20, 1),
+    ("ACME", "2021-05-11 10:20:00", 17, 2),
+    ("ACME", "2021-05-11 10:40:00", 18, 1),
+    ("ACME", "2021-05-11 11:00:00", 11, 3),
+    ("ACME", "2021-05-11 11:20:00", 14, 2),
+    ("ACME", "2021-05-11 11:40:00", 9, 1),
+    ("ACME", "2021-05-11 12:00:00", 15, 1),
+    ("ACME", "2021-05-11 12:20:00", 14, 2),
+    ("ACME", "2021-05-11 12:40:00", 24, 2),
+    ("ACME", "2021-05-11 13:00:00", 1, 2),
+    ("ACME", "2021-05-11 13:20:00", 19, 1),
+]
+
+
+def _drop10_sql(within: str) -> str:
+    return f"""
+    SELECT * FROM Ticker MATCH_RECOGNIZE (
+      PARTITION BY symbol
+      ORDER BY ctime
+      MEASURES
+        A.price AS START_PRICE,
+        A.ctime AS START_TIME,
+        FIRST(B.price) AS B_START,
+        LAST(B.price) AS B_LAST,
+        C.price AS END_PRICE,
+        C.ctime AS END_TIME
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN(A B* C){within}
+      DEFINE
+        B AS B.price > A.price - 10,
+        C AS C.price < A.price - 10
+    ) MR
+    """
+
+
+def test_drop10_no_timeout(spark):
+    # golden TableSQLFunc.scala:2045-2051
+    out = match_recognize(_ticker(spark, ACME_WITHIN), _drop10_sql("")).collect()
+    assert [(r.START_PRICE, r.B_START, r.B_LAST, r.END_PRICE) for r in out] == [
+        (20, 17, 14, 9),
+        (15, 14, 24, 1),
+    ]
+
+
+def test_drop10_within_one_hour_is_strict(spark):
+    # golden TableSQLFunc.scala:2078-2083 — a match completing at
+    # exactly +1h (the 12:00 anchor) is rejected
+    out = match_recognize(
+        _ticker(spark, ACME_WITHIN), _drop10_sql(" WITHIN INTERVAL '1' HOUR")
+    ).collect()
+    assert [
+        (r.START_PRICE, r.START_TIME, r.B_START, r.B_LAST, r.END_PRICE, r.END_TIME)
+        for r in out
+    ] == [
+        (14, _t("2021-05-11 12:20:00"), 24, 24, 1, _t("2021-05-11 13:00:00"))
+    ]
+
+
+# TableSQLFunc.scala:2175-2184 / 2226-2241
+ACME_RISING = [
+    ("ACME", "2021-05-11 10:00:00", 10, 1),
+    ("ACME", "2021-05-11 10:20:00", 15, 2),
+    ("ACME", "2021-05-11 10:40:00", 20, 1),
+    ("ACME", "2021-05-11 11:00:00", 31, 3),
+    ("ACME", "2021-05-11 11:20:00", 35, 2),
+]
+
+
+def test_unqualified_sum_spans_whole_match(spark):
+    # golden TableSQLFunc.scala:2252-2257 (comment block 2149-2157)
+    out = match_recognize(
+        _ticker(spark, ACME_RISING),
+        """
+        SELECT * FROM Ticker MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ctime
+          MEASURES
+            A.price AS A_PRICE,
+            FIRST(B.price) AS B_START,
+            LAST(B.price) AS B_LAST
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN(A B+ C)
+          DEFINE
+            A AS A.price >= 10,
+            B AS B.price > A.price AND SUM(price) < 100 AND SUM(B.price) < 80
+        ) MR
+        """,
+    ).collect()
+    assert [(r.A_PRICE, r.B_START, r.B_LAST) for r in out] == [(10, 15, 31)]
+
+
+def test_last_offset_two(spark):
+    # golden TableSQLFunc.scala:2196-2208
+    out = match_recognize(
+        _ticker(spark, ACME_RISING),
+        """
+        SELECT * FROM Ticker MATCH_RECOGNIZE(
+          PARTITION BY symbol
+          ORDER BY ctime
+          MEASURES
+            A.price AS A_PRICE,
+            FIRST(B.price) AS B_START,
+            LAST(B.price) AS B_LAST
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B* C)
+          DEFINE
+            B AS (LAST(B.price,1) IS NULL OR B.price > LAST(B.price,1)) AND
+            (LAST(B.price,2) IS NULL OR B.price > 2 * LAST(B.price,2))
+        ) MR
+        """,
+    ).collect()
+    assert [(r.A_PRICE, r.B_START, r.B_LAST) for r in out] == [(10, 15, 31)]
+
+
+def test_match_recognize_sql_resolves_view(spark):
+    _ticker(spark, ACME_RISE_FALL).createOrReplaceTempView("Ticker")
+    out = match_recognize_sql(spark, RISE_FALL_SQL).collect()
+    assert len(out) == 2
+
+
+def test_parse_rejects_all_rows_per_match(spark):
+    with pytest.raises(NotImplementedError):
+        parse_match_recognize(
+            """SELECT * FROM T MATCH_RECOGNIZE (
+               PARTITION BY a ORDER BY b MEASURES A.x AS y
+               ALL ROWS PER MATCH PATTERN (A) DEFINE A AS A.x > 0)"""
+        )

@@ -360,19 +360,38 @@ def _iter_matches_from(
         """Yield end positions after matching the group min..max times.
         Repeats follow relaxed contiguity (Flink's group semantics;
         greedy does not apply). Inner bindings accumulate across
-        repeats. Counts are enumerated ascending."""
+        repeats. Counts are enumerated ascending.
+
+        Inner steps may be optional, negated (notNext/notFollowedBy),
+        or nested groups — the sub-solver mirrors the top-level
+        ``solve`` with accumulating bindings. The one exclusion, as in
+        Flink, is a trailing notFollowedBy: the forbidden range would
+        extend past the group's end, where no inner step bounds it.
+        """
         sub = step.group
-        for s in sub.steps:
-            if s.negated or s.optional or s.group is not None:
-                raise NotImplementedError(
-                    "negated/optional/nested steps inside pattern groups"
-                )
+        if sub.steps and sub.steps[-1].negated and (
+            sub.steps[-1].contiguity != "next"
+        ):
+            raise ValueError(
+                "notFollowedBy cannot be the last step of a pattern group"
+            )
+
+        def _accum(name: str, extra: list[int]):
+            prev = bindings.get(name)
+            bindings[name] = (prev or []) + extra
+            return prev
+
+        def _restore(name: str, prev):
+            if prev is None:
+                del bindings[name]
+            else:
+                bindings[name] = prev
 
         def one_rep(pos: int, first_rep: bool):
             """Yield end positions of a single group repetition
             starting its search at pos, restoring bindings after."""
 
-            def sub_solve(ki: int, p: int):
+            def sub_solve(ki: int, p: int, pending_neg: tuple[Step, ...]):
                 if ki == len(sub.steps):
                     yield p
                     return
@@ -381,18 +400,45 @@ def _iter_matches_from(
                 strict = st.contiguity == "next" or (
                     ki == 0 and first_rep and step.contiguity == "next"
                 )
-                eff = st.replace(contiguity="next") if strict else st
-                for found in candidates_for(eff, p, anchor_here, ()):
-                    for taken in expand_quantifier(st, found):
-                        prev = bindings.get(st.name)
-                        bindings[st.name] = (prev or []) + taken
-                        yield from sub_solve(ki + 1, taken[-1] + 1)
-                        if prev is None:
-                            del bindings[st.name]
-                        else:
-                            bindings[st.name] = prev
 
-            yield from sub_solve(0, pos)
+                if st.negated:
+                    if st.contiguity == "next":
+                        # notNext inside the group
+                        if p < n and in_horizon(p) and st.predicate(recs[p]):
+                            return
+                        prev = _accum(st.name, [])
+                        yield from sub_solve(ki + 1, p, pending_neg)
+                        _restore(st.name, prev)
+                        return
+                    # notFollowedBy: forbidden until the next inner
+                    # positive step matches
+                    prev = _accum(st.name, [])
+                    yield from sub_solve(ki + 1, p, pending_neg + (st,))
+                    _restore(st.name, prev)
+                    return
+
+                if st.group is not None:
+                    # nested group: recurse (bindings keep accumulating;
+                    # a zero-repeat pass-through comes out of solve_group
+                    # itself when min_times == 0)
+                    for end in solve_group(st, p, anchor_here, bindings):
+                        yield from sub_solve(ki + 1, end, ())
+                    if st.optional and st.min_times > 0:
+                        yield from sub_solve(ki + 1, p, pending_neg)
+                    return
+
+                eff = st.replace(contiguity="next") if strict else st
+                for found in candidates_for(eff, p, anchor_here, pending_neg):
+                    for taken in expand_quantifier(st, found):
+                        prev = _accum(st.name, taken)
+                        yield from sub_solve(ki + 1, taken[-1] + 1, ())
+                        _restore(st.name, prev)
+                if st.optional:
+                    prev = _accum(st.name, [])
+                    yield from sub_solve(ki + 1, p, pending_neg)
+                    _restore(st.name, prev)
+
+            yield from sub_solve(0, pos, ())
 
         def go(reps_done: int, pos: int):
             if reps_done >= step.min_times:
@@ -429,6 +475,8 @@ def _iter_matches_from(
         if step.group is not None:
             for end in solve_group(step, i, si == 0, bindings):
                 yield from solve(si + 1, end, (), bindings)
+            if step.optional and step.min_times > 0:
+                yield from solve(si + 1, i, pending_neg, bindings)
             return
 
         found_list = candidates_for(step, i, si == 0, pending_neg)

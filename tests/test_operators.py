@@ -836,3 +836,145 @@ def test_connected_components_nodes_inferred_from_edges(spark):
     edges = spark.createDataFrame([(2, 1), (2, 3)], "src long, dst long")
     got = {(r.node, r.comp) for r in graph.connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_cep_group_optional_inner_step(spark):
+    """Group (A B?) x2 then sensor_3: the optional B may bind in either
+    repetition or not at all. Hand-computed: data s1@92 s2@93 s1@94
+    s3@95 admits exactly two solutions from anchor 92 — B=[93] and
+    B=[] (B cannot bind after 94). Closes the former
+    NotImplementedError guard (operators/cep.py solve_group)."""
+    df = _sensor_df(
+        spark,
+        [("sensor_1", 92000), ("sensor_2", 93000), ("sensor_1", 94000),
+         ("sensor_3", 95000)],
+    )
+    sub = (
+        cep.Pattern.begin("a", lambda r: r["sensor"] == "sensor_1")
+        .followed_by("b", lambda r: r["sensor"] == "sensor_2")
+        .optional()
+    )
+    pat = cep.Pattern.begin_group(sub).times(2).followed_by(
+        "end", lambda r: r["sensor"] == "sensor_3"
+    )
+
+    def measures(rows_df, b):
+        return {
+            "a1": rows_df.iloc[b["a"][0]]["ts"],
+            "a2": rows_df.iloc[b["a"][1]]["ts"],
+            "nb": len(b.get("b", [])),
+        }
+
+    out = cep.match_pattern_all(
+        df, pat, ["k"], "ts", measures, "k long, a1 timestamp, a2 timestamp, nb long"
+    ).collect()
+    got = sorted((r.a1.second, r.a2.second, r.nb) for r in out)
+    assert got == [(32, 34, 0), (32, 34, 1)]
+
+
+def test_cep_group_not_next_inner_step(spark):
+    """Group (A notNext(s2) B): the event right after A must not be
+    sensor_2. Hand-computed on s1@92 s3@93 s1@95 s2@96 s3@97: only the
+    anchor at 92 survives (95 is followed immediately by s2)."""
+    df = _sensor_df(
+        spark,
+        [("sensor_1", 92000), ("sensor_3", 93000), ("sensor_1", 95000),
+         ("sensor_2", 96000), ("sensor_3", 97000)],
+    )
+    sub = (
+        cep.Pattern.begin("a", lambda r: r["sensor"] == "sensor_1")
+        .not_next("n", lambda r: r["sensor"] == "sensor_2")
+        .followed_by("b", lambda r: r["sensor"] == "sensor_3")
+    )
+    pat = cep.Pattern.begin_group(sub)
+
+    def measures(rows_df, b):
+        return {
+            "a_ts": rows_df.iloc[b["a"][0]]["ts"],
+            "b_ts": rows_df.iloc[b["b"][0]]["ts"],
+        }
+
+    out = cep.match_pattern_all(
+        df, pat, ["k"], "ts", measures, "k long, a_ts timestamp, b_ts timestamp"
+    ).collect()
+    assert sorted((r.a_ts.second, r.b_ts.second) for r in out) == [(32, 33)]
+
+
+def test_cep_group_not_followed_by_inner_step(spark):
+    """Group (A notFollowedBy(s2) B): no sensor_2 anywhere between A
+    and B. Same data as notNext — the 95 anchor dies because s2@96
+    precedes the next s3."""
+    df = _sensor_df(
+        spark,
+        [("sensor_1", 92000), ("sensor_3", 93000), ("sensor_1", 95000),
+         ("sensor_2", 96000), ("sensor_3", 97000)],
+    )
+    sub = (
+        cep.Pattern.begin("a", lambda r: r["sensor"] == "sensor_1")
+        .not_followed_by("n", lambda r: r["sensor"] == "sensor_2")
+        .followed_by("b", lambda r: r["sensor"] == "sensor_3")
+    )
+    pat = cep.Pattern.begin_group(sub)
+
+    def measures(rows_df, b):
+        return {
+            "a_ts": rows_df.iloc[b["a"][0]]["ts"],
+            "b_ts": rows_df.iloc[b["b"][0]]["ts"],
+        }
+
+    out = cep.match_pattern_all(
+        df, pat, ["k"], "ts", measures, "k long, a_ts timestamp, b_ts timestamp"
+    ).collect()
+    assert sorted((r.a_ts.second, r.b_ts.second) for r in out) == [(32, 33)]
+
+
+def test_cep_nested_group(spark):
+    """Group-of-group: ((A next B) x2) then sensor_3. Hand-computed on
+    s1@92 s2@93 s1@94 s2@95 s3@96: a=[92,94], b=[93,95], c=96."""
+    df = _sensor_df(
+        spark,
+        [("sensor_1", 92000), ("sensor_2", 93000), ("sensor_1", 94000),
+         ("sensor_2", 95000), ("sensor_3", 96000)],
+    )
+    inner = cep.Pattern.begin("a", lambda r: r["sensor"] == "sensor_1").next(
+        "b", lambda r: r["sensor"] == "sensor_2"
+    )
+    outer_sub = cep.Pattern.begin_group(inner, name="ig").times(2)
+    pat = cep.Pattern.begin_group(outer_sub, name="og").followed_by(
+        "c", lambda r: r["sensor"] == "sensor_3"
+    )
+
+    def measures(rows_df, b):
+        return {
+            "a1": rows_df.iloc[b["a"][0]]["ts"],
+            "b1": rows_df.iloc[b["b"][0]]["ts"],
+            "a2": rows_df.iloc[b["a"][1]]["ts"],
+            "b2": rows_df.iloc[b["b"][1]]["ts"],
+            "c_ts": rows_df.iloc[b["c"][0]]["ts"],
+        }
+
+    out = cep.match_pattern(
+        df, pat, ["k"], "ts", measures,
+        "k long, a1 timestamp, b1 timestamp, a2 timestamp, b2 timestamp, "
+        "c_ts timestamp",
+    ).collect()
+    assert [(r.a1.second, r.b1.second, r.a2.second, r.b2.second, r.c_ts.second)
+            for r in out] == [(32, 33, 34, 35, 36)]
+
+
+def test_cep_group_trailing_not_followed_by_rejected(spark):
+    """Flink rejects a trailing notFollowedBy; a group whose last step
+    is one raises the same way."""
+    df = _sensor_df(spark, [("sensor_1", 92000)])
+    sub = cep.Pattern.begin("a", lambda r: r["sensor"] == "sensor_1").not_followed_by(
+        "n", lambda r: r["sensor"] == "sensor_2"
+    )
+    pat = cep.Pattern.begin_group(sub)
+
+    def measures(rows_df, b):
+        return {"a_ts": rows_df.iloc[b["a"][0]]["ts"]}
+
+    with pytest.raises(Exception, match="notFollowedBy"):
+        cep.match_pattern_all(
+            df, pat, ["k"], "ts", measures, "k long, a_ts timestamp"
+        ).collect()

@@ -165,16 +165,6 @@ def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
-def kafka_stream(
-    spark: SparkSession, bootstrap_servers: str, topics: str, starting_offsets: str = "earliest"
-) -> DataFrame:
-    """Kafka source; exposes key/value plus the metadata columns the
-    reference declares via METADATA VIRTUAL (CreateTest.scala:141-160):
-    topic, partition, offset, timestamp come built-in."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+# Kafka surface lives in sources/kafka.py (option builders, wire
+# codec, file-backed stand-in, lazy connector wrappers)
+from .kafka import kafka_stream  # noqa: E402, F401

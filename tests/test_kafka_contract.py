@@ -1,0 +1,121 @@
+"""Kafka surface contract tests — no broker, no spark-sql-kafka jar.
+
+What CAN be verified in this container is verified for real: the
+option dictionaries a deployment passes, the wire codec (encode →
+decode round-trips the events table bit-for-bit through real
+to_json/from_json plans), the stand-in's schema parity with the
+connector's documented output, and the wrapper's failure mode when
+the connector package is absent (reference Source.scala:116-155,
+CreateTest.scala:141-160)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_demo_spark.catalog import load_table
+from flink_demo_spark.sources import kafka as K
+
+
+def test_reader_options_contract():
+    opts = K.kafka_reader_options(
+        "broker1:9092,broker2:9092",
+        "events,clicks",
+        starting_offsets="latest",
+        fail_on_data_loss=False,
+        min_partitions=64,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events,clicks",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "minPartitions": "64",
+    }
+
+
+def test_writer_options_contract():
+    assert K.kafka_writer_options("b:9092", "out") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out",
+    }
+
+
+def test_stand_in_matches_connector_schema(spark, sf_dir):
+    wire = K.kafka_stand_in(spark, sf_dir)
+    got = [(f.name, f.dataType.simpleString()) for f in wire.schema.fields]
+    assert got == [
+        ("key", "binary"),
+        ("value", "binary"),
+        ("topic", "string"),
+        ("partition", "int"),
+        ("offset", "bigint"),
+        ("timestamp", "timestamp"),
+        ("timestampType", "int"),
+    ]
+
+
+def test_stand_in_offsets_are_per_partition_and_dense(spark, sf_dir):
+    wire = K.kafka_stand_in(spark, sf_dir).select("partition", "offset")
+    per_part = {
+        r["partition"]: r["n"]
+        for r in wire.groupBy("partition")
+        .agg({"offset": "max"})
+        .withColumnRenamed("max(offset)", "n")
+        .collect()
+    }
+    counts = {
+        r["partition"]: r["count"]
+        for r in wire.groupBy("partition").count().collect()
+    }
+    assert set(per_part) <= {0, 1, 2}
+    for p, mx in per_part.items():
+        assert counts[p] == mx + 1  # offsets 0..max dense per partition
+
+
+def test_wire_codec_round_trips_events(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    decoded = K.decode_events_from_kafka(K.kafka_stand_in(spark, sf_dir))
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    a = events.select(cols).orderBy("event_id").collect()
+    b = decoded.select(cols).orderBy("event_id").collect()
+    assert len(a) == len(b) > 0
+    assert a == b, "JSON wire codec must round-trip the events table exactly"
+
+
+def test_decode_carries_metadata_columns(spark, sf_dir):
+    decoded = K.decode_events_from_kafka(K.kafka_stand_in(spark, sf_dir))
+    names = [f.name for f in decoded.schema.fields]
+    for c in ("kafka_topic", "kafka_partition", "kafka_offset", "kafka_timestamp"):
+        assert c in names
+    row = decoded.where(decoded.kafka_topic == "events").limit(1).collect()
+    assert row and row[0]["kafka_offset"] >= 0
+
+
+def test_kafka_stream_raises_actionable_error_without_package(spark):
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        K.kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_streaming_decode_plan_builds(spark, sf_dir):
+    """The decode path must compose with a streaming source (the real
+    connector emits the same wire schema): encode the replayed events
+    stream and decode it back, checking the streaming plan resolves."""
+    from flink_demo_spark.sources.streams import events_stream
+    from flink_demo_spark.streaming.runner import run_available_now
+
+    wire = K.encode_events_as_kafka(
+        events_stream(spark, sf_dir, watermark=None)
+    )
+    # stand-in metadata for the streaming path
+    from pyspark.sql import functions as F
+
+    wire = (
+        wire.withColumn("partition", F.lit(0).cast("int"))
+        .withColumn("offset", F.lit(0).cast("bigint"))
+        .withColumn("timestamp", F.current_timestamp())
+        .withColumn("timestampType", F.lit(0).cast("int"))
+    )
+    decoded = K.decode_events_from_kafka(wire)
+    assert decoded.isStreaming
+    out = run_available_now(decoded.groupBy("event_type").count())
+    assert out.count() > 0

@@ -65,15 +65,31 @@ def predicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(lang)) AS INT)                  AS lang_bytes,
            to_base64(encode(lang))                                  AS lang_b64,
            sha256(lang)                                             AS lang_sha,
-           concat(lang, '-', source)                                AS lang_src
+           concat(lang, '-', source)                                AS lang_src,
+           lpad(lang, 5, '_')                                       AS padded_l,
+           rpad(lang, 5, '_')                                       AS padded_r,
+           repeat(lang, 2)                                          AS doubled,
+           reverse(lang)                                            AS rev,
+           left(lang, 1)                                            AS l1,
+           right(lang, 1)                                           AS r1,
+           CAST(ascii(lang) AS INT)                                 AS first_code,
+           chr(ascii(lang))                                         AS first_char,
+           CAST(strpos(source, 'c') AS INT)                         AS c_pos,
+           upper(substr(lang, 1, 1)) || substr(lang, 2)             AS capped,
+           substr(source, 1, 1) || 'XX' || substr(source, 4)        AS overlaid
     FROM documents
     WHERE doc_id < 100
     ORDER BY doc_id
     """,
     doc=(
-        "second string batch (reference SqlFuncTest.scala:224-292: "
-        "translate, split_index, regexp_extract, regexp_replace, "
-        "encode, to_base64, sha2, concat)."
+        "second string batch, one wide query (reference SqlFuncTest."
+        "scala:224-292: translate, split_index, regexp_extract, "
+        "regexp_replace, encode, to_base64, sha2, concat, lpad, rpad, "
+        "repeat, reverse, left, right, ascii, chr, locate/position, "
+        "initcap, overlay ... placing). DuckDB lacks initcap/overlay, "
+        "so the oracle emulates both with substr concatenation — exact "
+        "on this single-word column. (Formerly two registry entries; "
+        "merged so the driver's fixed sample reaches more operators.)"
     ),
 )
 def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,6 +104,17 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.encode("lang", "UTF-8")).alias("lang_b64"),
         F.sha2(F.col("lang"), 256).alias("lang_sha"),
         F.concat_ws("-", "lang", "source").alias("lang_src"),
+        F.lpad("lang", 5, "_").alias("padded_l"),
+        F.rpad("lang", 5, "_").alias("padded_r"),
+        F.repeat("lang", 2).alias("doubled"),
+        F.reverse("lang").alias("rev"),
+        F.expr("left(lang, 1)").alias("l1"),
+        F.expr("right(lang, 1)").alias("r1"),
+        F.ascii("lang").alias("first_code"),
+        F.expr("char(ascii(lang))").alias("first_char"),
+        F.instr("source", "c").alias("c_pos"),
+        F.initcap("lang").alias("capped"),
+        F.overlay("source", F.lit("XX"), F.lit(2), F.lit(2)).alias("overlaid"),
     ).orderBy("doc_id")
 
 
@@ -133,46 +160,4 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scalar_string_funcs3",
-    oracle="""
-    SELECT doc_id,
-           lpad(lang, 5, '_')                          AS padded_l,
-           rpad(lang, 5, '_')                          AS padded_r,
-           repeat(lang, 2)                             AS doubled,
-           reverse(lang)                               AS rev,
-           left(lang, 1)                               AS l1,
-           right(lang, 1)                              AS r1,
-           CAST(ascii(lang) AS INT)                    AS first_code,
-           chr(ascii(lang))                            AS first_char,
-           CAST(strpos(source, 'c') AS INT)            AS c_pos,
-           upper(substr(lang, 1, 1)) || substr(lang, 2) AS capped,
-           substr(source, 1, 1) || 'XX' || substr(source, 4) AS overlaid
-    FROM documents
-    WHERE doc_id < 100
-    ORDER BY doc_id
-    """,
-    doc=(
-        "third string batch (reference SqlFuncTest.scala:224-292: "
-        "lpad, rpad, repeat, reverse, left, right, ascii, chr, "
-        "locate/position, initcap, overlay ... placing). DuckDB lacks "
-        "initcap/overlay, so the oracle emulates both with substr "
-        "concatenation — exact on this single-word column."
-    ),
-)
-def scalar_string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return d.select(
-        "doc_id",
-        F.lpad("lang", 5, "_").alias("padded_l"),
-        F.rpad("lang", 5, "_").alias("padded_r"),
-        F.repeat("lang", 2).alias("doubled"),
-        F.reverse("lang").alias("rev"),
-        F.expr("left(lang, 1)").alias("l1"),
-        F.expr("right(lang, 1)").alias("r1"),
-        F.ascii("lang").alias("first_code"),
-        F.expr("char(ascii(lang))").alias("first_char"),
-        F.instr("source", "c").alias("c_pos"),
-        F.initcap("lang").alias("capped"),
-        F.overlay("source", F.lit("XX"), F.lit(2), F.lit(2)).alias("overlaid"),
-    ).orderBy("doc_id")
+# (scalar_string_funcs3 merged into scalar_string_funcs2 above)

@@ -718,12 +718,36 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sign(l_discount - 0.05) AS DOUBLE)      AS sign_disc,
            round(exp(l_discount), 6)                    AS exp_disc,
            greatest(l_quantity, 25.0)                   AS gq,
-           least(l_quantity, 25.0)                      AS lq
+           least(l_quantity, 25.0)                      AS lq,
+           round(sin(l_discount), 6)                    AS sin_d,
+           round(cos(l_discount), 6)                    AS cos_d,
+           round(tan(l_discount), 6)                    AS tan_d,
+           round(asin(l_discount), 6)                   AS asin_d,
+           round(acos(l_discount), 6)                   AS acos_d,
+           round(atan(l_quantity), 6)                   AS atan_q,
+           round(atan2(l_quantity, 7.0), 6)             AS atan2_q,
+           round((exp(l_discount) - exp(-l_discount)) / 2, 6)  AS sinh_d,
+           round((exp(l_discount) + exp(-l_discount)) / 2, 6)  AS cosh_d,
+           round((exp(2 * l_discount) - 1)
+                 / (exp(2 * l_discount) + 1), 6)        AS tanh_d,
+           round(cot(l_discount + 0.01), 6)             AS cot_d,
+           round(degrees(l_discount), 6)                AS deg_d,
+           round(radians(l_quantity), 6)                AS rad_q,
+           bin(CAST(l_orderkey AS BIGINT))              AS bin_key,
+           hex(CAST(l_orderkey AS BIGINT))              AS hex_key
     FROM lineitem
     WHERE l_orderkey < 100
     ORDER BY l_orderkey, l_linenumber
     """,
-    doc="math function parity (reference SqlFuncTest.scala:139-220).",
+    doc=(
+        "math function parity, one wide batch (reference SqlFuncTest."
+        "scala:139-220): abs/ceil/floor/sqrt/ln/log10/power/mod/sign/"
+        "exp/greatest/least plus trig (sin..atan2), hyperbolics, cot, "
+        "degrees/radians, BIN, HEX. round(6) absorbs the <=1-ulp "
+        "libm-vs-JVM differences; DuckDB lacks hyperbolics, so the "
+        "oracle uses the exp() forms. (Formerly two registry entries; "
+        "merged so the driver's fixed sample reaches more operators.)"
+    ),
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
@@ -742,6 +766,21 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("l_discount"), 6).alias("exp_disc"),
         F.greatest("l_quantity", F.lit(25.0)).alias("gq"),
         F.least("l_quantity", F.lit(25.0)).alias("lq"),
+        F.round(F.sin("l_discount"), 6).alias("sin_d"),
+        F.round(F.cos("l_discount"), 6).alias("cos_d"),
+        F.round(F.tan("l_discount"), 6).alias("tan_d"),
+        F.round(F.asin("l_discount"), 6).alias("asin_d"),
+        F.round(F.acos("l_discount"), 6).alias("acos_d"),
+        F.round(F.atan("l_quantity"), 6).alias("atan_q"),
+        F.round(F.atan2(F.col("l_quantity"), F.lit(7.0)), 6).alias("atan2_q"),
+        F.round(F.sinh("l_discount"), 6).alias("sinh_d"),
+        F.round(F.cosh("l_discount"), 6).alias("cosh_d"),
+        F.round(F.tanh("l_discount"), 6).alias("tanh_d"),
+        F.round(F.cot(F.col("l_discount") + 0.01), 6).alias("cot_d"),
+        F.round(F.degrees("l_discount"), 6).alias("deg_d"),
+        F.round(F.radians("l_quantity"), 6).alias("rad_q"),
+        F.bin(F.col("l_orderkey").cast("long")).alias("bin_key"),
+        F.hex(F.col("l_orderkey").cast("long")).alias("hex_key"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -1193,55 +1232,4 @@ def scalar_datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-@query(
-    "scalar_math_funcs2",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           round(sin(l_discount), 6)                    AS sin_d,
-           round(cos(l_discount), 6)                    AS cos_d,
-           round(tan(l_discount), 6)                    AS tan_d,
-           round(asin(l_discount), 6)                   AS asin_d,
-           round(acos(l_discount), 6)                   AS acos_d,
-           round(atan(l_quantity), 6)                   AS atan_q,
-           round(atan2(l_quantity, 7.0), 6)             AS atan2_q,
-           round((exp(l_discount) - exp(-l_discount)) / 2, 6)  AS sinh_d,
-           round((exp(l_discount) + exp(-l_discount)) / 2, 6)  AS cosh_d,
-           round((exp(2 * l_discount) - 1)
-                 / (exp(2 * l_discount) + 1), 6)        AS tanh_d,
-           round(cot(l_discount + 0.01), 6)             AS cot_d,
-           round(degrees(l_discount), 6)                AS deg_d,
-           round(radians(l_quantity), 6)                AS rad_q,
-           bin(CAST(l_orderkey AS BIGINT))              AS bin_key,
-           hex(CAST(l_orderkey AS BIGINT))              AS hex_key
-    FROM lineitem
-    WHERE l_orderkey < 100
-    ORDER BY l_orderkey, l_linenumber
-    """,
-    doc=(
-        "trig/conversion math batch (reference SqlFuncTest.scala:"
-        "139-220: sin..atan2, hyperbolics, cot, degrees/radians, BIN, "
-        "HEX). round(6) absorbs the <=1-ulp libm-vs-JVM differences; "
-        "DuckDB lacks hyperbolics, so the oracle uses the exp() forms."
-    ),
-)
-def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.sin("l_discount"), 6).alias("sin_d"),
-        F.round(F.cos("l_discount"), 6).alias("cos_d"),
-        F.round(F.tan("l_discount"), 6).alias("tan_d"),
-        F.round(F.asin("l_discount"), 6).alias("asin_d"),
-        F.round(F.acos("l_discount"), 6).alias("acos_d"),
-        F.round(F.atan("l_quantity"), 6).alias("atan_q"),
-        F.round(F.atan2(F.col("l_quantity"), F.lit(7.0)), 6).alias("atan2_q"),
-        F.round(F.sinh("l_discount"), 6).alias("sinh_d"),
-        F.round(F.cosh("l_discount"), 6).alias("cosh_d"),
-        F.round(F.tanh("l_discount"), 6).alias("tanh_d"),
-        F.round(F.cot(F.col("l_discount") + 0.01), 6).alias("cot_d"),
-        F.round(F.degrees("l_discount"), 6).alias("deg_d"),
-        F.round(F.radians("l_quantity"), 6).alias("rad_q"),
-        F.bin(F.col("l_orderkey").cast("long")).alias("bin_key"),
-        F.hex(F.col("l_orderkey").cast("long")).alias("hex_key"),
-    ).orderBy("l_orderkey", "l_linenumber")
+# (scalar_math_funcs2 merged into scalar_math_funcs above)

@@ -131,14 +131,23 @@ def _minhash_lsh_oracle(
     bench=True,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the token array ONCE (referenced 3x below, so
+    # CollapseProject keeps the split out of the outer projection —
+    # one regex pass per row instead of three)
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "n_chars", text.tokens("text").alias("toks")
+    )
+    sw = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    return staged.select(
         "doc_id",
-        text.token_count("text").alias("n_tokens"),
-        F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).alias(
-            "n_distinct"
-        ),
-        text.stopword_count("text").alias("n_stopwords"),
+        F.size("toks").alias("n_tokens"),
+        F.size(
+            F.array_distinct(F.transform("toks", lambda t: F.lower(t)))
+        ).alias("n_distinct"),
+        F.size(
+            F.filter("toks", lambda t: F.array_contains(sw, F.lower(t)))
+        ).alias("n_stopwords"),
         "n_chars",
     ).orderBy("doc_id")
 
@@ -170,13 +179,20 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    # distinct-token count here is case-folded, matching the oracle
-    n = text.token_count("text").cast("long")
-    d = F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).cast(
-        "long"
+    # one split per row (see text_token_stats); distinct-token count is
+    # case-folded, matching the oracle
+    toks_stage = docs.select(
+        "doc_id", "lang", text.tokens("text").alias("toks")
     )
-    s = text.stopword_count("text").cast("long")
-    staged = docs.select(
+    sw_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    n = F.size("toks").cast("long")
+    d = F.size(
+        F.array_distinct(F.transform("toks", lambda t: F.lower(t)))
+    ).cast("long")
+    s = F.size(
+        F.filter("toks", lambda t: F.array_contains(sw_arr, F.lower(t)))
+    ).cast("long")
+    staged = toks_stage.select(
         "doc_id", "lang", n.alias("n"), d.alias("d"), s.alias("sw")
     )
     return staged.select(
@@ -210,8 +226,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    score = text.langid_en_score("text")
-    return docs.select(
+    staged = docs.select("doc_id", "lang", text.tokens("text").alias("toks"))
+    sw = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    score = (
+        F.size(F.filter("toks", lambda t: F.array_contains(sw, F.lower(t))))
+        .cast("double")
+        / F.size("toks").cast("double")
+    )
+    return staged.select(
         "doc_id",
         "lang",
         F.round(score, 4).alias("en_score"),

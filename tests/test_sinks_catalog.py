@@ -116,3 +116,69 @@ def test_ddl_databases_and_alter(spark, sf_dir):
     assert spark.table("eng_scratch.t_orders_renamed").count() == 100
     spark.sql("DROP TABLE eng_scratch.t_orders_renamed")
     spark.sql("DROP DATABASE eng_scratch")
+
+
+def test_ddl_create_table_like(spark, sf_dir):
+    """Reference CREATE TABLE ... LIKE (CreateTest.scala:337-418):
+    clone a table's schema without its data; the reference's derived
+    computed-column variant (sensor3/sensor4) maps to a view over the
+    clone, since Spark DDL has no generated columns."""
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS eng_like")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("sensor1", "sensor2", "sensor3"):
+        spark.sql(f"DROP TABLE IF EXISTS eng_like.{t}")
+        shutil.rmtree(f"{warehouse}/eng_like.db/{t}", ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE eng_like.sensor1 (id STRING, tmstp BIGINT, amount INT) "
+        "USING parquet"
+    )
+    spark.sql("INSERT INTO eng_like.sensor1 VALUES ('a', 1700000000, 5)")
+    # bare LIKE: schema clone, no rows (CreateTest sensor2)
+    spark.sql("CREATE TABLE eng_like.sensor2 LIKE eng_like.sensor1")
+    assert (
+        spark.table("eng_like.sensor2").schema
+        == spark.table("eng_like.sensor1").schema
+    )
+    assert spark.table("eng_like.sensor2").count() == 0
+    # derived computed column (CreateTest sensor3 `rowtime AS
+    # to_timestamp(from_unixtime(tmstp))`) -> view over the clone
+    spark.sql(
+        "CREATE OR REPLACE VIEW eng_like.sensor3 AS "
+        "SELECT *, to_timestamp(from_unixtime(tmstp)) AS rowtime "
+        "FROM eng_like.sensor1"
+    )
+    row = spark.table("eng_like.sensor3").collect()[0]
+    assert row.rowtime is not None and row.amount == 5
+    # ALTER TABLE ADD COLUMNS on the clone (schema evolution surface)
+    spark.sql("ALTER TABLE eng_like.sensor2 ADD COLUMNS (site STRING)")
+    assert "site" in spark.table("eng_like.sensor2").columns
+    spark.sql("DROP VIEW eng_like.sensor3")
+    spark.sql("DROP TABLE eng_like.sensor2")
+    spark.sql("DROP TABLE eng_like.sensor1")
+    spark.sql("DROP DATABASE eng_like")
+
+
+def test_ddl_show_create_table_roundtrip(spark, sf_dir):
+    """SHOW CREATE TABLE emits DDL that recreates an equivalent table
+    (CreateTest.scala catalog surface)."""
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS eng_sct")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("src", "clone"):
+        spark.sql(f"DROP TABLE IF EXISTS eng_sct.{t}")
+        shutil.rmtree(f"{warehouse}/eng_sct.db/{t}", ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE eng_sct.src (k BIGINT, v STRING) USING parquet"
+    )
+    ddl = spark.sql("SHOW CREATE TABLE eng_sct.src").collect()[0][0]
+    assert "CREATE TABLE" in ddl and "k BIGINT" in ddl
+    spark.sql(ddl.replace("eng_sct.src", "eng_sct.clone", 1))
+    assert (
+        spark.table("eng_sct.clone").schema == spark.table("eng_sct.src").schema
+    )
+    spark.sql("DROP TABLE eng_sct.clone")
+    spark.sql("DROP TABLE eng_sct.src")
+    spark.sql("DROP DATABASE eng_sct")

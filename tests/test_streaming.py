@@ -775,3 +775,55 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_socket_stream_wordcount(spark):
+    """socketTextStream end-to-end against a real localhost TCP server
+    (reference Source.scala socket wordcount): lines stream in, a
+    windowless flatMap+count aggregates them — the one source wrapper
+    that needs no container service to exercise for real."""
+    import socket
+    import threading
+    import time
+
+    from flink_demo_spark.sources.streams import socket_stream
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        for i in range(30):
+            conn.sendall(f"spark flink spark row-{i}\n".encode())
+        time.sleep(60)  # keep the pipe open until the reader stops
+        conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    words = (
+        socket_stream(spark, "127.0.0.1", port)
+        .select(F.explode(F.split("value", " ")).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+    q = (
+        words.writeStream.format("memory")
+        .queryName("sock_wc")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        done = False
+        while time.time() < deadline and not done:
+            rows = {r.word: r["count"] for r in spark.table("sock_wc").collect()}
+            done = rows.get("spark", 0) == 60 and rows.get("flink", 0) == 30
+            if not done:
+                time.sleep(0.5)
+        assert done, f"incomplete socket wordcount: {rows}"
+    finally:
+        q.stop()
+        srv.close()

@@ -252,9 +252,24 @@ def minhash_lsh_pairs(
     if verify_threshold is None:
         return cand
     # verify ONLY the candidate pairs (this is the point of LSH: the
-    # exact-Jaccard cost is proportional to candidates, not all pairs)
-    sets_ = df.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh")
+    # exact-Jaccard cost is proportional to candidates, not all pairs).
+    # Semi-join the corpus down to candidate docs BEFORE the shingle
+    # expression runs: at 100 TB the candidate set is orders of
+    # magnitude smaller than the corpus, and without this the verify
+    # stage re-tokenizes every document on BOTH join branches. The
+    # candidate set is persisted — it feeds both the semi-join
+    # broadcast and the final pair join, and is small by construction.
+    cand = cand.persist()
+    cand_docs = (
+        cand.select(F.col("doc1").alias("__cid"))
+        .union(cand.select(F.col("doc2").alias("__cid")))
+        .distinct()
+    )
+    sets_ = (
+        df.join(
+            F.broadcast(cand_docs), df[id_col] == F.col("__cid"), "left_semi"
+        )
+        .select(F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh"))
     )
     s1 = sets_.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = sets_.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))

@@ -580,7 +580,22 @@ def _eval(ast, ctx: _Ctx):
 # ---------------------------------------------------------------------------
 
 
-def _find_match(recs, anchor, spec: MatchRecognizeSpec, ts_col: str | None):
+class _Pending(Exception):
+    """Streaming only: the anchor's outcome depends on rows not yet
+    buffered (a decision point fell off the end of the buffer while a
+    future row could still be consumed)."""
+
+
+_PENDING = object()
+
+
+def _find_match(
+    recs,
+    anchor,
+    spec: MatchRecognizeSpec,
+    ts_col: str | None,
+    streaming: bool = False,
+):
     n = len(recs)
     bindings: dict[str, list[int]] = {s.name: [] for s in spec.steps}
     consumed: list[int] = []
@@ -589,6 +604,16 @@ def _find_match(recs, anchor, spec: MatchRecognizeSpec, ts_col: str | None):
         if spec.within is None or idx == anchor:
             return True
         return recs[idx][ts_col] - recs[anchor][ts_col] < spec.within
+
+    def future_possible() -> bool:
+        """Could a not-yet-buffered row still be consumed by this
+        anchor? Rows arrive in event-time order, so a future row's ts
+        is >= the last buffered one."""
+        if not streaming:
+            return False
+        if spec.within is None or not recs:
+            return True
+        return recs[-1][ts_col] - recs[anchor][ts_col] < spec.within
 
     def cond_ok(var: str, idx: int) -> bool:
         d = spec.defines.get(var)
@@ -606,18 +631,21 @@ def _find_match(recs, anchor, spec: MatchRecognizeSpec, ts_col: str | None):
         st = spec.steps[si]
         count = 0
         while True:
-            can_take = (
-                (st.max_times is None or count < st.max_times)
-                and i < n
-                and in_horizon(i)
-            )
+            quota = st.max_times is None or count < st.max_times
+            can_take = quota and i < n and in_horizon(i)
+            # streaming: a take-decision that runs off the buffer end
+            # while a future row could still land in-horizon is
+            # undecidable — park the anchor instead of failing it
+            might_take_later = quota and i >= n and future_possible()
             if count < st.min_times:
-                if not (can_take and cond_ok(st.name, i)):
-                    return None
-                take(st.name, i)
-                count += 1
-                i += 1
-                continue
+                if can_take and cond_ok(st.name, i):
+                    take(st.name, i)
+                    count += 1
+                    i += 1
+                    continue
+                if might_take_later:
+                    raise _Pending
+                return None
             # min satisfied: reluctant (min==0 only — Flink's observed
             # asymmetry, see module doc) probes the remainder first
             if st.reluctant and st.min_times == 0:
@@ -634,15 +662,25 @@ def _find_match(recs, anchor, spec: MatchRecognizeSpec, ts_col: str | None):
                     count += 1
                     i += 1
                     continue
+                if might_take_later:
+                    raise _Pending
                 return None
             if can_take and cond_ok(st.name, i):
                 take(st.name, i)
                 count += 1
                 i += 1
                 continue
+            if might_take_later:
+                raise _Pending
             return go(si + 1, i)
 
-    end = go(0, anchor)
+    if streaming:
+        try:
+            end = go(0, anchor)
+        except _Pending:
+            return _PENDING
+    else:
+        end = go(0, anchor)
     if end is None:
         return None
     return end, bindings
@@ -763,3 +801,123 @@ def match_recognize_sql(spark: SparkSession, sql: str) -> DataFrame:
     mirroring the reference's ``tabEnv.sqlQuery`` usage."""
     spec = parse_match_recognize(sql)
     return match_recognize(spark.table(spec.table), sql)
+
+
+# ---------------------------------------------------------------------------
+# streaming (applyInPandasWithState twin)
+# ---------------------------------------------------------------------------
+
+
+def _run_stream_increment(recs, spec: MatchRecognizeSpec, ts_col):
+    """Run the matcher over the buffered rows; return
+    ``(match_bindings, keep_from)`` where ``match_bindings`` is a list
+    of finalized (anchor, end, bindings) and ``keep_from`` is the
+    index of the first row that must stay buffered (everything before
+    it is either consumed by an emitted match or definitively failed
+    as an anchor)."""
+    out = []
+    start = 0
+    n = len(recs)
+    while start < n:
+        m = None
+        anchor = start
+        for anchor in range(start, n):
+            m = _find_match(recs, anchor, spec, ts_col, streaming=True)
+            if m is _PENDING:
+                return out, anchor
+            if m is not None:
+                break
+        if m is None:
+            return out, n  # every remaining anchor failed for good
+        end, bindings = m
+        out.append((anchor, end, {k: list(v) for k, v in bindings.items()}))
+        if spec.after_match == "past_last":
+            start = end
+        elif spec.after_match == "to_next":
+            start = anchor + 1
+        else:
+            which, var = spec.after_match
+            idxs = bindings.get(var) or []
+            if not idxs:
+                raise ValueError(
+                    f"AFTER MATCH SKIP {which.upper()} {var}: variable "
+                    "matched no rows"
+                )
+            resume = min(idxs) if which == "to_first" else max(idxs)
+            if resume <= anchor:
+                raise ValueError(
+                    f"AFTER MATCH SKIP {which.upper()} {var} does not "
+                    "advance the match — infinite loop"
+                )
+            start = resume
+    return out, n
+
+
+def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
+    """Streaming twin of ``match_recognize``: per partition key, rows
+    not yet resolvable stay in group state (pickled buffer) and
+    matches emit as soon as their outcome is decided — a greedy loop
+    finalizes only when a buffered row (or an expired WITHIN horizon)
+    definitively ends it, exactly Flink's behavior of discarding the
+    partial at end-of-stream rather than emitting early (golden
+    ``TableSQLFunc2.scala:75-84``).
+
+    Assumes micro-batches arrive in event-time order per key (true
+    for the file-replay sources and ``availableNow``) — the same
+    contract as ``streaming/cep_stream.consecutive_pattern_stream``;
+    out-of-order feeds need the watermark-sorted buffer variant.
+    Without WITHIN, a pattern that never resolves buffers its key's
+    rows indefinitely (as does Flink's NFA state) — give long-running
+    patterns a WITHIN horizon.
+    """
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    spec = parse_match_recognize(sql)
+    schema_map = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_fields = [(c, schema_map[c]) for c in spec.partition_by]
+    for ast, alias in spec.measures:
+        t = _infer_type(ast, schema_map)
+        out_fields.append((alias, "bigint" if t in _INT_TYPES else t))
+    out_schema = ", ".join(f"{n} {t}" for n, t in out_fields)
+    out_columns = [n for n, _ in out_fields]
+    ts_col = spec.order_by[0] if spec.order_by else None
+    order = spec.order_by or ([ts_col] if ts_col else [])
+    part_cols = list(spec.partition_by)
+    state_schema = StructType([StructField("buf", BinaryType())])
+
+    def fn(key, pdfs, state: GroupState):
+        buf: list[dict] = (
+            pickle.loads(state.get[0]) if state.exists else []
+        )
+        new = [pdf for pdf in pdfs if len(pdf)]
+        if new:
+            batch = pd.concat(new, ignore_index=True).sort_values(
+                order, kind="stable"
+            )
+            buf.extend(batch.to_dict("records"))
+        matches, keep_from = _run_stream_increment(buf, spec, ts_col)
+        rows_out = []
+        for _anchor, _end, bindings in matches:
+            ctx = _Ctx(
+                buf, bindings, sorted(i for b in bindings.values() for i in b)
+            )
+            rec = dict(zip(part_cols, key))
+            for ast, alias in spec.measures:
+                rec[alias] = _eval(ast, ctx)
+            rows_out.append(rec)
+        state.update((pickle.dumps(buf[keep_from:]),))
+        if rows_out:
+            yield pd.DataFrame(rows_out, columns=out_columns)
+        else:
+            yield pd.DataFrame(columns=out_columns)
+
+    return df.groupBy(*part_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -273,3 +273,95 @@ def match_recognize_sum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return out.orderBy("symbol", "start_time", "sum_price")
+
+
+@query(
+    "streaming_match_recognize",
+    oracle=_BASE
+    + """
+    , nx AS (
+      SELECT b.*,
+             min(CASE WHEN dir <> 1 THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_nonup,
+             max(rn) OVER (PARTITION BY user_id) AS last_rn
+      FROM base b
+    ), match_at AS (
+      SELECT p.user_id, p.rn AS pos,
+             p.value AS start_price, e.value AS top_price,
+             f.value AS end_price, f.rn AS b_rn
+      FROM nx p
+      JOIN base e  ON e.user_id  = p.user_id
+                  AND e.rn  = coalesce(p.next_nonup, p.last_rn + 1) - 1
+      JOIN base d1 ON d1.user_id = p.user_id
+                  AND d1.rn = coalesce(p.next_nonup, p.last_rn + 1) - 2
+      JOIN base f  ON f.user_id  = p.user_id
+                  AND f.rn  = coalesce(p.next_nonup, p.last_rn + 1)
+      WHERE coalesce(p.next_nonup, p.last_rn + 1) - p.rn >= 2
+        AND f.value < d1.value
+    ), walk AS (
+      SELECT user_id, CAST(1 AS BIGINT) AS cur
+      FROM (SELECT DISTINCT user_id FROM pur)
+      UNION ALL
+      SELECT w.user_id, m.b_rn + 1
+      FROM walk w JOIN match_at m
+        ON m.user_id = w.user_id
+       AND m.pos = (SELECT min(pos) FROM match_at x
+                    WHERE x.user_id = w.user_id AND x.pos >= w.cur)
+    )
+    SELECT w.user_id AS symbol,
+           m.start_price, m.top_price, m.end_price
+    FROM walk w JOIN match_at m
+      ON m.user_id = w.user_id
+     AND m.pos = (SELECT min(pos) FROM match_at x
+                  WHERE x.user_id = w.user_id AND x.pos >= w.cur)
+    ORDER BY symbol, m.pos
+    """,
+    doc=(
+        "streaming MATCH_RECOGNIZE: the rise-fall row-pattern over the "
+        "replayed purchase stream via applyInPandasWithState (pending "
+        "anchors buffered in keyed group state, matches emitted as "
+        "their outcome is decided). Same oracle as the batch twin — "
+        "A+ B ends with a required B, so every decidable match is "
+        "decided by the data present, exactly like the batch run."
+    ),
+)
+def streaming_match_recognize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.match_recognize import streaming_match_recognize
+    from ..sources.streams import events_stream
+    from ..streaming.runner import run_available_now
+
+    ticker = (
+        events_stream(spark, sf_dir, watermark=None)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").alias("rowtime"),
+            F.col("value").alias("price"),
+            F.col("event_id").alias("rid"),
+        )
+    )
+    out = streaming_match_recognize(
+        ticker,
+        """
+        SELECT * FROM Ticker
+        MATCH_RECOGNIZE (
+         PARTITION BY symbol
+         ORDER BY rowtime, rid
+         MEASURES
+           FIRST(A.price) AS start_price,
+           LAST(A.price) AS top_price,
+           B.price AS end_price
+         ONE ROW PER MATCH
+         AFTER MATCH SKIP PAST LAST ROW
+         PATTERN (A+ B)
+           DEFINE
+             A AS LAST(A.price,1) IS NULL OR A.price > LAST(A.price,1),
+             B AS B.price < LAST(A.price,1)
+         ) MR
+        """,
+    )
+    return run_available_now(out, output_mode="append").orderBy(
+        "symbol", "start_price", "top_price", "end_price"
+    )

@@ -375,3 +375,66 @@ def test_parse_rejects_all_rows_per_match(spark):
                PARTITION BY a ORDER BY b MEASURES A.x AS y
                ALL ROWS PER MATCH PATTERN (A) DEFINE A AS A.x > 0)"""
         )
+
+
+def test_streaming_match_spans_micro_batches(spark):
+    """A match whose rows straddle a micro-batch boundary must emit
+    once the deciding row arrives; greedy partials at end-of-stream
+    stay unemitted (Flink discards them — TableSQLFunc2.scala:44-51
+    golden reproduced batch-by-batch)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_streaming import _mem_stream_batches
+
+    from flink_demo_spark.operators.match_recognize import (
+        streaming_match_recognize,
+    )
+    from flink_demo_spark.streaming.runner import run_available_now
+
+    rows = [
+        ("XYZ", _t(ts), p, tax, i)
+        for i, (sym, ts, p, tax) in enumerate(XYZ)
+        for sym in [("XYZ")]
+    ]
+    # split mid-A-run: first match (rows 0-3) completes only in batch 2
+    batches = [rows[:2], rows[2:5], rows[5:]]
+    stream = _mem_stream_batches(
+        spark,
+        batches,
+        "symbol string, ctime timestamp, price bigint, tax bigint, rid bigint",
+    )
+    out = streaming_match_recognize(stream, _sum_budget_sql("SKIP PAST LAST ROW"))
+    got = run_available_now(out, output_mode="append").collect()
+    assert sorted((r.SUM_PRICE, r.START_TIME, r.LAST_TIME) for r in got) == [
+        (17, _t("2018-09-17 10:00:05"), _t("2018-09-17 10:00:07")),
+        (26, _t("2018-09-17 10:00:01"), _t("2018-09-17 10:00:04")),
+    ]
+
+
+def test_streaming_greedy_tail_stays_pending(spark):
+    """An A+ run still satisfiable at end-of-stream must NOT emit (the
+    B row never arrived): eager greedy keeps it pending, matching the
+    reference golden where the 10:00:06 anchor emits nothing."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_streaming import _mem_stream_batches
+
+    from flink_demo_spark.operators.match_recognize import (
+        streaming_match_recognize,
+    )
+    from flink_demo_spark.streaming.runner import run_available_now
+
+    rows = [
+        ("XYZ", _t("2018-09-17 10:00:01"), 7, 1, 0),
+        ("XYZ", _t("2018-09-17 10:00:02"), 9, 2, 1),
+    ]
+    stream = _mem_stream_batches(
+        spark,
+        [rows[:1], rows[1:]],
+        "symbol string, ctime timestamp, price bigint, tax bigint, rid bigint",
+    )
+    out = streaming_match_recognize(stream, _sum_budget_sql("SKIP PAST LAST ROW"))
+    got = run_available_now(out, output_mode="append").collect()
+    assert got == []

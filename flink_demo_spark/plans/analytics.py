@@ -221,3 +221,46 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@query(
+    "over_distinct_agg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER w AS INT) AS n_types,
+           CAST(sum(DISTINCT CAST(round(value * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS sum_distinct_cents
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc=(
+        "DISTINCT aggregates in an OVER window (reference QueryTest "
+        "distinct-agg-over rows): Spark has no count/sum(DISTINCT) "
+        "OVER, so the running distinct state is a collect_set over the "
+        "frame — count = size(set), sum = fold over the set (integer "
+        "cents keep the fold engine-exact). Set size is bounded by the "
+        "distinct-value domain per key, so the frame state scales."
+    ),
+)
+def over_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types"),
+        F.aggregate(
+            F.collect_set(cents).over(w),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_distinct_cents"),
+    ).orderBy("user_id", "event_id")

@@ -827,3 +827,39 @@ def test_socket_stream_wordcount(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_punctuated_watermark_eager_fire_and_intra_batch_late_drop(spark):
+    """Punctuated (per-event) watermark semantics the native batch-
+    boundary watermark cannot express (MyPunctuatedWatermark.scala:
+    11-30, WatermarkDemo.scala:183-199; 10s windows, 10s delay):
+
+    - seq 0-2: events at 1s, 4s, 12s fill windows [0,10) and [10,20)
+    - seq 3: event at 25s pushes the per-event watermark to 15s ->
+      window [0,10) fires IMMEDIATELY with 2 events
+    - seq 4: event at 8s arrives after that watermark -> dropped as
+      late under punctuated semantics, even though it is in the same
+      micro-batch (Spark's native watermark would have accepted it)
+    - seq 5 (next batch): event at 45s -> watermark 35s -> [10,20)
+      and [20,30) fire; the dropped 8s event must NOT appear anywhere
+    """
+    from flink_demo_spark.streaming.punctuated import punctuated_tumbling_count
+
+    batch1 = [
+        (1, 1_000, 0), (1, 4_000, 1), (1, 12_000, 2),
+        (1, 25_000, 3), (1, 8_000, 4),
+    ]
+    batch2 = [(1, 45_000, 5)]
+    stream = _mem_stream_batches(
+        spark, [batch1, batch2], "key long, ts_ms long, seq long"
+    )
+    out = run_available_now(
+        punctuated_tumbling_count(
+            stream, window_ms=10_000, delay_ms=10_000
+        ),
+        output_mode="append",
+    )
+    got = sorted(
+        (r.window_start_ms, r.n_events) for r in out.collect()
+    )
+    assert got == [(0, 2), (10_000, 1), (20_000, 1)], got

@@ -978,3 +978,46 @@ def test_cep_group_trailing_not_followed_by_rejected(spark):
         cep.match_pattern_all(
             df, pat, ["k"], "ts", measures, "k long, a_ts timestamp"
         ).collect()
+
+
+def test_bulk_iterate_runs_steps_with_lineage_truncation(spark):
+    """Bulk iteration (DataSetFunc.scala:790-808): 30 distributed
+    increment rounds with localCheckpoint truncation — the final value
+    is exact and the analyzed plan stays shallow."""
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.operators.iterate import bulk_iterate
+
+    df = spark.range(4).select(F.lit(0).alias("acc"), "id")
+    out = bulk_iterate(
+        df,
+        step=lambda d, i: d.select((F.col("acc") + 1).alias("acc"), "id"),
+        max_iterations=30,
+        checkpoint_every=5,
+    )
+    rows = out.collect()
+    assert all(r.acc == 30 for r in rows) and len(rows) == 4
+    # lineage must be truncated: a 30-deep Project chain would show
+    # dozens of Projects; after checkpointing the plan is shallow
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") <= 6, plan
+
+
+def test_bulk_iterate_convergence_stops_early(spark):
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.operators.iterate import bulk_iterate
+
+    calls = []
+
+    def step(d, i):
+        calls.append(i)
+        return d.select((F.col("v") * 2).alias("v"))
+
+    def converged(prev, cur):
+        return cur.agg(F.max("v")).collect()[0][0] >= 16
+
+    df = spark.createDataFrame([(1,)], "v long")
+    out = bulk_iterate(df, step, max_iterations=50, converged=converged)
+    assert out.collect()[0].v == 16
+    assert calls == [0, 1, 2, 3]

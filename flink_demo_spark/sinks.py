@@ -89,3 +89,57 @@ def merge_upsert(
     # localCheckpoint breaks lineage so the rewrite does not read the
     # files it is about to overwrite
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+
+def http_bulk_sink(
+    url: str,
+    index: str,
+    id_col: str,
+    batch_size: int = 500,
+):
+    """Elasticsearch-style bulk indexing sink (reference
+    Sink.scala Elasticsearch sink): returns a ``foreachBatch``
+    function that POSTs NDJSON bulk payloads
+    (``{"index": {"_index": ..., "_id": ...}}\\n{doc}``) from EACH
+    PARTITION directly to the endpoint — the executors talk to the
+    service, the driver never sees the rows, so throughput scales with
+    partitions exactly like the es-hadoop connector (which is this
+    same bulk-HTTP transport under the hood). Keyed ``_id`` makes
+    replays idempotent (at-least-once -> effectively exactly-once on
+    the index), the same contract as ``merge_upsert``."""
+    def send(batch_df: DataFrame, batch_id: int) -> None:
+        cols = batch_df.columns
+
+        def per_partition(rows):
+            # imported inside the task: the closure ships to executors
+            import json
+            import urllib.request
+
+            def flush(lines: list[str]) -> None:
+                if not lines:
+                    return
+                payload = ("\n".join(lines) + "\n").encode()
+                req = urllib.request.Request(
+                    f"{url.rstrip('/')}/_bulk",
+                    data=payload,
+                    headers={"Content-Type": "application/x-ndjson"},
+                )
+                urllib.request.urlopen(req, timeout=60).read()
+
+            lines: list[str] = []
+            for row in rows:
+                d = {c: row[c] for c in cols}
+                lines.append(
+                    json.dumps(
+                        {"index": {"_index": index, "_id": str(d[id_col])}}
+                    )
+                )
+                lines.append(json.dumps(d, default=str))
+                if len(lines) >= 2 * batch_size:
+                    flush(lines)
+                    lines = []
+            flush(lines)
+
+        batch_df.foreachPartition(per_partition)
+
+    return send

@@ -182,3 +182,53 @@ def test_ddl_show_create_table_roundtrip(spark, sf_dir):
     spark.sql("DROP TABLE eng_sct.clone")
     spark.sql("DROP TABLE eng_sct.src")
     spark.sql("DROP DATABASE eng_sct")
+
+
+def test_http_bulk_sink_indexes_from_executors(spark, sf_dir):
+    """Bulk-HTTP indexing against a live localhost endpoint: every
+    nation row arrives as an NDJSON bulk action pair, idempotently
+    keyed — the Elasticsearch transport pattern without the service."""
+    import http.server
+    import json
+    import threading
+
+    from flink_demo_spark.sinks import http_bulk_sink
+
+    received: list[bytes] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(self.rfile.read(n))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(b'{"errors":false}')
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        nations = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        sink = http_bulk_sink(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            index="nations",
+            id_col="n_nationkey",
+            batch_size=10,
+        )
+        sink(nations, 0)
+        lines = b"".join(received).decode().strip().splitlines()
+        actions = [json.loads(x) for x in lines[0::2]]
+        docs = [json.loads(x) for x in lines[1::2]]
+        assert len(docs) == 25
+        assert {a["index"]["_index"] for a in actions} == {"nations"}
+        assert sorted(int(a["index"]["_id"]) for a in actions) == list(range(25))
+        assert {d["n_name"] for d in docs} == {
+            r.n_name for r in nations.collect()
+        }
+    finally:
+        srv.shutdown()

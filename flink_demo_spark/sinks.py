@@ -143,3 +143,55 @@ def http_bulk_sink(
         batch_df.foreachPartition(per_partition)
 
     return send
+
+
+def redis_hset_sink(
+    host: str,
+    port: int,
+    hash_key: str,
+    field_col: str,
+    value_col: str,
+):
+    """Redis HSET sink (reference Sink.scala:63-92: RedisSink with
+    ``RedisCommand.HSET``; the UV apps publish per-window uniques the
+    same way). Returns a ``foreachBatch`` function whose partitions
+    speak the RESP wire protocol directly over a socket — no client
+    library needed, executors connect and pipeline HSET commands, and
+    keyed fields make replays idempotent (last write wins per field,
+    the Redis-native upsert)."""
+
+    def send(batch_df: DataFrame, batch_id: int) -> None:
+        cols = (field_col, value_col)
+
+        def per_partition(rows):
+            import socket
+
+            def resp(*args: str) -> bytes:
+                out = [f"*{len(args)}\r\n".encode()]
+                for a in args:
+                    b = a.encode()
+                    out.append(f"${len(b)}\r\n".encode() + b + b"\r\n")
+                return b"".join(out)
+
+            conn = socket.create_connection((host, port), timeout=30)
+            try:
+                n = 0
+                for row in rows:
+                    conn.sendall(
+                        resp("HSET", hash_key, str(row[cols[0]]), str(row[cols[1]]))
+                    )
+                    n += 1
+                # drain the +OK / :n replies (pipelined)
+                conn.settimeout(30)
+                got = b""
+                while got.count(b"\r\n") < n:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    got += chunk
+            finally:
+                conn.close()
+
+        batch_df.foreachPartition(per_partition)
+
+    return send

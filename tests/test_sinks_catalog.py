@@ -232,3 +232,76 @@ def test_http_bulk_sink_indexes_from_executors(spark, sf_dir):
         }
     finally:
         srv.shutdown()
+
+
+def test_redis_hset_sink_speaks_resp(spark, sf_dir):
+    """RESP-over-socket HSET publishing (Sink.scala:63-92 RedisSink
+    HSET): a live localhost server parses the wire protocol; every
+    per-type count lands exactly once under its field."""
+    import socket
+    import threading
+
+    from flink_demo_spark.sinks import redis_hset_sink
+
+    store: dict[tuple[str, str], str] = {}
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+
+    def parse_loop(conn):
+        buf = b""
+        while True:
+            try:
+                chunk = conn.recv(65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            while True:
+                if not buf.startswith(b"*"):
+                    break
+                try:
+                    head, rest = buf.split(b"\r\n", 1)
+                    argc = int(head[1:])
+                    args = []
+                    for _ in range(argc):
+                        ln, rest = rest.split(b"\r\n", 1)
+                        size = int(ln[1:])
+                        args.append(rest[:size].decode())
+                        rest = rest[size + 2 :]
+                except (ValueError, IndexError):
+                    break  # incomplete command: wait for more bytes
+                buf = rest
+                assert args[0] == "HSET"
+                store[(args[1], args[2])] = args[3]
+                conn.sendall(b":1\r\n")
+        conn.close()
+
+    def accept_loop():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=parse_loop, args=(conn,), daemon=True).start()
+
+    threading.Thread(target=accept_loop, daemon=True).start()
+    try:
+        counts = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .count()
+        )
+        sink = redis_hset_sink(
+            "127.0.0.1", srv.getsockname()[1], "uv", "event_type", "count"
+        )
+        sink(counts, 0)
+        sink(counts, 1)  # replay must be idempotent (HSET overwrites)
+        expected = {
+            ("uv", r.event_type): str(r["count"]) for r in counts.collect()
+        }
+        assert store == expected
+    finally:
+        srv.close()

@@ -253,23 +253,35 @@ def minhash_lsh_pairs(
         return cand
     # verify ONLY the candidate pairs (this is the point of LSH: the
     # exact-Jaccard cost is proportional to candidates, not all pairs).
-    # Semi-join the corpus down to candidate docs BEFORE the shingle
-    # expression runs: at 100 TB the candidate set is orders of
-    # magnitude smaller than the corpus, and without this the verify
-    # stage re-tokenizes every document on BOTH join branches. The
-    # candidate set is persisted — it feeds both the semi-join
-    # broadcast and the final pair join, and is small by construction.
-    cand = cand.persist()
-    cand_docs = (
-        cand.select(F.col("doc1").alias("__cid"))
-        .union(cand.select(F.col("doc2").alias("__cid")))
-        .distinct()
-    )
-    sets_ = (
-        df.join(
+    # Two execution strategies for the verify side, chosen from the
+    # optimizer's size estimate like Spark picks join strategies:
+    # - small corpus: tokenize the whole corpus on both join branches —
+    #   fully parallel with the candidate pipeline, no barrier;
+    # - large corpus (the 100 TB shape): persist the candidate set and
+    #   broadcast-semi-join the corpus down to candidate docs BEFORE
+    #   the shingle expression runs, so verify cost is proportional to
+    #   candidates, not corpus. The barrier it introduces is noise at
+    #   that scale but dominates at test SFs, hence the gate.
+    try:
+        corpus_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        corpus_bytes = 1 << 40
+    if corpus_bytes > 1 << 30:  # > 1 GiB: candidate-proportional path
+        cand = cand.persist()
+        cand_docs = (
+            cand.select(F.col("doc1").alias("__cid"))
+            .union(cand.select(F.col("doc2").alias("__cid")))
+            .distinct()
+        )
+        verify_src = df.join(
             F.broadcast(cand_docs), df[id_col] == F.col("__cid"), "left_semi"
         )
-        .select(F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh"))
+    else:
+        verify_src = df
+    sets_ = verify_src.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh")
     )
     s1 = sets_.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = sets_.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))

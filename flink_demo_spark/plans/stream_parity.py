@@ -466,3 +466,59 @@ def streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_available_now(hits, output_mode="complete")
     return result.orderBy("doc_id")
+
+
+@query(
+    "streaming_punctuated_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id AS key, event_id AS seq,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms
+      FROM events
+    ), o AS (
+      SELECT *, max(ts_ms) OVER (PARTITION BY key ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM e
+    ), kept AS (
+      -- per-event watermark: an event at or below (max-so-far - delay)
+      -- is late the moment it arrives
+      SELECT * FROM o
+      WHERE prev_max IS NULL OR ts_ms > prev_max - 3600000
+    ), wm AS (
+      SELECT key, max(ts_ms) - 3600000 AS final_wm FROM kept GROUP BY key
+    ), agg AS (
+      SELECT key, (ts_ms // 86400000) * 86400000 AS window_start_ms,
+             count(*) AS n
+      FROM kept GROUP BY 1, 2
+    )
+    SELECT a.key, a.window_start_ms, CAST(a.n AS BIGINT) AS n_events
+    FROM agg a JOIN wm USING (key)
+    WHERE a.window_start_ms + 86400000 <= wm.final_wm
+    ORDER BY key, window_start_ms
+    """,
+    doc=(
+        "punctuated-watermark tumbling windows (MyPunctuatedWatermark."
+        "scala:11-30): per-event watermark of max_ts - 1h drives 1-day "
+        "windows over the replayed event stream — eager firing and "
+        "per-event late drops in keyed state. Fully oracle-backed: "
+        "under in-order file replay the arrival order is the event_id "
+        "sequence, so the kept-set and fired-window set are exact "
+        "window functions."
+    ),
+)
+def streaming_punctuated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import events_stream
+    from ..streaming.punctuated import punctuated_tumbling_count
+
+    feed = events_stream(spark, sf_dir, watermark=None).select(
+        F.col("user_id").alias("key"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("event_id").alias("seq"),
+    )
+    out = punctuated_tumbling_count(
+        feed, window_ms=86_400_000, delay_ms=3_600_000,
+        key_col="key", ts_col="ts_ms", seq_col="seq",
+    )
+    return run_available_now(out, output_mode="append").orderBy(
+        "key", "window_start_ms"
+    )

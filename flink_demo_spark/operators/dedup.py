@@ -58,7 +58,7 @@ def jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.4,
-    max_posting: int = 64,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard >= threshold.
 
@@ -78,8 +78,9 @@ def jaccard_pairs(
     bound (set sizes n1/n2 stay exact); discriminative shingles are
     unaffected. The number of capped shingles is observable per run via
     the ``jaccard_posting_cap`` observation (metric
-    ``dropped_shingles``). Pass ``max_posting=None`` for the uncapped
-    exact result.
+    ``dropped_shingles``). The default is ``None`` (exact, uncapped) so
+    callers are never silently approximate — scale-facing plans like
+    ``dedup_jaccard_pairs`` opt into the cap explicitly.
     """
     # Each exploded row carries the doc's shingle-set size, so the
     # posting-list pairs already hold (n1, n2) — no size-table joins,

@@ -312,7 +312,9 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec:
     body = sql[m.end() : i - 1]
 
     # split the body into sections on the keyword boundaries
-    pat = "|".join(f"(?P<k{j}>{re.escape(s)})" for j, s in enumerate(_SECTIONS))
+    # \b guards keep identifiers/aliases containing a keyword (e.g.
+    # 'pattern_start', 'measures_a') from corrupting the section split
+    pat = "|".join(rf"(?P<k{j}>\b{re.escape(s)}\b)" for j, s in enumerate(_SECTIONS))
     hits = [
         (h.start(), h.end(), _SECTIONS[int(h.lastgroup[1:])])
         for h in re.finditer(pat, body, re.I)
@@ -390,6 +392,14 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec:
             else:
                 mn, mx = int(nums[0]), None
         steps.append(_StepSpec(qm.group("name"), mn, mx, qm.group("reluct") is not None))
+    if steps and all(s.min_times == 0 for s in steps):
+        # Flink rejects these at compile time ("pattern can produce an
+        # empty match"); a zero-width match would also never advance the
+        # after-match resume point
+        raise ValueError(
+            f"PATTERN ({pm.group(1).strip()}) can produce an empty match "
+            "— every variable is optional (min repetitions 0)"
+        )
 
     within = None
     wtext = sections.get("WITHIN") or ""
@@ -710,7 +720,9 @@ def _partition_rows(pdf, spec, ts_col, part_vals_cols) -> list[dict]:
             rec[alias] = _eval(ast, ctx)
         out.append(rec)
         if spec.after_match == "past_last":
-            start = end
+            # max() is a belt-and-braces guard: a zero-width match
+            # (rejected at parse time) would otherwise stall here
+            start = max(end, start + 1)
         elif spec.after_match == "to_next":
             start = anchor + 1
         else:
@@ -851,7 +863,8 @@ def _run_stream_increment(recs, spec: MatchRecognizeSpec, ts_col):
         end, bindings = m
         out.append((anchor, end, {k: list(v) for k, v in bindings.items()}))
         if spec.after_match == "past_last":
-            start = end
+            # see _partition_rows: guard against zero-width stall
+            start = max(end, start + 1)
         elif spec.after_match == "to_next":
             start = anchor + 1
         else:

@@ -480,10 +480,12 @@ def streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
       FROM e
     ), kept AS (
-      -- per-event watermark: an event at or below (max-so-far - delay)
-      -- is late the moment it arrives
+      -- an event is dropped only when its WINDOW END has passed the
+      -- per-event watermark (max-so-far - delay), i.e. the window it
+      -- belongs to already fired (Flink window-operator semantics)
       SELECT * FROM o
-      WHERE prev_max IS NULL OR ts_ms > prev_max - 3600000
+      WHERE prev_max IS NULL
+         OR (ts_ms // 86400000) * 86400000 + 86400000 > prev_max - 3600000
     ), wm AS (
       SELECT key, max(ts_ms) - 3600000 AS final_wm FROM kept GROUP BY key
     ), agg AS (

@@ -124,7 +124,25 @@ def http_bulk_sink(
                     data=payload,
                     headers={"Content-Type": "application/x-ndjson"},
                 )
-                urllib.request.urlopen(req, timeout=60).read()
+                body = urllib.request.urlopen(req, timeout=60).read()
+                # Elasticsearch answers HTTP 200 even when individual
+                # items failed ("errors": true) — surface them so the
+                # micro-batch fails and retries (idempotent _id makes
+                # the retry safe); otherwise writes are silently lost
+                try:
+                    resp = json.loads(body)
+                except ValueError:
+                    return  # non-ES-shaped endpoint (plain collector)
+                if isinstance(resp, dict) and resp.get("errors"):
+                    failed = [
+                        it["index"]
+                        for it in resp.get("items", [])
+                        if it.get("index", {}).get("error")
+                    ]
+                    raise RuntimeError(
+                        f"_bulk reported {len(failed)} failed items; "
+                        f"first: {failed[:1]}"
+                    )
 
             lines: list[str] = []
             for row in rows:
@@ -181,7 +199,9 @@ def redis_hset_sink(
                         resp("HSET", hash_key, str(row[cols[0]]), str(row[cols[1]]))
                     )
                     n += 1
-                # drain the +OK / :n replies (pipelined)
+                # drain the +OK / :n replies (pipelined); a -ERR reply
+                # means the write was rejected — raise so foreachBatch
+                # fails and the micro-batch retries (idempotent HSET)
                 conn.settimeout(30)
                 got = b""
                 while got.count(b"\r\n") < n:
@@ -189,6 +209,16 @@ def redis_hset_sink(
                     if not chunk:
                         break
                     got += chunk
+                errs = [
+                    line
+                    for line in got.split(b"\r\n")
+                    if line.startswith(b"-")
+                ]
+                if errs:
+                    raise RuntimeError(
+                        f"redis rejected {len(errs)} HSET(s); "
+                        f"first: {errs[0].decode(errors='replace')!r}"
+                    )
             finally:
                 conn.close()
 

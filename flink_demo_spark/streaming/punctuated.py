@@ -81,9 +81,14 @@ def punctuated_tumbling_count(
             for _, row in batch.iterrows():
                 ts = int(row[ts_col])
                 wm = (max_ts - delay_ms) if max_ts is not None else None
-                if wm is not None and ts <= wm:
-                    continue  # late under the per-event watermark
                 start = (ts // window_ms) * window_ms
+                # Flink's window operator drops an element only when its
+                # WINDOW END has passed the watermark (the window already
+                # fired), not when the element's own ts is behind it —
+                # an event landing in a still-open window is counted
+                # (WatermarkDemo.scala:183-199, ADVICE r3 medium)
+                if wm is not None and start + window_ms <= wm:
+                    continue
                 windows[start] = windows.get(start, 0) + 1
                 if max_ts is None or ts > max_ts:
                     max_ts = ts

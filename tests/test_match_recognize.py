@@ -377,6 +377,47 @@ def test_parse_rejects_all_rows_per_match(spark):
         )
 
 
+def test_parse_rejects_empty_matchable_pattern(spark):
+    """Flink rejects patterns that can match zero rows at compile time
+    ('pattern can produce an empty match'); without the check the
+    matcher's resume point never advances (ADVICE r3 high)."""
+    for pat in ("A*", "A? B*", "A{0,3} B?"):
+        with pytest.raises(ValueError, match="empty match"):
+            parse_match_recognize(
+                f"""SELECT * FROM T MATCH_RECOGNIZE (
+                   PARTITION BY a ORDER BY b MEASURES COUNT(A.x) AS y
+                   PATTERN ({pat}) DEFINE A AS A.x > 0)"""
+            )
+    # a pattern with at least one required step still parses
+    parse_match_recognize(
+        """SELECT * FROM T MATCH_RECOGNIZE (
+           PARTITION BY a ORDER BY b MEASURES COUNT(A.x) AS y
+           PATTERN (A* B) DEFINE B AS B.x > 0)"""
+    )
+
+
+def test_keyword_like_identifiers_do_not_break_section_split(spark):
+    """Aliases containing section keywords as substrings (e.g.
+    'pattern_start') must not corrupt the section split (ADVICE r3)."""
+    df = _ticker(spark, ACME_V)
+    out = match_recognize(
+        df,
+        """
+        SELECT * FROM Ticker MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ctime
+          MEASURES FIRST(UP.price) AS pattern_start,
+                   LAST(UP.price) AS measures_a
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (UP UP)
+          DEFINE UP AS UP.price > 0
+        )
+        """,
+    ).collect()
+    assert len(out) == 5
+    assert out[0].pattern_start == 12 and out[0].measures_a == 17
+
+
 def test_streaming_match_spans_micro_batches(spark):
     """A match whose rows straddle a micro-batch boundary must emit
     once the deciding row arrives; greedy partials at end-of-stream

@@ -305,3 +305,98 @@ def test_redis_hset_sink_speaks_resp(spark, sf_dir):
         assert store == expected
     finally:
         srv.close()
+
+
+def test_http_bulk_sink_raises_on_item_errors(spark, sf_dir):
+    """ES answers HTTP 200 with per-item errors — the sink must fail
+    the micro-batch instead of silently losing writes (ADVICE r3)."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from flink_demo_spark.sinks import http_bulk_sink
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(
+                b'{"errors":true,"items":[{"index":{"_id":"0","error":'
+                b'{"type":"mapper_parsing_exception"}}}]}'
+            )
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        nations = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        sink = http_bulk_sink(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            index="nations",
+            id_col="n_nationkey",
+        )
+        with pytest.raises(Exception, match="failed item"):
+            sink(nations, 0)
+    finally:
+        srv.shutdown()
+
+
+def test_redis_hset_sink_raises_on_err_reply(spark, sf_dir):
+    """A -ERR RESP reply must fail the batch, not count as success
+    (ADVICE r3)."""
+    import socket
+    import threading
+
+    import pytest
+
+    from flink_demo_spark.sinks import redis_hset_sink
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+
+    def reject_loop():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+
+            def serve(c):
+                while True:
+                    try:
+                        chunk = c.recv(65536)
+                    except OSError:
+                        break
+                    if not chunk:
+                        break
+                    # one -ERR per command seen (commands start with *4)
+                    for _ in range(chunk.count(b"*4\r\n")):
+                        c.sendall(b"-ERR wrong number of arguments\r\n")
+                c.close()
+
+            threading.Thread(target=serve, args=(conn,), daemon=True).start()
+
+    threading.Thread(target=reject_loop, daemon=True).start()
+    try:
+        counts = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .count()
+        )
+        sink = redis_hset_sink(
+            "127.0.0.1", srv.getsockname()[1], "uv", "event_type", "count"
+        )
+        with pytest.raises(Exception, match="rejected"):
+            sink(counts, 0)
+    finally:
+        srv.close()

@@ -840,16 +840,20 @@ def test_punctuated_watermark_eager_fire_and_intra_batch_late_drop(spark):
     - seq 4: event at 8s arrives after that watermark -> dropped as
       late under punctuated semantics, even though it is in the same
       micro-batch (Spark's native watermark would have accepted it)
-    - seq 5 (next batch): event at 45s -> watermark 35s -> [10,20)
+    - seq 5: event at 14s is BEHIND the watermark (15s) but its window
+      [10,20) is still open (end 20s > wm) -> counted, not dropped —
+      Flink's window operator drops only when window end <= watermark
+      (ADVICE r3 medium)
+    - seq 6 (next batch): event at 45s -> watermark 35s -> [10,20)
       and [20,30) fire; the dropped 8s event must NOT appear anywhere
     """
     from flink_demo_spark.streaming.punctuated import punctuated_tumbling_count
 
     batch1 = [
         (1, 1_000, 0), (1, 4_000, 1), (1, 12_000, 2),
-        (1, 25_000, 3), (1, 8_000, 4),
+        (1, 25_000, 3), (1, 8_000, 4), (1, 14_000, 5),
     ]
-    batch2 = [(1, 45_000, 5)]
+    batch2 = [(1, 45_000, 6)]
     stream = _mem_stream_batches(
         spark, [batch1, batch2], "key long, ts_ms long, seq long"
     )
@@ -862,4 +866,4 @@ def test_punctuated_watermark_eager_fire_and_intra_batch_late_drop(spark):
     got = sorted(
         (r.window_start_ms, r.n_events) for r in out.collect()
     )
-    assert got == [(0, 2), (10_000, 1), (20_000, 1)], got
+    assert got == [(0, 2), (10_000, 2), (20_000, 1)], got

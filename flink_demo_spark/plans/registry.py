@@ -53,14 +53,95 @@ def query(
     return deco
 
 
-def all_queries() -> dict[str, QueryFn]:
+# The verification driver samples the FIRST 50 entries of queries(),
+# so iteration order decides which operator families get a driver-side
+# correctness row. Rounds 1-3 sampled only the relational/analytics/
+# behavior head; this explicit priority list front-loads the families
+# that have never had a driver row (streaming, CEP/MATCH_RECOGNIZE,
+# dedup/similarity, text, windows). Names missing from the registry
+# are skipped (safe across renames); unlisted queries follow in
+# registration order. Rotate this list next round to cover the
+# remaining never-sampled queries (TPC-H q4-q21, corpus, subqueries).
+_SAMPLE_PRIORITY = [
+    # streaming (applyInPandasWithState / watermark surfaces)
+    "streaming_window_hourly",
+    "streaming_interval_join",
+    "streaming_sliding_window",
+    "streaming_dedup",
+    "streaming_lookup_join",
+    "streaming_pattern_burst",
+    "streaming_session_window",
+    "streaming_window_join",
+    "streaming_hotitems_topn",
+    "streaming_uv_per_element",
+    "streaming_triggered_agg",
+    "streaming_decontam",
+    "streaming_punctuated_windows",
+    "streaming_match_recognize",
+    # CEP / MATCH_RECOGNIZE
+    "cep_order_timeout",
+    "cep_v_pattern",
+    "cep_iterative_threshold",
+    "match_recognize_v_pattern",
+    "match_recognize_rise_fall",
+    "match_recognize_sum_budget",
+    "pattern_error_burst",
+    # dedup / similarity (LLM-pipeline surface)
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_cluster_assign",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "embedding_norms",
+    # text analysis
+    "text_token_stats",
+    "text_bpe_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_winnow_fingerprint",
+    "text_vocab_topk",
+    "text_token_quantiles",
+    "decontam_ngram_overlap",
+    # windows / temporal joins
+    "window_tumbling_hourly",
+    "window_sliding",
+    "window_session",
+    "window_session_dynamic",
+    "window_tumbling_offset",
+    "count_window_agg",
+    "interval_join",
+    "asof_join_latest_signup",
+]
+
+
+def _ordered_specs() -> dict[str, QuerySpec]:
     _load_all()
-    return {n: s.fn for n, s in REGISTRY.items()}
+    out: dict[str, QuerySpec] = {}
+    for n in _SAMPLE_PRIORITY:
+        if n in REGISTRY:
+            out[n] = REGISTRY[n]
+    for n, s in REGISTRY.items():
+        if n not in out:
+            out[n] = s
+    return out
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in _ordered_specs().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_all()
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {
+        n: s.oracle for n, s in _ordered_specs().items() if s.oracle is not None
+    }
 
 
 def bench_queries() -> dict[str, QuerySpec]:

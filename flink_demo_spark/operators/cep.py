@@ -33,10 +33,20 @@ Covers the applied uses: login-fail ``fail next fail within 2s``
 (``LoginFail.scala:78-86``), order-timeout ``create followedBy pay
 within 15min`` (``OrderPay.scala:31-53``), and the MATCH_RECOGNIZE
 V-pattern (down+ up+) via quantified steps.
+
+Iterative conditions (Flink ``IterativeCondition``, CEPDemo.scala:
+383-417): a predicate may take a second ``ctx`` argument —
+``ctx.events_for_pattern(name)`` returns the events (row dicts)
+already matched for step ``name`` in the current partial match,
+including earlier repeats of the step being evaluated (the candidate
+row itself is never included, matching Flink). One-argument
+predicates keep the SimpleCondition fast path; the arity is sniffed
+once per callable and cached.
 """
 
 from __future__ import annotations
 
+import inspect
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -45,7 +55,86 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StructType
 
-Predicate = Callable[[pd.Series], bool]
+# row -> bool, or (row, ctx) -> bool (iterative condition)
+Predicate = Callable[..., bool]
+
+
+class CepContext:
+    """Flink ``IterativeCondition.Context``: read-only view of the
+    events matched so far while a DEFINE-style predicate runs. Valid
+    only for the duration of the predicate call."""
+
+    __slots__ = ("_recs", "_bindings", "_cur_name", "_cur_run")
+
+    def __init__(self, recs, bindings, cur_name, cur_run):
+        self._recs = recs
+        self._bindings = bindings
+        self._cur_name = cur_name
+        self._cur_run = cur_run
+
+    def events_for_pattern(self, name: str) -> list[dict]:
+        """Events already bound to step ``name``, in match order.
+        For the step currently being evaluated this includes earlier
+        loop repeats but never the candidate row itself."""
+        idxs = list(self._bindings.get(name, ()))
+        if name == self._cur_name and self._cur_run:
+            idxs = idxs + list(self._cur_run)
+        return [self._recs[i] for i in idxs]
+
+    # Flink spelling
+    get_events_for_pattern = events_for_pattern
+
+
+def _sig_takes_ctx(pred) -> bool:
+    try:
+        params = list(inspect.signature(pred).parameters.values())
+    except (TypeError, ValueError):
+        return False
+    if any(p.kind == p.VAR_POSITIONAL for p in params):
+        return True
+    pos = [
+        p
+        for p in params
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]
+    return len(pos) >= 2
+
+
+def _takes_ctx(pred) -> bool:
+    flag = getattr(pred, "_cep_takes_ctx", None)
+    if flag is None:
+        flag = _sig_takes_ctx(pred)
+        try:
+            pred._cep_takes_ctx = flag
+        except (AttributeError, TypeError):
+            pass  # non-function callable: recomputed per call
+    return flag
+
+
+def _invoke(pred, row, recs, bindings, cur_name, cur_run=()) -> bool:
+    """Call ``pred`` with or without an iterative-condition context."""
+    if _takes_ctx(pred):
+        return pred(row, CepContext(recs, bindings, cur_name, cur_run))
+    return pred(row)
+
+
+def _combine(a: Predicate, b: Predicate, op) -> Predicate:
+    """Combine two conditions (or/and), preserving ctx dispatch."""
+
+    def combined(row, ctx=None):
+        av = a(row, ctx) if _takes_ctx(a) else a(row)
+        bv = b(row, ctx) if _takes_ctx(b) else b(row)
+        return op(av, bv)
+
+    combined._cep_takes_ctx = a_or_b_ctx = _takes_ctx(a) or _takes_ctx(b)
+    if not a_or_b_ctx:
+        # both plain: stay on the 1-arg fast path
+        def plain(row):
+            return op(a(row), b(row))
+
+        plain._cep_takes_ctx = False
+        return plain
+    return combined
 
 
 @dataclass(frozen=True)
@@ -150,12 +239,12 @@ class Pattern:
         return self
 
     def or_where(self, predicate: Predicate) -> "Pattern":
-        """OR-extend the last step's condition (CEP .or, CEPDemo.scala:419)."""
+        """OR-extend the last step's condition (CEP .or, CEPDemo.scala:419).
+        Either side may be an iterative (row, ctx) condition."""
         s = self.steps[-1]
-        old = s.predicate
         self.steps[-1] = Step(
             s.name,
-            lambda r: old(r) or predicate(r),
+            _combine(s.predicate, predicate, lambda a, b: a or b),
             s.contiguity,
             s.min_times,
             s.max_times,
@@ -165,12 +254,12 @@ class Pattern:
 
     def and_where(self, predicate: Predicate) -> "Pattern":
         """AND-extend the last step's condition (CEP .where chaining /
-        .and, CEPDemo.scala:454)."""
+        .and, CEPDemo.scala:454). Either side may be an iterative
+        (row, ctx) condition."""
         s = self.steps[-1]
-        old = s.predicate
         self.steps[-1] = Step(
             s.name,
-            lambda r: old(r) and predicate(r),
+            _combine(s.predicate, predicate, lambda a, b: a and b),
             s.contiguity,
             s.min_times,
             s.max_times,
@@ -287,10 +376,13 @@ def _iter_matches_from(
             return True
         return recs[j][ts_col] - t0 <= pattern.within
 
-    def until_hit(j: int) -> bool:
-        return pattern.until_pred is not None and pattern.until_pred(recs[j])
+    def until_hit(j: int, bindings, cur_name, cur_run) -> bool:
+        # until is an IterativeCondition in Flink too (CEPDemo.scala:489)
+        return pattern.until_pred is not None and _invoke(
+            pattern.until_pred, recs[j], recs, bindings, cur_name, cur_run
+        )
 
-    def candidates_for(step: Step, i: int, anchored: bool, pending_neg):
+    def candidates_for(step: Step, i: int, anchored: bool, pending_neg, bindings):
         """Start positions for a positive step. followed_by stops at the
         first match; followed_by_any collects every match (later ones
         are cut off once a pending notFollowedBy event occurs)."""
@@ -298,32 +390,40 @@ def _iter_matches_from(
         j = i
         while j < n and in_horizon(j):
             row = recs[j]
-            if step.predicate(row):
+            if _invoke(step.predicate, row, recs, bindings, step.name):
                 out.append(j)
                 if step.contiguity != "followed_by_any":
                     break
-            elif any(neg.predicate(row) for neg in pending_neg):
+            elif any(
+                _invoke(neg.predicate, row, recs, bindings, neg.name)
+                for neg in pending_neg
+            ):
                 break  # forbidden event: no candidates past this point
             if step.contiguity == "next" or anchored:
                 break
             j += 1
         return out
 
-    def expand_quantifier(step: Step, found: int):
+    def expand_quantifier(step: Step, found: int, bindings):
         """Yield index lists for the loop anchored at ``found``, in
         preference order. Loop contiguity: consecutive (default, Flink
         .consecutive()), relaxed (skip non-matching between repeats),
         combinations (.allowCombinations(): any subset of later
-        matches). ``until`` stops expansion without consuming."""
+        matches). ``until`` stops expansion without consuming.
+        Iterative conditions see earlier repeats of the run via ctx
+        (for ``combinations`` candidate collection, only the loop's
+        first event is visible — subset membership is decided later)."""
         if step.loop == "combinations":
             from itertools import combinations as _combos
 
             later: list[int] = []
             j = found + 1
             while j < n and in_horizon(j):
-                if until_hit(j):
+                if until_hit(j, bindings, step.name, [found]):
                     break
-                if step.predicate(recs[j]):
+                if _invoke(
+                    step.predicate, recs[j], recs, bindings, step.name, [found]
+                ):
                     later.append(j)
                 j += 1
             max_extra = (
@@ -343,9 +443,9 @@ def _iter_matches_from(
             and j < n
             and in_horizon(j)
         ):
-            if until_hit(j):
+            if until_hit(j, bindings, step.name, run):
                 break
-            if step.predicate(recs[j]):
+            if _invoke(step.predicate, recs[j], recs, bindings, step.name, run):
                 run.append(j)
                 j += 1
             elif step.loop == "relaxed":
@@ -404,7 +504,13 @@ def _iter_matches_from(
                 if st.negated:
                     if st.contiguity == "next":
                         # notNext inside the group
-                        if p < n and in_horizon(p) and st.predicate(recs[p]):
+                        if (
+                            p < n
+                            and in_horizon(p)
+                            and _invoke(
+                                st.predicate, recs[p], recs, bindings, st.name
+                            )
+                        ):
                             return
                         prev = _accum(st.name, [])
                         yield from sub_solve(ki + 1, p, pending_neg)
@@ -428,8 +534,10 @@ def _iter_matches_from(
                     return
 
                 eff = st.replace(contiguity="next") if strict else st
-                for found in candidates_for(eff, p, anchor_here, pending_neg):
-                    for taken in expand_quantifier(st, found):
+                for found in candidates_for(
+                    eff, p, anchor_here, pending_neg, bindings
+                ):
+                    for taken in expand_quantifier(st, found, bindings):
                         prev = _accum(st.name, taken)
                         yield from sub_solve(ki + 1, taken[-1] + 1, ())
                         _restore(st.name, prev)
@@ -459,7 +567,11 @@ def _iter_matches_from(
         if step.negated:
             if step.contiguity == "next":
                 # notNext: the immediately following event must not match
-                if i < n and in_horizon(i) and step.predicate(recs[i]):
+                if (
+                    i < n
+                    and in_horizon(i)
+                    and _invoke(step.predicate, recs[i], recs, bindings, step.name)
+                ):
                     return
                 bindings[step.name] = []
                 yield from solve(si + 1, i, pending_neg, bindings)
@@ -479,9 +591,9 @@ def _iter_matches_from(
                 yield from solve(si + 1, i, pending_neg, bindings)
             return
 
-        found_list = candidates_for(step, i, si == 0, pending_neg)
+        found_list = candidates_for(step, i, si == 0, pending_neg, bindings)
         for found in found_list:
-            for taken in expand_quantifier(step, found):
+            for taken in expand_quantifier(step, found, bindings):
                 bindings[step.name] = taken
                 yield from solve(si + 1, taken[-1] + 1, (), bindings)
                 del bindings[step.name]
@@ -638,7 +750,7 @@ def _partial_bindings(
                 recs[j][ts_col] - t0 > pattern.within
             ):
                 break
-            if step.predicate(recs[j]):
+            if _invoke(step.predicate, recs[j], recs, bindings, step.name):
                 found = j
                 break
             if step.contiguity == "next" or si == 0:
@@ -656,7 +768,7 @@ def _partial_bindings(
         while (
             (step.max_times is None or len(run) < step.max_times)
             and j < n
-            and step.predicate(recs[j])
+            and _invoke(step.predicate, recs[j], recs, bindings, step.name, run)
         ):
             run.append(j)
             j += 1

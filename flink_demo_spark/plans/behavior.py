@@ -477,6 +477,71 @@ def cep_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "start_id")
 
 
+@query(
+    "cep_iterative_threshold",
+    # skip_to_next advances the anchor one row per match, so matches are
+    # exactly the adjacent (small, large) pairs — expressible with lead()
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT user_id, event_id AS small_id, value AS small_value,
+             lead(event_id) OVER w AS large_id,
+             lead(value) OVER w AS large_value
+      FROM pur
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, small_id, large_id,
+           round(small_value, 2) AS small_value,
+           round(large_value, 2) AS large_value
+    FROM s
+    WHERE small_value < 30 AND large_value > 2 * small_value
+    ORDER BY user_id, small_id
+    """,
+    doc=(
+        "CEP IterativeCondition (CEPDemo.scala:383-417): 'small then "
+        "large' where the threshold is RELATIVE to the matched event — "
+        "the 'large' predicate reads ctx.events_for_pattern('small') "
+        "and requires value > 2x the small purchase. NFA in "
+        "mapInPandas, AFTER MATCH SKIP TO NEXT."
+    ),
+)
+def cep_iterative_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    pat = cep.Pattern.begin("small", lambda r: r["value"] < 30).next(
+        "large",
+        lambda r, ctx: r["value"]
+        > 2 * ctx.events_for_pattern("small")[0]["value"],
+    )
+    pat.skip_to_next()
+
+    def measures(rows, bindings):
+        s = rows.iloc[bindings["small"][0]]
+        g = rows.iloc[bindings["large"][0]]
+        return {
+            "small_id": int(s["event_id"]),
+            "large_id": int(g["event_id"]),
+            "small_value": round(float(s["value"]), 2),
+            "large_value": round(float(g["value"]), 2),
+        }
+
+    return cep.match_pattern(
+        ev,
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        measures=measures,
+        output_schema=(
+            "user_id long, small_id long, large_id long, "
+            "small_value double, large_value double"
+        ),
+        order_cols=["ts", "event_id"],
+    ).orderBy("user_id", "small_id")
+
+
 # ---------------------------------------------------------------------------
 # Funnel + retention analytics (user-behavior suite; the reference's
 # hot-item/UV apps are per-window — these add the cross-session user

@@ -1021,3 +1021,122 @@ def test_bulk_iterate_convergence_stops_early(spark):
     out = bulk_iterate(df, step, max_iterations=50, converged=converged)
     assert out.collect()[0].v == 16
     assert calls == [0, 1, 2, 3]
+
+
+def test_cep_iterative_condition_reference_golden(spark):
+    """IterativeCondition (CEPDemo.scala:383-417): a (row, ctx)
+    predicate; the reference golden is one single-event match per
+    sensor_1 event (ctx available but unused, as in the reference)."""
+    seq = [
+        ("sensor_1", 1607527992000, 20),
+        ("sensor_1", 1607527994000, 21),
+        ("sensor_2", 1607527992000, 22),
+        ("sensor_1", 1607527996000, 22),
+        ("sensor_2", 1607527999000, 24),
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, sid, dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=ms), vc)
+            for sid, ms, vc in seq
+        ],
+        "k long, id string, ts timestamp, vc long",
+    )
+    pat = cep.Pattern.begin(
+        "first", lambda r, ctx: r["id"] == "sensor_1"
+    )
+
+    def measures(rows_df, bindings):
+        return {"ts": rows_df.iloc[bindings["first"][0]]["ts"]}
+
+    out = cep.match_pattern_all(
+        df, pat, ["k"], "ts", measures, "k long, ts timestamp"
+    ).collect()
+    got = sorted(int(r.ts.timestamp() * 1000) for r in out)
+    assert got == [1607527992000, 1607527994000, 1607527996000]
+
+
+def test_cep_iterative_condition_cross_step(spark):
+    """'small then large' where large is RELATIVE to the matched small
+    (the canonical IterativeCondition use: next value > 10x the first
+    matched event's value)."""
+    rows = [
+        # small=4, next=50 > 40 -> match
+        (1, 4, 0), (1, 50, 1),
+        # small=8, next=50 < 80 -> no match for user 2
+        (2, 8, 0), (2, 50, 1),
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, v, dt.datetime(1970, 1, 1) + dt.timedelta(seconds=s))
+            for u, v, s in rows
+        ],
+        "user_id long, v long, ts timestamp",
+    )
+    pat = cep.Pattern.begin("small", lambda r: r["v"] < 10).next(
+        "large",
+        lambda r, ctx: r["v"] > 10 * ctx.events_for_pattern("small")[0]["v"],
+    )
+
+    def measures(rows_df, bindings):
+        return {
+            "small_v": int(rows_df.iloc[bindings["small"][0]]["v"]),
+            "large_v": int(rows_df.iloc[bindings["large"][0]]["v"]),
+        }
+
+    out = cep.match_pattern(
+        df, pat, ["user_id"], "ts", measures,
+        "user_id long, small_v long, large_v long",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].user_id == 1 and out[0].small_v == 4 and out[0].large_v == 50
+
+
+def test_cep_iterative_condition_running_aggregate():
+    """A loop repeat joins only while the row beats the mean of the
+    events matched so far for the SAME step (pure-pandas NFA check:
+    ctx sees earlier repeats of the in-progress run)."""
+    import pandas as pd
+
+    from flink_demo_spark.operators.cep import Pattern, _match_from
+
+    def above_running_mean(r, ctx):
+        prev = ctx.events_for_pattern("a")
+        if not prev:
+            return r["v"] > 0
+        return r["v"] > sum(p["v"] for p in prev) / len(prev)
+
+    rows = pd.DataFrame(
+        {
+            "v": [10, 12, 11, 20, 5],
+            "ts": pd.to_datetime(range(5), unit="s"),
+        }
+    )
+    pat = Pattern.begin("a", above_running_mean).one_or_more()
+    m = _match_from(rows, 0, pat, "ts")
+    assert m is not None
+    _end, bindings = m
+    # 10 -> 12 (>10) -> 11 fails (not > mean(10,12)=11): consecutive stop
+    assert bindings["a"] == [0, 1]
+
+
+def test_cep_iterative_condition_and_where_combination():
+    """and_where mixing a plain predicate with an iterative one keeps
+    ctx dispatch (combined condition is ctx-aware)."""
+    import pandas as pd
+
+    from flink_demo_spark.operators.cep import Pattern, _match_from
+
+    pat = Pattern.begin("x", lambda r: r["v"] > 0).next(
+        "y", lambda r: r["v"] > 0
+    )
+    pat.and_where(
+        lambda r, ctx: r["v"] != ctx.events_for_pattern("x")[0]["v"]
+    )
+    rows = pd.DataFrame(
+        {"v": [5, 5, 7], "ts": pd.to_datetime(range(3), unit="s")}
+    )
+    # y must differ from x: anchor 0 (v=5) next 5 fails; anchor 1 next 7 ok
+    m = _match_from(rows, 0, pat, "ts")
+    assert m is None
+    m = _match_from(rows, 1, pat, "ts")
+    assert m is not None and m[1]["y"] == [2]

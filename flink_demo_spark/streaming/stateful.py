@@ -80,14 +80,20 @@ def timeout_detector(
 
         start_ms, has_end = (state.get if state.exists else (None, 0))
         end_ms = None
+        # vectorized per batch: the fold over rows is just min(start-side
+        # ts) / max(end-side ts) / any(end) — no per-row Python
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                ms = int(pd.Timestamp(row[ts_col]).value // 1_000_000)
-                if row[side_col] == "start":
-                    start_ms = ms if start_ms is None else min(start_ms, ms)
-                else:
-                    has_end = 1
-                    end_ms = ms if end_ms is None else max(end_ms, ms)
+            if not len(pdf):
+                continue
+            ms = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
+            is_start = pdf[side_col].to_numpy() == "start"
+            if is_start.any():
+                m = int(ms[is_start].min())
+                start_ms = m if start_ms is None else min(start_ms, m)
+            if (~is_start).any():
+                has_end = 1
+                m = int(ms[~is_start].max())
+                end_ms = m if end_ms is None else max(end_ms, m)
         if has_end and start_ms is not None:
             # matched: clear state, no alert
             if state.exists:
@@ -134,16 +140,63 @@ def buffered_enrichment_join(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         left, right = (state.get if state.exists else (None, None))
+        pending = ("left", left) if left is not None else (
+            ("right", right) if right is not None else (None, None)
+        )
         out = []
+        # Exact run-compressed fold instead of a per-row loop: within a
+        # run of same-side rows only the LAST payload survives (each
+        # overwrites the previous), and a pair is completed by the
+        # FIRST row of the next opposite-side run; a length-1 opposite
+        # run therefore resets the pending state entirely. O(#runs)
+        # Python steps per batch — normally 2 — with the run edges
+        # found vectorized.
+        import numpy as np
+
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                if row[side_col] == "left":
-                    left = row[payload_col]
+            n_rows = len(pdf)
+            if not n_rows:
+                continue
+            sides = pdf[side_col].to_numpy()
+            payloads = pdf[payload_col].to_numpy()
+            if pd.isna(payloads).any():
+                # null payload means "side cleared" in the row fold —
+                # rare; keep the exact per-row semantics via a plain
+                # zip fold (no per-row Series construction)
+                lv = pending[1] if pending[0] == "left" else None
+                rv = pending[1] if pending[0] == "right" else None
+                for side, payload in zip(sides, payloads):
+                    if side == "left":
+                        lv = payload
+                    else:
+                        rv = payload
+                    if lv is not None and rv is not None:
+                        out.append((key[0], lv, rv))
+                        lv, rv = None, None
+                pending = (
+                    ("left", lv)
+                    if lv is not None
+                    else (("right", rv) if rv is not None else (None, None))
+                )
+                continue
+            starts = np.flatnonzero(
+                np.concatenate(([True], sides[1:] != sides[:-1]))
+            )
+            ends = np.append(starts[1:], n_rows)
+            for s, e in zip(starts, ends):
+                side = sides[s]
+                if pending[0] is None or pending[0] == side:
+                    pending = (side, payloads[e - 1])
                 else:
-                    right = row[payload_col]
-                if left is not None and right is not None:
-                    out.append((key[0], left, right))
-                    left, right = None, None
+                    lp, rp = (
+                        (pending[1], payloads[s])
+                        if pending[0] == "left"
+                        else (payloads[s], pending[1])
+                    )
+                    out.append((key[0], lp, rp))
+                    pending = (side, payloads[e - 1]) if e - s > 1 else (None, None)
+        left = pending[1] if pending[0] == "left" else None
+        right = pending[1] if pending[0] == "right" else None
         if left is not None or right is not None:
             state.update((left, right))
         elif state.exists:

@@ -134,6 +134,29 @@ def test_buffered_enrichment_join_pairs_both_sides(spark):
     assert got == {(10, "ride-10", "fare-10"), (11, "ride-11", "fare-11")}
 
 
+def test_buffered_enrichment_join_overwrite_and_multiple_pairs(spark):
+    """Last-write-wins within a same-side run, and several pairs per
+    batch: L1 L2 R1 R2 L3 -> (L2,R1) then (L3,R2) — pins the
+    run-compressed fold against the original row-at-a-time semantics."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (7, t0, "left", "L1"),
+        (7, t0, "left", "L2"),   # overwrites L1
+        (7, t0, "right", "R1"),  # pairs with L2
+        (7, t0, "right", "R2"),  # pending right
+        (7, t0, "left", "L3"),   # pairs with R2
+    ]
+    stream = _mem_stream(
+        spark, rows, "key long, ts timestamp, side string, payload string"
+    )
+    out = run_available_now(
+        buffered_enrichment_join(stream, ENRICHMENT_OUTPUT_SCHEMA),
+        output_mode="append",
+    )
+    got = {(r.key, r.left_payload, r.right_payload) for r in out.collect()}
+    assert got == {(7, "L2", "R1"), (7, "L3", "R2")}
+
+
 def test_click_count_invariant(spark):
     """Reference invariant (ClickEventGenerator.java:43-56): a
     generator that emits pages round-robin yields equal per-page counts

@@ -77,6 +77,7 @@ _SAMPLE_PRIORITY = [
     "streaming_triggered_agg",
     "streaming_decontam",
     "streaming_punctuated_windows",
+    "streaming_allowed_lateness",
     "streaming_match_recognize",
     # CEP / MATCH_RECOGNIZE
     "cep_order_timeout",

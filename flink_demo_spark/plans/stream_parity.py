@@ -524,3 +524,93 @@ def streaming_punctuated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append").orderBy(
         "key", "window_start_ms"
     )
+
+
+@query(
+    "streaming_allowed_lateness",
+    oracle="""
+    WITH e AS (
+      -- deterministic event-time jitter (up to ~16.7h back): the raw
+      -- table is ts-sorted in replay order, so without it the late /
+      -- re-fire / drop paths would never execute (same expression on
+      -- the Spark side)
+      SELECT user_id AS key, event_id AS seq,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               - (event_id % 101) * 600000 AS ts_ms
+      FROM events
+    ), o AS (
+      SELECT *,
+             max(ts_ms) OVER (PARTITION BY key ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+             max(ts_ms) OVER (PARTITION BY key ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_max
+      FROM e
+    ), k AS (
+      -- kept events: dropped only once window end + lateness has
+      -- passed the (per-event) watermark
+      SELECT key, seq, (ts_ms // 86400000) * 86400000 AS ws,
+             row_number() OVER (
+               PARTITION BY key, (ts_ms // 86400000) * 86400000
+               ORDER BY seq) AS rc
+      FROM o
+      WHERE prev_max IS NULL
+         OR (ts_ms // 86400000) * 86400000 + 86400000 + 7200000
+            > prev_max - 3600000
+    ), fe AS (
+      SELECT key, ws, min(seq) AS first_el FROM k GROUP BY key, ws
+    ), fs AS (
+      -- first fire: earliest event whose running watermark reaches the
+      -- window end while the window holds at least one element
+      SELECT fe.key, fe.ws, min(o.seq) AS fire_seq
+      FROM fe JOIN o ON o.key = fe.key AND o.seq >= fe.first_el
+                AND o.cur_max - 3600000 >= fe.ws + 86400000
+      GROUP BY fe.key, fe.ws
+    ), initial AS (
+      SELECT f.key, f.ws AS window_start_ms, CAST(1 AS BIGINT) AS fire_no,
+             CAST(max(k.rc) AS BIGINT) AS n_events
+      FROM fs f JOIN k ON k.key = f.key AND k.ws = f.ws
+                      AND k.seq <= f.fire_seq
+      GROUP BY f.key, f.ws
+    ), refire AS (
+      -- every kept event after the first fire refines the window
+      SELECT k.key, k.ws AS window_start_ms,
+             CAST(1 + row_number() OVER (
+               PARTITION BY k.key, k.ws ORDER BY k.seq) AS BIGINT) AS fire_no,
+             CAST(k.rc AS BIGINT) AS n_events
+      FROM k JOIN fs f ON f.key = k.key AND f.ws = k.ws
+                      AND k.seq > f.fire_seq
+    )
+    SELECT * FROM initial
+    UNION ALL
+    SELECT * FROM refire
+    ORDER BY key, window_start_ms, fire_no
+    """,
+    doc=(
+        "allowedLateness window re-fire (WatermarkDemo.scala:207-299): "
+        "1-day tumbling windows, 1h bounded delay, 2h allowedLateness "
+        "over the replayed event stream — initial fire when the "
+        "per-event watermark passes the window end, a refined re-fire "
+        "per late-but-kept event, drop once end+lateness passes the "
+        "watermark. Windows still open at end of replay do not emit "
+        "(unbounded-stream semantics). Fully oracle-backed."
+    ),
+)
+def streaming_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import events_stream
+    from ..streaming.lateness import allowed_lateness_tumbling_count
+
+    feed = events_stream(spark, sf_dir, watermark=None).select(
+        F.col("user_id").alias("key"),
+        (
+            F.unix_millis("ts") - (F.col("event_id") % 101) * 600_000
+        ).alias("ts_ms"),
+        F.col("event_id").alias("seq"),
+    )
+    out = allowed_lateness_tumbling_count(
+        feed, window_ms=86_400_000, delay_ms=3_600_000,
+        lateness_ms=7_200_000,
+        key_col="key", ts_col="ts_ms", seq_col="seq",
+    )
+    return run_available_now(out, output_mode="append").orderBy(
+        "key", "window_start_ms", "fire_no"
+    )

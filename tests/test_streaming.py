@@ -852,6 +852,56 @@ def test_socket_stream_wordcount(spark):
         srv.close()
 
 
+def test_allowed_lateness_refire_reference_golden(spark):
+    """Replicates the WatermarkDemo.scala:207-260 allowedLateness
+    golden trace (10s tumbling windows, 10s bounded delay, 2s
+    lateness; all events key '0001' -> 1; seconds shown relative to
+    2020-03-24 10:12:00):
+
+    - 28, 25, 27 buffer in [20,30); 30 buffers in [30,40)
+    - 40 -> watermark 30 -> [20,30) FIRES with 3 elements
+    - 41 -> wm 31
+    - late 27: wm 31 < 30+2 -> accepted -> RE-FIRES [20,30) with 4
+    - 42 -> wm 32 -> [20,30) closes (30+2 <= 32)
+    - late 28 -> DROPPED (the sideOutputLateData set)
+    - end-of-stream (flush sentinel, like the reference's bounded
+      mock): [30,40) fires with 1, [40,50) fires with 3
+    """
+    from flink_demo_spark.streaming.lateness import (
+        allowed_lateness_tumbling_count,
+    )
+
+    base = 1585015920_000  # 2020-03-24 10:12:00 -> window starts align
+    secs = [28, 25, 27, 30, 40, 41, 27, 42, 28]
+    batch1 = [
+        (1, base + s * 1000, i) for i, s in enumerate(secs)
+    ]
+    batch2 = [(1, 10**15, 99)]  # flush sentinel
+    stream = _mem_stream_batches(
+        spark, [batch1, batch2], "key long, ts_ms long, seq long"
+    )
+    out = run_available_now(
+        allowed_lateness_tumbling_count(
+            stream,
+            window_ms=10_000,
+            delay_ms=10_000,
+            lateness_ms=2_000,
+            flush_ts_ms=10**15,
+        ),
+        output_mode="append",
+    )
+    got = sorted(
+        (r.window_start_ms - base, r.fire_no, r.n_events)
+        for r in out.collect()
+    )
+    assert got == [
+        (20_000, 1, 3),  # initial fire: 28 | 25 | 27
+        (20_000, 2, 4),  # re-fire after late 27
+        (30_000, 1, 1),  # flush: 30
+        (40_000, 1, 3),  # flush: 40 | 41 | 42
+    ], got
+
+
 def test_punctuated_watermark_eager_fire_and_intra_batch_late_drop(spark):
     """Punctuated (per-event) watermark semantics the native batch-
     boundary watermark cannot express (MyPunctuatedWatermark.scala:

@@ -400,3 +400,96 @@ def test_redis_hset_sink_raises_on_err_reply(spark, sf_dir):
             sink(counts, 0)
     finally:
         srv.close()
+
+
+def test_orc_partitioned_round_trip(spark, sf_dir):
+    """ORC storage round-trip with dynamic partitions (reference
+    CreateTest.scala:743-837 hiveInsert: fs_table stored as ORC,
+    PARTITIONED BY dt/h): write ORC partitioned by day, read it back
+    byte-exact, and verify partition pruning reaches the scan."""
+    import shutil
+
+    d = tempfile.mkdtemp() + "/orders_orc"
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("dt"),
+        )
+        orders.write.partitionBy("dt").orc(d)
+        back = spark.read.orc(d)
+        assert back.count() == orders.count()
+        # value parity on an aggregate (ORC preserves types/values)
+        a = orders.agg(
+            F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        b = back.agg(
+            F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        assert abs(a.s - b.s) < 1e-6 and a.n == b.n
+        # partition pruning: a dt filter must prune directories, not
+        # scan all partitions
+        one = back.where(F.col("dt") == "1995-01")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(dt" in plan, plan
+        assert one.count() > 0
+    finally:
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_catalog_orc_table_partitioned_insert(spark):
+    """Persistent-catalog ORC table with partition metadata ops
+    (CreateTest.scala:743-837: CREATE EXTERNAL TABLE ... PARTITIONED
+    BY ... STORED AS ORC + partitioned INSERT; :461-476 hiveCatalog
+    metadata operations): CREATE TABLE USING ORC, partitioned INSERT,
+    SHOW PARTITIONS, per-partition reads, DROP PARTITION."""
+    import shutil
+
+    d = tempfile.mkdtemp() + "/fs_table"
+    spark.sql("DROP TABLE IF EXISTS fs_table")
+    try:
+        spark.sql(
+            f"""CREATE TABLE fs_table (
+                  user_id STRING,
+                  order_amount BIGINT
+                ) USING ORC
+                PARTITIONED BY (dt STRING, h STRING)
+                LOCATION '{d}'"""
+        )
+        spark.sql(
+            "INSERT INTO fs_table PARTITION (dt='2021-05-11', h='10') "
+            "VALUES ('u1', 10), ('u2', 20)"
+        )
+        spark.sql(
+            "INSERT INTO fs_table PARTITION (dt='2021-05-11', h='11') "
+            "VALUES ('u3', 30)"
+        )
+        # dynamic partition insert (the reference's DATE_FORMAT path)
+        spark.sql(
+            "INSERT INTO fs_table PARTITION (dt, h) "
+            "VALUES ('u4', 40, '2021-05-12', '09')"
+        )
+        parts = {r.partition for r in spark.sql(
+            "SHOW PARTITIONS fs_table").collect()}
+        assert parts == {
+            "dt=2021-05-11/h=10",
+            "dt=2021-05-11/h=11",
+            "dt=2021-05-12/h=09",
+        }, parts
+        got = spark.sql(
+            "SELECT sum(order_amount) AS s FROM fs_table "
+            "WHERE dt = '2021-05-11'"
+        ).collect()[0].s
+        assert got == 60
+        # the files on disk really are ORC
+        back = spark.read.orc(d)
+        assert back.count() == 4
+        # partition metadata op (hiveCatalog's 新建分区/改表 surface)
+        spark.sql(
+            "ALTER TABLE fs_table DROP PARTITION (dt='2021-05-11', h='11')"
+        )
+        assert spark.table("fs_table").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fs_table")
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)

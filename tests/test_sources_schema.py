@@ -1,0 +1,105 @@
+"""Failure-mode tests for the events schema/encoding guards
+(ADVICE r2 lows): the staged-dir sniffer in sources/streams.py and
+the load-time ts normalization in catalog.py must refuse unexpected
+encodings loudly instead of mis-declaring them and failing deep
+inside a streaming query."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql.types import LongType, TimestampNTZType
+
+from flink_demo_spark.catalog import normalize_events_ts
+from flink_demo_spark.sources.streams import _events_raw_schema
+
+
+def _write_events_parquet(d: str, ts_type: pa.DataType, name="events.parquet"):
+    if pa.types.is_timestamp(ts_type):
+        ts_vals = pa.array(
+            [dt.datetime(2024, 1, 1, 0, 0, i) for i in range(3)], ts_type
+        )
+    else:
+        ts_vals = pa.array(["a", "b", "c"], ts_type)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_vals,
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": pa.array(["view"] * 3, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, name))
+
+
+def test_raw_schema_nanos_reads_as_long(tmp_path):
+    _write_events_parquet(str(tmp_path), pa.timestamp("ns"))
+    schema = _events_raw_schema(str(tmp_path))
+    assert isinstance(schema["ts"].dataType, LongType)
+
+
+def test_raw_schema_micros_ntz_reads_as_ntz(tmp_path):
+    _write_events_parquet(str(tmp_path), pa.timestamp("us"))
+    schema = _events_raw_schema(str(tmp_path))
+    assert isinstance(schema["ts"].dataType, TimestampNTZType)
+
+
+def test_raw_schema_rejects_millis(tmp_path):
+    _write_events_parquet(str(tmp_path), pa.timestamp("ms"))
+    with pytest.raises(TypeError, match="unsupported events.ts encoding"):
+        _events_raw_schema(str(tmp_path))
+
+
+def test_raw_schema_rejects_tz_adjusted_micros(tmp_path):
+    _write_events_parquet(str(tmp_path), pa.timestamp("us", tz="UTC"))
+    with pytest.raises(TypeError, match="unsupported events.ts encoding"):
+        _events_raw_schema(str(tmp_path))
+
+
+def test_raw_schema_rejects_non_timestamp(tmp_path):
+    _write_events_parquet(str(tmp_path), pa.string())
+    with pytest.raises(TypeError, match="timestamp column"):
+        _events_raw_schema(str(tmp_path))
+
+
+def test_raw_schema_rejects_empty_dir(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        _events_raw_schema(str(tmp_path))
+
+
+def test_normalize_ts_nanos_long_truncates_to_micros(spark):
+    # 1700000000 s + 1234567 ns -> µs truncation (DuckDB TIMESTAMP_NS cast)
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000_001_234_567)], "event_id long, ts long"
+    )
+    out = normalize_events_ts(df)
+    assert out.schema["ts"].dataType.typeName() == "timestamp"
+    got = out.collect()[0].ts
+    assert got.microsecond == 1234
+
+
+def test_normalize_ts_passthrough_and_ntz_cast(spark):
+    df_ts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "event_id long, ts timestamp"
+    )
+    assert normalize_events_ts(df_ts) is df_ts
+    df_ntz = spark.sql(
+        "SELECT 1 AS event_id, TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts"
+    )
+    out = normalize_events_ts(df_ntz)
+    assert out.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_normalize_ts_rejects_string(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01")], "event_id long, ts string"
+    )
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        normalize_events_ts(df)

@@ -1140,3 +1140,67 @@ def test_cep_iterative_condition_and_where_combination():
     assert m is None
     m = _match_from(rows, 1, pat, "ts")
     assert m is not None and m[1]["y"] == [2]
+
+
+def test_connected_components_star_equals_min_label_random(spark):
+    """large-star/small-star (Kiveris SoCC'14) must produce the same
+    (node, comp) labeling as min-label propagation on a random graph."""
+    import random
+
+    from flink_demo_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    a = {(r.node, r.comp) for r in connected_components(df, nodes=nodes).collect()}
+    b = {
+        (r.node, r.comp)
+        for r in connected_components_star(df, nodes=nodes).collect()
+    }
+    assert a == b
+
+
+def test_connected_components_star_chain_logarithmic_rounds(spark):
+    """A 256-node chain: min-label needs O(n) rounds; the star
+    algorithm must label it identically in O(log^2 n) rounds."""
+    from flink_demo_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 256
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = connected_components_star(df, return_rounds=True)
+    got = {(r.node, r.comp) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds <= 12, rounds
+    # sanity: min-label on a much shorter chain already needs ~length
+    # rounds, so the star round count is the genuine scale win
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "src long, dst long"
+    )
+    ml = {(r.node, r.comp) for r in connected_components(short).collect()}
+    assert ml == {(i, 0) for i in range(32)}
+
+
+def test_connected_components_star_singletons_and_self_loops(spark):
+    from flink_demo_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3), (5, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    got = {
+        (r.node, r.comp)
+        for r in connected_components_star(df, nodes=nodes).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 3), (4, 4), (5, 4), (6, 6), (7, 7),
+    }

@@ -87,6 +87,7 @@ def jdbc_merge_upsert(
     url: str,
     table: str,
     key_cols: list[str],
+    max_rows: int = 1_000_000,
 ) -> None:
     """Idempotent keyed upsert on the driver connection (reference
     Sink.scala:145 INSERT .. ON DUPLICATE KEY UPDATE).
@@ -95,7 +96,17 @@ def jdbc_merge_upsert(
     (bounded by key domain, not fact volume), so a driver-side MERGE
     over the collected result is the honest shape; for fact-sized
     sinks use the partitioned ``jdbc_write`` append path plus a
-    server-side dedup view."""
+    server-side dedup view. ``max_rows`` makes that contract fail
+    FAST: a frame larger than the bound raises before anything is
+    collected, instead of OOMing the driver."""
+    over = df.limit(max_rows + 1).count()
+    if over > max_rows:
+        raise ValueError(
+            f"jdbc_merge_upsert collects to the driver and {table!r} "
+            f"would receive more than max_rows={max_rows} rows — this "
+            "is a fact-sized frame; use jdbc_write (partitioned "
+            "append) with a server-side dedup view instead"
+        )
     rows = df.collect()
     cols = df.columns
     non_keys = [c for c in cols if c not in key_cols]

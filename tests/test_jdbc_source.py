@@ -123,6 +123,21 @@ def test_jdbc_merge_upsert_idempotent(spark, derby_url):
     assert got == [("2024-01-01", 10), ("2024-01-02", 25), ("2024-01-03", 7)]
 
 
+def test_jdbc_merge_upsert_rejects_fact_sized_frame(spark, derby_url):
+    """The upsert collects to the driver; a frame above max_rows must
+    fail fast BEFORE collecting (ADVICE: misuse should raise, not OOM
+    the driver)."""
+    import pytest
+
+    big = spark.range(500).select(
+        F.col("id").alias("day"), F.col("id").alias("uv")
+    )
+    with pytest.raises(ValueError, match="fact-sized"):
+        J.jdbc_merge_upsert(
+            spark, big, derby_url, "daily_uv", ["day"], max_rows=100
+        )
+
+
 def test_jdbc_streaming_foreach_batch_publish(spark, sf_dir, derby_url):
     """Streaming result publishing: windowed counts land in a JDBC
     table via foreachBatch + MERGE (the reference's Kafka->MySQL

@@ -263,12 +263,11 @@ def minhash_lsh_pairs(
     #   the shingle expression runs, so verify cost is proportional to
     #   candidates, not corpus. The barrier it introduces is noise at
     #   that scale but dominates at test SFs, hence the gate.
-    try:
-        corpus_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        corpus_bytes = 1 << 40
+    from ._planstats import estimated_plan_bytes
+
+    # unavailable stats -> assume big (1 TiB): the candidate-
+    # proportional path is the safe default at scale
+    corpus_bytes = estimated_plan_bytes(df, default=1 << 40)
     if corpus_bytes > 1 << 30:  # > 1 GiB: candidate-proportional path
         cand = cand.persist()
         cand_docs = (

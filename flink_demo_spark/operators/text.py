@@ -31,12 +31,16 @@ def fan_out(df):
     driver-side catalyst statistics only — no ``df.rdd`` conversion,
     no job. At 100 TB the estimate is far past the threshold and this
     is a no-op."""
+    from ._planstats import estimated_plan_bytes
+
+    if df.isStreaming:
+        return df  # micro-batch sizing is the engine's job
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
-        size_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        # unavailable stats (e.g. streaming plan) -> assume big:
+        # leave the partitioning alone
+        size_bytes = estimated_plan_bytes(df, default=1 << 40)
         max_part = "".join(
             c
             for c in str(
@@ -47,7 +51,7 @@ def fan_out(df):
         if size_bytes < target * int(max_part or "134217728"):
             return df.repartition(target)
     except Exception:
-        pass  # stats unavailable (e.g. streaming plan): leave as-is
+        pass  # conf unreadable: leave as-is
     return df
 
 def tokens(text: str | Column) -> Column:

@@ -472,8 +472,13 @@ def streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_punctuated_windows",
     oracle="""
     WITH e AS (
+      -- deterministic event-time jitter (up to ~16.7h back): the raw
+      -- table is ts-sorted in replay order, so without it the
+      -- late-drop path would never execute (same expression on the
+      -- Spark side)
       SELECT user_id AS key, event_id AS seq,
-             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               - (event_id % 101) * 600000 AS ts_ms
       FROM events
     ), o AS (
       SELECT *, max(ts_ms) OVER (PARTITION BY key ORDER BY seq
@@ -501,7 +506,8 @@ def streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "punctuated-watermark tumbling windows (MyPunctuatedWatermark."
         "scala:11-30): per-event watermark of max_ts - 1h drives 1-day "
-        "windows over the replayed event stream — eager firing and "
+        "windows over the replayed event stream (deterministically "
+        "jittered so late drops actually occur) — eager firing and "
         "per-event late drops in keyed state. Fully oracle-backed: "
         "under in-order file replay the arrival order is the event_id "
         "sequence, so the kept-set and fired-window set are exact "
@@ -514,7 +520,9 @@ def streaming_punctuated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feed = events_stream(spark, sf_dir, watermark=None).select(
         F.col("user_id").alias("key"),
-        F.unix_millis("ts").alias("ts_ms"),
+        (
+            F.unix_millis("ts") - (F.col("event_id") % 101) * 600_000
+        ).alias("ts_ms"),
         F.col("event_id").alias("seq"),
     )
     out = punctuated_tumbling_count(

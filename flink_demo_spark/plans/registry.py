@@ -123,13 +123,49 @@ _SAMPLE_PRIORITY = [
 ]
 
 
+def _previously_green() -> set[str]:
+    """Query names with a green (or rows-only) row in any past round's
+    CORRECTNESS_r*.json — these already have driver-side evidence, so
+    the sample rotates toward never-checked queries automatically."""
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+            with open(path) as f:
+                rows = json.load(f)
+            for name, r in rows.items():
+                if not isinstance(r, dict):
+                    continue
+                ok = r.get("hash_match")
+                rows_only = r.get("err") == "no_oracle" and r.get("spark_rows")
+                if ok or rows_only:
+                    seen.add(name)
+    except Exception:
+        return set()  # unreadable records: fall back to static order
+    return seen
+
+
 def _ordered_specs() -> dict[str, QuerySpec]:
     _load_all()
-    out: dict[str, QuerySpec] = {}
+    ranked: dict[str, QuerySpec] = {}
     for n in _SAMPLE_PRIORITY:
         if n in REGISTRY:
-            out[n] = REGISTRY[n]
+            ranked[n] = REGISTRY[n]
     for n, s in REGISTRY.items():
+        if n not in ranked:
+            ranked[n] = s
+    # stable two-pass: never-green queries first (in the ranked order),
+    # then the already-evidenced ones
+    green = _previously_green()
+    out: dict[str, QuerySpec] = {}
+    for n, s in ranked.items():
+        if n not in green:
+            out[n] = s
+    for n, s in ranked.items():
         if n not in out:
             out[n] = s
     return out

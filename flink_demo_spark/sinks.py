@@ -42,6 +42,81 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def partition_commit_sink(
+    path: str,
+    partition_col: str,
+    ts_col: str,
+    partition_duration_ms: int,
+    commit_delay_ms: int = 0,
+    fmt: str = "orc",
+    table: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming filesystem/Hive sink with PARTITION COMMIT (reference
+    CreateTest.scala:796-812: ``stored as ORC`` with
+    ``sink.partition-commit.trigger='partition-time'``,
+    ``sink.partition-commit.delay``, and policy ``metastore`` /
+    success-file).
+
+    Returns a ``foreachBatch`` function that appends each micro-batch
+    partitioned by ``partition_col`` and then COMMITS every partition
+    whose time range has passed the watermark (``max event time seen -
+    commit_delay``): a ``_SUCCESS`` marker lands in the partition dir
+    (the success-file policy), and when ``table`` is given the
+    partition is added to the session catalog with ``ALTER TABLE ..
+    ADD PARTITION`` (the metastore policy). Downstream batch readers
+    that filter on committed partitions see only complete ones — the
+    reference's exactly-once handoff contract.
+
+    ``partition_col`` must hold the epoch-ms start of the partition's
+    time range (the reference's partition.time-extractor maps dt/h/m
+    strings to the same instant); watermark tracking is driver-side in
+    the returned closure, mirroring Flink's per-job commit state.
+    Re-delivered batches re-append (at-least-once files) but commits
+    are idempotent — readers keyed on _SUCCESS see each partition
+    exactly once.
+    """
+    committed: set[int] = set()
+    state = {"max_ts": None}
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            (
+                batch_df.write.mode("append")
+                .partitionBy(partition_col)
+                .format(fmt)
+                .save(path)
+            )
+            mx = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        finally:
+            batch_df.unpersist()
+        if mx is None:
+            return
+        mx_ms = int(mx) if isinstance(mx, int) else int(mx.timestamp() * 1000)
+        if state["max_ts"] is None or mx_ms > state["max_ts"]:
+            state["max_ts"] = mx_ms
+        wm = state["max_ts"] - commit_delay_ms
+        for d in os.listdir(path):
+            if not d.startswith(f"{partition_col}="):
+                continue
+            start = int(d.split("=", 1)[1])
+            if start in committed or start + partition_duration_ms > wm:
+                continue
+            open(os.path.join(path, d, "_SUCCESS"), "w").close()
+            if table is not None:
+                spark.sql(
+                    f"ALTER TABLE {table} ADD IF NOT EXISTS "
+                    f"PARTITION ({partition_col}={start}) "
+                    f"LOCATION '{os.path.join(path, d)}'"
+                )
+            committed.add(start)
+
+    return fn
+
+
 def foreach_batch_fanout(
     sinks: list[Callable[[DataFrame, int], None]],
 ) -> Callable[[DataFrame, int], None]:

@@ -940,3 +940,74 @@ def test_punctuated_watermark_eager_fire_and_intra_batch_late_drop(spark):
         (r.window_start_ms, r.n_events) for r in out.collect()
     )
     assert got == [(0, 2), (10_000, 2), (20_000, 1)], got
+
+
+def test_partition_commit_sink_success_file_and_metastore(spark):
+    """Hive-streaming-sink partition commit (CreateTest.scala:796-812):
+    partitions gain a _SUCCESS marker (success-file policy) and a
+    catalog partition (metastore policy) only once the watermark
+    passes their end; the still-open partition stays uncommitted."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_demo_spark.sinks import partition_commit_sink
+
+    day = 86_400_000
+    d = tempfile.mkdtemp() + "/fs_stream"
+    spark.sql("DROP TABLE IF EXISTS fs_stream_commit")
+    spark.sql(
+        f"""CREATE TABLE fs_stream_commit (user_id BIGINT, ts_ms BIGINT)
+            USING ORC PARTITIONED BY (day_ms BIGINT)
+            LOCATION '{d}'"""
+    )
+    try:
+        # batch 1: day-0 rows only -> nothing commits (watermark = max)
+        batch1 = [(1, 1_000, 0 * day), (2, day - 1, 0 * day)]
+        # batch 2: day-1 and day-2 rows -> watermark reaches day 2
+        # start, so day 0 and day 1 commit; day 2 stays open
+        batch2 = [
+            (3, day + 5_000, 1 * day),
+            (4, 2 * day + 7_000, 2 * day),
+        ]
+        stream = _mem_stream_batches(
+            spark,
+            [batch1, batch2],
+            "user_id long, ts_ms long, day_ms long",
+        )
+        sink = partition_commit_sink(
+            d,
+            partition_col="day_ms",
+            ts_col="ts_ms",
+            partition_duration_ms=day,
+            commit_delay_ms=0,
+            table="fs_stream_commit",
+        )
+        q = stream.writeStream.foreachBatch(sink).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+        committed = {
+            p
+            for p in os.listdir(d)
+            if p.startswith("day_ms=")
+            and os.path.exists(os.path.join(d, p, "_SUCCESS"))
+        }
+        assert committed == {"day_ms=0", f"day_ms={day}"}, committed
+        assert os.path.isdir(os.path.join(d, f"day_ms={2 * day}"))
+        parts = {
+            r.partition
+            for r in spark.sql("SHOW PARTITIONS fs_stream_commit").collect()
+        }
+        assert parts == {"day_ms=0", f"day_ms={day}"}, parts
+        # committed partitions read back complete through the catalog
+        assert (
+            spark.table("fs_stream_commit")
+            .where(F.col("day_ms") < 2 * day)
+            .count()
+            == 3
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fs_stream_commit")
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)

@@ -37,6 +37,45 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _consecutive_hits(
+    key0,
+    ts_us,
+    ids,
+    matches,
+    last_is_match,
+    last_id,
+    last_ts,
+    horizon_us,
+):
+    """Vectorized consecutive-pair detection: a hit is a match-typed
+    event whose immediate predecessor (state-seeded shift) is also a
+    match within the horizon — the pairwise fold as one shift compare."""
+    import numpy as np
+
+    n = len(ts_us)
+    if n == 0:
+        return []
+    prev_m = np.concatenate(([1 if last_is_match else 0], matches[:-1]))
+    prev_id = np.concatenate(
+        ([last_id if last_id is not None else -1], ids[:-1])
+    )
+    prev_ts = np.concatenate(
+        ([last_ts if last_ts is not None else 0], ts_us[:-1])
+    )
+    valid_prev = np.concatenate(
+        ([last_ts is not None], np.ones(n - 1, dtype=bool))
+    )
+    hit = (
+        matches.astype(bool)
+        & prev_m.astype(bool)
+        & valid_prev
+        & (ts_us - prev_ts <= horizon_us)
+    )
+    return [
+        (key0, int(a), int(b)) for a, b in zip(prev_id[hit], ids[hit])
+    ]
+
+
 def consecutive_pattern_stream(
     events: DataFrame,
     match_type: str = "error",
@@ -60,19 +99,16 @@ def consecutive_pattern_stream(
             yield pd.DataFrame(columns=["user_id", "first_error_id", "second_error_id"])
             return
         batch = batch.sort_values([ts_col, id_col])
-        out = []
-        for _, row in batch.iterrows():
-            ts_us = int(pd.Timestamp(row[ts_col]).value // 1_000)
-            is_match = 1 if row[type_col] == match_type else 0
-            if (
-                is_match
-                and last_is_match
-                and last_ts is not None
-                and ts_us - last_ts <= horizon_us
-            ):
-                out.append((key[0], last_id, int(row[id_col])))
-            last_is_match, last_id, last_ts = is_match, int(row[id_col]), ts_us
-        state.update((last_is_match, last_id, last_ts))
+        ts_us = (
+            pd.to_datetime(batch[ts_col]).astype("int64") // 1_000
+        ).to_numpy()
+        ids = batch[id_col].to_numpy()
+        matches = (batch[type_col] == match_type).to_numpy().astype("int64")
+        out = _consecutive_hits(
+            key[0], ts_us, ids, matches,
+            last_is_match, last_id, last_ts, horizon_us,
+        )
+        state.update((int(matches[-1]), int(ids[-1]), int(ts_us[-1])))
         yield pd.DataFrame(
             out, columns=["user_id", "first_error_id", "second_error_id"]
         )
@@ -134,30 +170,38 @@ def buffered_consecutive_pattern_stream(
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
-                for _, row in pdf.iterrows():
-                    ts_us = int(pd.Timestamp(row[ts_col]).value // 1_000)
-                    if wm_us > 0 and ts_us <= wm_us:
-                        continue  # late past watermark: dropped, as in Flink
-                    buf.append(
-                        (
-                            ts_us,
-                            int(row[id_col]),
-                            1 if row[type_col] == match_type else 0,
-                        )
+                if not len(pdf):
+                    continue
+                ts_arr = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000
+                ).to_numpy()
+                id_arr = pdf[id_col].to_numpy()
+                m_arr = (pdf[type_col] == match_type).to_numpy()
+                if wm_us > 0:
+                    keep = ts_arr > wm_us  # late past watermark: dropped
+                    ts_arr, id_arr, m_arr = ts_arr[keep], id_arr[keep], m_arr[keep]
+                buf.extend(
+                    zip(
+                        ts_arr.tolist(),
+                        (int(i) for i in id_arr),
+                        m_arr.astype("int64").tolist(),
                     )
+                )
         buf.sort()
         released = [e for e in buf if e[0] <= wm_us]
         remaining = [e for e in buf if e[0] > wm_us]
         out = []
-        for ts_us, eid, is_match in released:
-            if (
-                is_match
-                and last_is_match
-                and last_ts is not None
-                and ts_us - last_ts <= horizon_us
-            ):
-                out.append((key[0], last_id, eid))
-            last_is_match, last_id, last_ts = is_match, eid, ts_us
+        if released:
+            import numpy as np
+
+            rel = np.asarray(released, dtype="int64")
+            out = _consecutive_hits(
+                key[0], rel[:, 0], rel[:, 1], rel[:, 2],
+                last_is_match, last_id, last_ts, horizon_us,
+            )
+            last_ts, last_id, last_is_match = (
+                int(rel[-1, 0]), int(rel[-1, 1]), int(rel[-1, 2]),
+            )
         state.update(
             (
                 last_is_match,

@@ -267,15 +267,26 @@ def count_window(
         batch = pd.concat(list(pdfs), ignore_index=True)
         out = []
         if len(batch):
+            import numpy as np
+
             batch = batch.sort_values([ts_col])
-            for _, row in batch.iterrows():
-                cnt += 1
-                sum_cents += int(round(float(row[value_col]) * 100))
-                if cnt == n:
-                    out.append(
-                        (key[0], window_no, cnt, f"{sum_cents / 100:.2f}")
-                    )
-                    window_no, cnt, sum_cents = window_no + 1, 0, 0
+            # vectorized window fold: boundaries are the positions where
+            # the carried count crosses a multiple of n; per-window sums
+            # are cumsum differences (round-half-even matches the old
+            # per-row int(round(x*100)))
+            cents = np.rint(
+                batch[value_col].astype("float64").to_numpy() * 100
+            ).astype("int64")
+            running = cnt + np.arange(1, len(batch) + 1)
+            bounds = np.flatnonzero(running % n == 0)
+            cum = sum_cents + np.cumsum(cents)
+            prev = np.concatenate(([0], cum[bounds[:-1]])) if len(bounds) else []
+            for k, b in enumerate(bounds):
+                total = int(cum[b] - prev[k])
+                out.append((key[0], window_no + k, n, f"{total / 100:.2f}"))
+            window_no += len(bounds)
+            cnt = int(running[-1] % n)
+            sum_cents = int(cum[-1] - (cum[bounds[-1]] if len(bounds) else 0))
         state.update((window_no, cnt, sum_cents))
         yield pd.DataFrame(
             out, columns=["key", "window_no", "n_events", "sum_value"]
@@ -330,10 +341,25 @@ def per_element_uv(
         batch = pd.concat(list(pdfs), ignore_index=True)
         out = []
         if len(batch):
+            import numpy as np
+
             batch = batch.sort_values([ts_col, id_col])
-            for _, r in batch.iterrows():
-                seen.add(int(r[user_col]))
-                out.append((key[0], int(r[id_col]), len(seen)))
+            users = batch[user_col].to_numpy()
+            # running distinct count = |seen| + cumulative count of rows
+            # introducing a user new to both the batch prefix and state
+            new_flag = (
+                ~pd.Series(users).duplicated().to_numpy()
+                & ~pd.Series(users).isin(seen).to_numpy()
+            )
+            uv = len(seen) + np.cumsum(new_flag)
+            out = list(
+                zip(
+                    (key[0] for _ in range(len(batch))),
+                    (int(i) for i in batch[id_col].to_numpy()),
+                    uv.tolist(),
+                )
+            )
+            seen.update(int(u) for u in users[new_flag])
         state.update((sorted(seen),))
         yield pd.DataFrame(out, columns=["window_start", "event_id", "uv"])
 
@@ -386,12 +412,35 @@ def triggered_global_agg(
         batch = pd.concat(list(pdfs), ignore_index=True)
         out = []
         if len(batch):
-            batch = batch.sort_values([ts_col, id_col])
-            for _, r in batch.iterrows():
-                cnt += 1
-                v4 += int(r[value4_col])
-                if fire(r):
-                    out.append((key[0], int(r[id_col]), cnt, v4))
+            import numpy as np
+
+            batch = batch.sort_values([ts_col, id_col]).reset_index(drop=True)
+            vals = batch[value4_col].astype("int64").to_numpy()
+            run_cnt = cnt + np.arange(1, len(batch) + 1)
+            run_v4 = v4 + np.cumsum(vals)
+            # fire() may be row-wise (row -> bool) or vectorized
+            # (DataFrame -> bool mask); probe the vectorized form first
+            try:
+                mask = fire(batch)
+                vectorized = (
+                    hasattr(mask, "__len__") and len(mask) == len(batch)
+                )
+            except Exception:
+                vectorized = False
+            if vectorized:
+                mask = np.asarray(mask, dtype=bool)
+            else:
+                mask = np.fromiter(
+                    (bool(fire(r)) for r in batch.to_dict("records")),
+                    dtype=bool,
+                    count=len(batch),
+                )
+            ids = batch[id_col].to_numpy()
+            for i in np.flatnonzero(mask):
+                out.append(
+                    (key[0], int(ids[i]), int(run_cnt[i]), int(run_v4[i]))
+                )
+            cnt, v4 = int(run_cnt[-1]), int(run_v4[-1])
         state.update((cnt, v4))
         yield pd.DataFrame(
             out, columns=["key", "event_id", "n_events", "sum_v4"]

@@ -201,6 +201,10 @@ class _ExprParser:
             return ("str", t[1:-1])
         name = self.take()
         up = name.upper()
+        if self.peek() == "(" and up in ("MATCH_NUMBER", "CLASSIFIER"):
+            self.take("(")
+            self.take(")")
+            return (up.lower(),)
         if self.peek() == "(" and up in (_NAV | _AGG):
             self.take("(")
             inner = self.or_expr()
@@ -273,6 +277,7 @@ class MatchRecognizeSpec:
     steps: list[_StepSpec]
     defines: dict[str, object]
     within: pd.Timedelta | None
+    all_rows: bool = False  # ALL ROWS PER MATCH (vs ONE ROW PER MATCH)
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -324,8 +329,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec:
         nxt = hits[j + 1][0] if j + 1 < len(hits) else len(body)
         sections[kw] = body[end:nxt].strip()
 
-    if "ALL ROWS PER MATCH" in sections:
-        raise NotImplementedError("ALL ROWS PER MATCH")
+    all_rows = "ALL ROWS PER MATCH" in sections
     if "PATTERN" not in sections or "PARTITION BY" not in sections:
         raise ValueError("PATTERN and PARTITION BY are required")
 
@@ -423,7 +427,8 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec:
         if v not in known:
             raise ValueError(f"DEFINE references unknown pattern variable {v!r}")
     return MatchRecognizeSpec(
-        table, partition_by, order_by, measures, after, steps, defines, within
+        table, partition_by, order_by, measures, after, steps, defines,
+        within, all_rows,
     )
 
 
@@ -447,16 +452,26 @@ def _null(v):
 
 class _Ctx:
     """bindings: var -> consumed row indices; consumed: all, in order;
-    (cur_var, cur_idx): row provisionally mapped while its DEFINE runs."""
+    (cur_var, cur_idx): row provisionally mapped while its DEFINE runs.
+    match_no / row_var feed MATCH_NUMBER() / CLASSIFIER() under
+    ALL ROWS PER MATCH."""
 
-    __slots__ = ("recs", "bindings", "consumed", "cur_var", "cur_idx")
+    __slots__ = (
+        "recs", "bindings", "consumed", "cur_var", "cur_idx",
+        "match_no", "row_var",
+    )
 
-    def __init__(self, recs, bindings, consumed, cur_var=None, cur_idx=None):
+    def __init__(
+        self, recs, bindings, consumed, cur_var=None, cur_idx=None,
+        match_no=None, row_var=None,
+    ):
         self.recs = recs
         self.bindings = bindings
         self.consumed = consumed
         self.cur_var = cur_var
         self.cur_idx = cur_idx
+        self.match_no = match_no
+        self.row_var = row_var
 
     def seq(self, var: str | None) -> list[int]:
         if var is None:
@@ -507,6 +522,10 @@ def _eval(ast, ctx: _Ctx):
     kind = ast[0]
     if kind in ("num", "str"):
         return ast[1]
+    if kind == "match_number":
+        return ctx.match_no
+    if kind == "classifier":
+        return ctx.row_var
     if kind == "ref":
         s = ctx.seq(ast[1])
         return _null(ctx.recs[s[-1]].get(ast[2])) if s else None
@@ -696,6 +715,29 @@ def _find_match(
     return end, bindings
 
 
+def _emit_all_rows(recs, bindings, spec, match_no, out):
+    """ALL ROWS PER MATCH: one output row per consumed input row, with
+    RUNNING measure semantics (aggregates/navigation see the match
+    only up to and including the current row — the SQL-standard
+    default inside ALL ROWS PER MATCH) plus MATCH_NUMBER() and
+    CLASSIFIER()."""
+    consumed = sorted(i for b in bindings.values() for i in b)
+    var_of = {i: v for v, idxs in bindings.items() for i in idxs}
+    for p, i in enumerate(consumed):
+        trunc = {
+            v: [j for j in idxs if j <= i] for v, idxs in bindings.items()
+        }
+        trunc = {v: idxs for v, idxs in trunc.items() if idxs}
+        ctx = _Ctx(
+            recs, trunc, consumed[: p + 1],
+            match_no=match_no, row_var=var_of[i],
+        )
+        rec = dict(recs[i])
+        for ast, alias in spec.measures:
+            rec[alias] = _eval(ast, ctx)
+        out.append(rec)
+
+
 def _partition_rows(pdf, spec, ts_col, part_vals_cols) -> list[dict]:
     """One key's matches as output-row dicts."""
     order = spec.order_by or ([ts_col] if ts_col else [])
@@ -704,6 +746,7 @@ def _partition_rows(pdf, spec, ts_col, part_vals_cols) -> list[dict]:
     n = len(recs)
     out = []
     start = 0
+    match_no = 0
     while start < n:
         m = None
         anchor = start
@@ -714,11 +757,18 @@ def _partition_rows(pdf, spec, ts_col, part_vals_cols) -> list[dict]:
         if m is None:
             break
         end, bindings = m
-        ctx = _Ctx(recs, bindings, sorted(i for b in bindings.values() for i in b))
-        rec = {c: recs[0][c] for c in part_vals_cols}
-        for ast, alias in spec.measures:
-            rec[alias] = _eval(ast, ctx)
-        out.append(rec)
+        match_no += 1
+        if spec.all_rows:
+            _emit_all_rows(recs, bindings, spec, match_no, out)
+        else:
+            ctx = _Ctx(
+                recs, bindings,
+                sorted(i for b in bindings.values() for i in b),
+            )
+            rec = {c: recs[0][c] for c in part_vals_cols}
+            for ast, alias in spec.measures:
+                rec[alias] = _eval(ast, ctx)
+            out.append(rec)
         if spec.after_match == "past_last":
             # max() is a belt-and-braces guard: a zero-width match
             # (rejected at parse time) would otherwise stall here
@@ -755,6 +805,10 @@ def _infer_type(ast, schema_map) -> str:
         return "bigint" if isinstance(ast[1], int) else "double"
     if kind == "str":
         return "string"
+    if kind == "match_number":
+        return "bigint"
+    if kind == "classifier":
+        return "string"
     if kind == "ref":
         if ast[2] not in schema_map:
             raise ValueError(f"unknown column {ast[2]!r}")
@@ -780,14 +834,19 @@ _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     """Execute a MATCH_RECOGNIZE query against ``df`` (which stands in
-    for the FROM table). Output columns: partition columns + measures,
-    like Flink/SQL-standard ONE ROW PER MATCH."""
+    for the FROM table). Output columns: partition columns + measures
+    (ONE ROW PER MATCH, the Flink/SQL-standard shape), or every input
+    column + RUNNING measures + MATCH_NUMBER()/CLASSIFIER() support
+    (ALL ROWS PER MATCH)."""
     spec = parse_match_recognize(sql)
     schema_map = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for c in spec.partition_by + spec.order_by:
         if c not in schema_map:
             raise ValueError(f"unknown PARTITION/ORDER column {c!r}")
-    out_fields = [(c, schema_map[c]) for c in spec.partition_by]
+    if spec.all_rows:
+        out_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    else:
+        out_fields = [(c, schema_map[c]) for c in spec.partition_by]
     for ast, alias in spec.measures:
         t = _infer_type(ast, schema_map)
         # integer arithmetic/sums can exceed the source width
@@ -908,6 +967,11 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     spec = parse_match_recognize(sql)
+    if spec.all_rows:
+        raise NotImplementedError(
+            "ALL ROWS PER MATCH is batch-only (per-row emission from "
+            "group state would re-emit on every buffer growth)"
+        )
     schema_map = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_fields = [(c, schema_map[c]) for c in spec.partition_by]
     for ast, alias in spec.measures:

@@ -365,3 +365,83 @@ def streaming_match_recognize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append").orderBy(
         "symbol", "start_price", "top_price", "end_price"
     )
+
+
+@query(
+    "match_recognize_all_rows",
+    # eager UP+ over contiguous dir=1 rows == gaps-and-islands; RUNNING
+    # COUNT is the row number within the island, MATCH_NUMBER() the
+    # island's per-user index, CLASSIFIER() constant 'UP'
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), base AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER w AS rn,
+             CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS dir
+      FROM pur
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ups AS (
+      SELECT *, rn - row_number() OVER (
+               PARTITION BY user_id ORDER BY rn) AS grp
+      FROM base WHERE dir = 1
+    )
+    SELECT user_id, event_id,
+           CAST(dense_rank() OVER (
+             PARTITION BY user_id ORDER BY grp) AS BIGINT) AS mno,
+           'UP' AS cls,
+           CAST(row_number() OVER (
+             PARTITION BY user_id, grp ORDER BY rn) AS BIGINT)
+             AS rn_in_match,
+           round(value, 2) AS value
+    FROM ups
+    ORDER BY user_id, event_id
+    """,
+    doc=(
+        "ALL ROWS PER MATCH (SQL-standard row-pattern output shape, "
+        "beyond the reference's ONE ROW PER MATCH usage): every row of "
+        "each rising-value run per user, with RUNNING COUNT, "
+        "MATCH_NUMBER() and CLASSIFIER(); oracle = gaps-and-islands."
+    ),
+)
+def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_dir = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.when(F.col("value") > F.lag("value").over(w), 1)
+        .otherwise(0)
+        .alias("dir"),
+    )
+    mr = match_recognize(
+        with_dir,
+        """
+        SELECT * FROM T MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mno,
+                   CLASSIFIER() AS cls,
+                   COUNT(value) AS rn_in_match
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (UP+)
+          DEFINE UP AS UP.dir = 1
+        )
+        """,
+    )
+    return mr.select(
+        "user_id",
+        "event_id",
+        "mno",
+        "cls",
+        "rn_in_match",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id", "event_id")

@@ -86,6 +86,7 @@ _SAMPLE_PRIORITY = [
     "match_recognize_v_pattern",
     "match_recognize_rise_fall",
     "match_recognize_sum_budget",
+    "match_recognize_all_rows",
     "pattern_error_burst",
     # dedup / similarity (LLM-pipeline surface)
     "dedup_exact",

@@ -368,12 +368,58 @@ def test_match_recognize_sql_resolves_view(spark):
     assert len(out) == 2
 
 
-def test_parse_rejects_all_rows_per_match(spark):
-    with pytest.raises(NotImplementedError):
-        parse_match_recognize(
+def test_all_rows_per_match_running_measures(spark):
+    """ALL ROWS PER MATCH emits one row per consumed input row with
+    RUNNING measures, MATCH_NUMBER() and CLASSIFIER() (SQL-standard
+    semantics; V-pattern rows from the ACME ticker)."""
+    df = _ticker(spark, ACME_V)
+    out = match_recognize(
+        df,
+        """
+        SELECT * FROM Ticker MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ctime
+          MEASURES MATCH_NUMBER() AS mno,
+                   CLASSIFIER() AS cls,
+                   COUNT(price) AS rn_in_match,
+                   SUM(price) AS running_sum
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.price < 20,
+                 UP AS UP.price >= 20
+        )
+        """,
+    ).orderBy("ctime").collect()
+    # ACME prices: 12 17 19 21 25 | 18 15 14 24 25 | 19
+    # match 1: DOWN+ = [12 17 19], UP+ = [21 25]
+    # match 2: DOWN+ = [18 15 14], UP+ = [24 25]
+    # trailing 19 starts DOWN+ but no UP follows -> no third match
+    assert [r.mno for r in out] == [1] * 5 + [2] * 5
+    assert [r.cls for r in out] == (
+        ["DOWN"] * 3 + ["UP"] * 2 + ["DOWN"] * 3 + ["UP"] * 2
+    )
+    assert [r.rn_in_match for r in out] == [1, 2, 3, 4, 5] * 2
+    assert [r.running_sum for r in out] == [
+        12, 29, 48, 69, 94, 18, 33, 47, 71, 96,
+    ]
+    # every input column survives alongside the measures
+    assert out[0].price == 12 and out[0].symbol == "ACME"
+
+
+def test_all_rows_per_match_streaming_raises(spark):
+    from flink_demo_spark.operators.match_recognize import (
+        streaming_match_recognize,
+    )
+
+    with pytest.raises(NotImplementedError, match="batch-only"):
+        streaming_match_recognize(
+            _ticker(spark, ACME_V),
             """SELECT * FROM T MATCH_RECOGNIZE (
-               PARTITION BY a ORDER BY b MEASURES A.x AS y
-               ALL ROWS PER MATCH PATTERN (A) DEFINE A AS A.x > 0)"""
+               PARTITION BY symbol ORDER BY ctime
+               MEASURES COUNT(price) AS n
+               ALL ROWS PER MATCH PATTERN (A B)
+               DEFINE B AS B.price > 0)""",
         )
 
 

@@ -164,6 +164,32 @@ def ivf_assign(
     return df.withColumn(cell_col, (-best["neg_cid"]).cast("int"))
 
 
+def ivf_probe_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Explode each row into its ``nprobe`` nearest centroid cells
+    (by cosine, ties to the smaller centroid id) — the query-side
+    multi-probe of an IVF index. One row per probed cell."""
+    v = _as_double(F.col(vec_col))
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = dot(v, c) / (l2_norm(v) * l2_norm(c))
+        entries.append(
+            F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_cid"))
+        )
+    # sort desc: highest sim first; tie -> larger neg_cid = smaller cid
+    arr = F.sort_array(F.array(*entries), asc=False)
+    cells = F.transform(
+        F.slice(arr, 1, nprobe), lambda s: (-s["neg_cid"]).cast("int")
+    )
+    return df.withColumn(cell_col, F.explode(cells))
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -173,20 +199,23 @@ def ivf_top_k(
     query_id_col: str = "query_id",
     k: int = 5,
     round_to: int = 6,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF(nprobe=1) ANN: candidates restricted to the query's cell,
-    exact cosine rank within it. One shuffle keyed on cell; corpus
-    cells can be pre-partitioned/bucketed on disk at 100 TB so probe
-    queries touch a single partition."""
+    """IVF ANN: candidates restricted to the query's ``nprobe``
+    nearest cells, exact cosine rank within them. One shuffle keyed on
+    cell; corpus cells can be pre-partitioned/bucketed on disk at
+    100 TB so probes touch ``nprobe`` partitions. With ``nprobe`` =
+    number of centroids this degenerates to exact brute force (tested).
+    A corpus vector lives in exactly one cell, so multi-probe never
+    duplicates a candidate pair."""
     cb = ivf_assign(corpus, centroids, id_col, vec_col)
-    qb = ivf_assign(
-        queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-        ),
-        centroids,
-        query_id_col,
-        "__qvec",
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
+    if nprobe <= 1:
+        qb = ivf_assign(q, centroids, query_id_col, "__qvec")
+    else:
+        qb = ivf_probe_cells(q, centroids, nprobe, "__qvec")
     sim = F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_to)
     scored = (
         cb.join(F.broadcast(qb), "cell")

@@ -721,6 +721,58 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ivf_nprobe",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), ranked AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_IVF_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                        c.cid
+             ) AS crk
+      FROM embeddings e CROSS JOIN cent c
+    ), assign AS (
+      SELECT vec_id, ev, cid FROM ranked WHERE crk = 1
+    ), q AS (
+      -- queries probe their TWO nearest cells
+      SELECT vec_id AS query_id, ev AS qv, cid
+      FROM ranked WHERE vec_id < 5 AND crk <= 2
+    ), scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             round({_IVF_COS.format(a='q.qv', b='a.ev')}, 6) AS cosine_sim
+      FROM assign a JOIN q ON a.cid = q.cid AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, rk, neighbor_id, cosine_sim FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "IVF multi-probe ANN (nprobe=2): queries explode into their "
+        "two nearest cells, exact cosine top-5 over the union of both "
+        "cells' members — higher recall at 2x probe cost, the standard "
+        "IVF quality knob. Fully oracle-checked."
+    ),
+)
+def similarity_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_top_k(
+        emb, queries, cents, id_col="vec_id", vec_col="embedding", k=5,
+        nprobe=2,
+    ).orderBy("query_id", "rk")
+
+
+@query(
     "json_extract_props",
     oracle="""
     SELECT event_type,

@@ -101,6 +101,7 @@ _SAMPLE_PRIORITY = [
     "similarity_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "similarity_ivf_nprobe",
     "embedding_norms",
     # text analysis
     "text_token_stats",

@@ -1204,3 +1204,28 @@ def test_connected_components_star_singletons_and_self_loops(spark):
     assert got == {
         (1, 1), (2, 1), (3, 3), (4, 4), (5, 4), (6, 6), (7, 7),
     }
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """IVF with nprobe = number of centroids must equal exact
+    brute-force top-k (every cell is probed, so the candidate set is
+    the whole corpus)."""
+    from flink_demo_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    ivf = {
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in similarity.ivf_top_k(
+            emb, queries, cents, k=4, nprobe=len(cents)
+        ).collect()
+    }
+    bf = {
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in similarity.brute_force_top_k(emb, queries, k=4).collect()
+    }
+    assert ivf == bf

@@ -201,6 +201,12 @@ class _ExprParser:
             return ("str", t[1:-1])
         name = self.take()
         up = name.upper()
+        if up in ("RUNNING", "FINAL") and self.peek() is not None and (
+            re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", self.peek() or "")
+        ):
+            # RUNNING/FINAL semantics modifier prefixing an aggregate
+            # or navigation expression (SQL:2016 row-pattern measures)
+            return (up.lower(), self.primary())
         if self.peek() == "(" and up in ("MATCH_NUMBER", "CLASSIFIER"):
             self.take("(")
             self.take(")")
@@ -458,12 +464,12 @@ class _Ctx:
 
     __slots__ = (
         "recs", "bindings", "consumed", "cur_var", "cur_idx",
-        "match_no", "row_var",
+        "match_no", "row_var", "full",
     )
 
     def __init__(
         self, recs, bindings, consumed, cur_var=None, cur_idx=None,
-        match_no=None, row_var=None,
+        match_no=None, row_var=None, full=None,
     ):
         self.recs = recs
         self.bindings = bindings
@@ -472,6 +478,8 @@ class _Ctx:
         self.cur_idx = cur_idx
         self.match_no = match_no
         self.row_var = row_var
+        # the whole-match ctx backing FINAL semantics; None = self
+        self.full = full
 
     def seq(self, var: str | None) -> list[int]:
         if var is None:
@@ -526,6 +534,10 @@ def _eval(ast, ctx: _Ctx):
         return ctx.match_no
     if kind == "classifier":
         return ctx.row_var
+    if kind == "running":
+        return _eval(ast[1], ctx)  # ctx is already positional/running
+    if kind == "final":
+        return _eval(ast[1], ctx.full if ctx.full is not None else ctx)
     if kind == "ref":
         s = ctx.seq(ast[1])
         return _null(ctx.recs[s[-1]].get(ast[2])) if s else None
@@ -723,6 +735,7 @@ def _emit_all_rows(recs, bindings, spec, match_no, out):
     CLASSIFIER()."""
     consumed = sorted(i for b in bindings.values() for i in b)
     var_of = {i: v for v, idxs in bindings.items() for i in idxs}
+    full = _Ctx(recs, bindings, consumed, match_no=match_no)
     for p, i in enumerate(consumed):
         trunc = {
             v: [j for j in idxs if j <= i] for v, idxs in bindings.items()
@@ -730,7 +743,7 @@ def _emit_all_rows(recs, bindings, spec, match_no, out):
         trunc = {v: idxs for v, idxs in trunc.items() if idxs}
         ctx = _Ctx(
             recs, trunc, consumed[: p + 1],
-            match_no=match_no, row_var=var_of[i],
+            match_no=match_no, row_var=var_of[i], full=full,
         )
         rec = dict(recs[i])
         for ast, alias in spec.measures:
@@ -809,6 +822,8 @@ def _infer_type(ast, schema_map) -> str:
         return "bigint"
     if kind == "classifier":
         return "string"
+    if kind in ("running", "final"):
+        return _infer_type(ast[1], schema_map)
     if kind == "ref":
         if ast[2] not in schema_map:
             raise ValueError(f"unknown column {ast[2]!r}")

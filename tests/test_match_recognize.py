@@ -407,6 +407,32 @@ def test_all_rows_per_match_running_measures(spark):
     assert out[0].price == 12 and out[0].symbol == "ACME"
 
 
+def test_all_rows_per_match_final_vs_running(spark):
+    """FINAL measures see the whole match from every row; RUNNING (the
+    ALL ROWS default) sees the prefix (SQL:2016 semantics modifiers)."""
+    df = _ticker(spark, ACME_V)
+    out = match_recognize(
+        df,
+        """
+        SELECT * FROM Ticker MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ctime
+          MEASURES RUNNING COUNT(price) AS rn,
+                   FINAL COUNT(price) AS total_n,
+                   FINAL SUM(price) AS total_sum
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.price < 20,
+                 UP AS UP.price >= 20
+        )
+        """,
+    ).orderBy("ctime").collect()
+    assert [r.rn for r in out] == [1, 2, 3, 4, 5] * 2
+    assert [r.total_n for r in out] == [5] * 10
+    assert [r.total_sum for r in out] == [94] * 5 + [96] * 5
+
+
 def test_all_rows_per_match_streaming_raises(spark):
     from flink_demo_spark.operators.match_recognize import (
         streaming_match_recognize,

@@ -103,3 +103,34 @@ def test_normalize_ts_rejects_string(spark):
     )
     with pytest.raises(TypeError, match="unsupported dtype"):
         normalize_events_ts(df)
+
+
+def test_planstats_estimate_override_and_fallback(spark):
+    """estimated_plan_bytes: real estimate > 0, conf override wins,
+    and a broken frame degrades to the default with a warning."""
+    import warnings
+
+    from flink_demo_spark.operators import _planstats
+    from flink_demo_spark.operators._planstats import estimated_plan_bytes
+
+    df = spark.range(100)
+    n = estimated_plan_bytes(df, default=7)
+    assert n > 0 and n != 7
+    spark.conf.set("spark.flinkDemoSpark.planStats.overrideBytes", "12345")
+    try:
+        assert estimated_plan_bytes(df, default=7) == 12345
+    finally:
+        spark.conf.unset("spark.flinkDemoSpark.planStats.overrideBytes")
+
+    class Broken:
+        sparkSession = spark
+
+        @property
+        def _jdf(self):
+            raise RuntimeError("private API gone")
+
+    _planstats._warned = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert estimated_plan_bytes(Broken(), default=99) == 99
+    assert any("planStats.overrideBytes" in str(x.message) for x in w)

@@ -60,8 +60,13 @@ def query(
 # that have never had a driver row (streaming, CEP/MATCH_RECOGNIZE,
 # dedup/similarity, text, windows). Names missing from the registry
 # are skipped (safe across renames); unlisted queries follow in
-# registration order. Rotate this list next round to cover the
-# remaining never-sampled queries (TPC-H q4-q21, corpus, subqueries).
+# registration order, and _previously_green() rotates names with an
+# existing driver row to the back automatically each round.
+# (Folding the scalar_*_funcs/scalar_*_funcs2 batches further was
+# considered and dropped: each pair scans a DIFFERENT base table
+# (part vs documents, orders vs events), so a merge would need a
+# cross-table join with no shared key — the rotation makes the
+# sample-slot motivation moot.)
 _SAMPLE_PRIORITY = [
     # streaming (applyInPandasWithState / watermark surfaces)
     "streaming_window_hourly",

@@ -616,6 +616,51 @@ def _match_from(
     return next(iter(_iter_matches_from(rows, start, pattern, ts_col, recs)), None)
 
 
+def _anchor_failure_is_final(pattern: Pattern, n_avail: int) -> bool:
+    """Streaming helper: is a FAILED anchor decided for good given
+    ``n_avail`` buffered rows from the anchor on? True for patterns
+    whose every step is strictly consecutive ('next' contiguity, the
+    anchor step included) once the buffer holds the pattern's minimum
+    row requirement — every decision the NFA made then examined an
+    existing row, so no future in-order row can turn the failure into
+    a match. followed_by scans and groups return False (a future row
+    always could match); the caller falls back to WITHIN expiry."""
+    steps = pattern.steps
+    if any(s.group is not None for s in steps):
+        return False
+    if any(s.contiguity != "next" for s in steps[1:]):
+        return False
+    need = sum(s.min_times for s in steps if not s.negated)
+    if steps and steps[-1].negated:
+        need += 1  # trailing notNext needs one lookahead row
+    return n_avail >= need
+
+
+def _match_can_extend(pattern: Pattern, bindings: dict) -> bool:
+    """Could a future in-order row change this preferred match?
+    Used by the streaming twin to decide whether a match ending at the
+    buffer's last row must stay pending. True when (a) any step after
+    the last one that bound rows exists (an unbound optional could
+    bind, a trailing notNext could be invalidated), or (b) the last
+    bound step is a greedy loop with quota left (it would consume
+    more); reluctant loops stop at their preference, fixed-count
+    quantifiers at their max."""
+    steps = pattern.steps
+    last_bound = -1
+    for i, s in enumerate(steps):
+        if bindings.get(s.name):
+            last_bound = i
+    if last_bound < 0 or last_bound < len(steps) - 1:
+        return True
+    s = steps[last_bound]
+    if s.group is not None:
+        return True  # group repeats could extend
+    took = len(bindings.get(s.name, ()))
+    if s.max_times is None or took < s.max_times:
+        return bool(s.greedy)
+    return False
+
+
 def match_pattern(
     df: DataFrame,
     pattern: Pattern,

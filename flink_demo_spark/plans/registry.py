@@ -88,6 +88,7 @@ _SAMPLE_PRIORITY = [
     "cep_order_timeout",
     "cep_v_pattern",
     "cep_iterative_threshold",
+    "streaming_cep_iterative",
     "match_recognize_v_pattern",
     "match_recognize_rise_fall",
     "match_recognize_sum_budget",

@@ -535,6 +535,81 @@ def streaming_punctuated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cep_iterative",
+    # skip_to_next + NEXT contiguity -> adjacent pairs; CEP's WITHIN is
+    # inclusive (ts2 - ts1 <= horizon), unlike MATCH_RECOGNIZE's strict <
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT user_id, event_id AS small_id, value AS small_value, ts,
+             lead(event_id) OVER w AS large_id,
+             lead(value) OVER w AS large_value,
+             lead(ts) OVER w AS large_ts
+      FROM pur
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, small_id, large_id,
+           round(small_value, 2) AS small_value,
+           round(large_value, 2) AS large_value
+    FROM s
+    WHERE small_value < 30 AND large_value > 2 * small_value
+      AND large_ts - ts <= INTERVAL 7 DAY
+    ORDER BY user_id, small_id
+    """,
+    doc=(
+        "general streaming CEP (CEP.pattern on a stream): the batch "
+        "NFA runs from keyed state, matches emit the moment their "
+        "outcome is decided, failed anchors drop at WITHIN expiry. "
+        "Pattern = iterative 'small then >2x-larger' within 7 days "
+        "(IterativeCondition ctx works unchanged). Fully oracle-backed."
+    ),
+)
+def streaming_cep_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+    from ..sources.streams import events_stream
+    from ..streaming.cep_stream import streaming_match_pattern
+
+    ev = events_stream(spark, sf_dir, watermark=None).where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "value", "ts")
+    pat = cep.Pattern.begin("small", lambda r: r["value"] < 30).next(
+        "large",
+        lambda r, ctx: r["value"]
+        > 2 * ctx.events_for_pattern("small")[0]["value"],
+    )
+    pat.skip_to_next()
+    pat.within_time("7D")
+
+    def measures(rows, bindings):
+        s = rows.iloc[bindings["small"][0]]
+        g = rows.iloc[bindings["large"][0]]
+        return {
+            "small_id": int(s["event_id"]),
+            "large_id": int(g["event_id"]),
+            "small_value": round(float(s["value"]), 2),
+            "large_value": round(float(g["value"]), 2),
+        }
+
+    out = streaming_match_pattern(
+        ev,
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        measures=measures,
+        output_schema=(
+            "user_id long, small_id long, large_id long, "
+            "small_value double, large_value double"
+        ),
+        order_cols=["ts", "event_id"],
+    )
+    return run_available_now(out, output_mode="append").orderBy(
+        "user_id", "small_id"
+    )
+
+
+@query(
     "streaming_allowed_lateness",
     oracle="""
     WITH e AS (

@@ -226,3 +226,99 @@ def buffered_consecutive_pattern_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_match_pattern(
+    events: DataFrame,
+    pattern,
+    key_cols: list[str],
+    ts_col: str,
+    measures,
+    output_schema,
+    order_cols: list[str] | None = None,
+):
+    """General streaming twin of ``operators.cep.match_pattern``
+    (Flink ``CEP.pattern(stream)``): per key, rows buffer in group
+    state and a match emits the moment its outcome is DECIDED —
+    either a non-consumed row follows the match end (the NFA already
+    saw and rejected it as an extension), or the anchor's WITHIN
+    horizon has expired so no future in-order row can extend it.
+    A failed anchor is discarded only once its horizon expires.
+
+    Requires ``pattern.within`` (unbounded patterns would buffer
+    forever, exactly like Flink NFA state) and supports the
+    ``skip_past_last_event`` / ``skip_to_next`` after-match
+    strategies. Assumes micro-batches arrive in event-time order per
+    key (file replay / availableNow) — the same contract as
+    ``streaming_match_recognize``. Iterative (row, ctx) conditions
+    work unchanged (same NFA).
+    """
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..operators.cep import (
+        _anchor_failure_is_final,
+        _match_can_extend,
+        _match_from,
+        _schema_fields,
+    )
+
+    if pattern.within is None:
+        raise ValueError("streaming_match_pattern requires pattern.within")
+    if pattern.after_match not in ("skip_past_last_event", "skip_to_next"):
+        raise NotImplementedError(
+            "streaming CEP supports skip_past_last_event / skip_to_next"
+        )
+    out_columns = [f.name for f in _schema_fields(output_schema)]
+    order = order_cols or [ts_col]
+    state_schema = StructType([StructField("buf", BinaryType())])
+    within = pattern.within
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        recs: list[dict] = pickle.loads(state.get[0]) if state.exists else []
+        new = [pdf for pdf in pdfs if len(pdf)]
+        if new:
+            batch = pd.concat(new, ignore_index=True).sort_values(
+                order, kind="stable"
+            )
+            recs.extend(batch.to_dict("records"))
+        out_rows: list[dict] = []
+        max_ts = recs[-1][ts_col] if recs else None
+        while recs:
+            rows_df = pd.DataFrame(recs)
+            m = _match_from(rows_df, 0, pattern, ts_col, recs)
+            t0 = recs[0][ts_col]
+            expired = max_ts is not None and (max_ts - t0) > within
+            if m is None:
+                if expired or _anchor_failure_is_final(pattern, len(recs)):
+                    recs = recs[1:]  # anchor dead for good
+                    continue
+                break  # pending: a future row may still complete it
+            end, bindings = m
+            if (
+                end == len(recs)
+                and not expired
+                and _match_can_extend(pattern, bindings)
+            ):
+                break  # a future in-horizon row could extend the match
+            rec = measures(rows_df, bindings)
+            for k, v in zip(key_cols, key):
+                rec.setdefault(k, v)
+            out_rows.append(rec)
+            drop = 1 if pattern.after_match == "skip_to_next" else end
+            recs = recs[drop:]
+        state.update((pickle.dumps(recs),))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_columns)
+        else:
+            yield pd.DataFrame(columns=out_columns)
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

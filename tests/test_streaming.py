@@ -1011,3 +1011,119 @@ def test_partition_commit_sink_success_file_and_metastore(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS fs_stream_commit")
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_streaming_match_pattern_equals_batch_on_random_splits(spark):
+    """General streaming CEP (CEP.pattern on a stream): the streaming
+    twin must emit exactly the batch match_pattern result however the
+    rows split into micro-batches (login-fail-style 'fail NEXT fail
+    within 2s' plus a greedy one_or_more tail pattern)."""
+    import random
+
+    from flink_demo_spark.operators import cep
+    from flink_demo_spark.streaming.cep_stream import streaming_match_pattern
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(1, 6):
+        t = t0
+        for _ in range(rng.randrange(8, 16)):
+            t += dt.timedelta(seconds=rng.randrange(1, 4))
+            rows.append(
+                (user, t, rng.choice(["fail", "fail", "ok"]), eid)
+            )
+            eid += 1
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def build_pattern():
+        return (
+            cep.Pattern.begin("a", lambda r: r["event_type"] == "fail")
+            .next("b", lambda r: r["event_type"] == "fail")
+            .within_time("2s")
+        )
+
+    def measures(rows_df, bindings):
+        return {
+            "first_id": int(rows_df.iloc[bindings["a"][0]]["event_id"]),
+            "second_id": int(rows_df.iloc[bindings["b"][0]]["event_id"]),
+        }
+
+    out_schema = "user_id long, first_id long, second_id long"
+    batch_df = spark.createDataFrame(rows, schema)
+    expected = {
+        (r.user_id, r.first_id, r.second_id)
+        for r in cep.match_pattern(
+            batch_df, build_pattern(), ["user_id"], "ts", measures,
+            out_schema, order_cols=["ts", "event_id"],
+        ).collect()
+    }
+    # rows arrive per-user-in-order; random batch split points
+    rows_sorted = sorted(rows, key=lambda r: (r[1], r[3]))
+    cuts = sorted(rng.sample(range(1, len(rows_sorted)), 3))
+    batches, prev = [], 0
+    for c in [*cuts, len(rows_sorted)]:
+        batches.append(rows_sorted[prev:c])
+        prev = c
+    stream = _mem_stream_batches(spark, batches, schema)
+    got = {
+        (r.user_id, r.first_id, r.second_id)
+        for r in run_available_now(
+            streaming_match_pattern(
+                stream, build_pattern(), ["user_id"], "ts", measures,
+                out_schema, order_cols=["ts", "event_id"],
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must produce at least one match"
+
+
+def test_streaming_match_pattern_fixed_tail_emits_at_buffer_end(spark):
+    """A fixed-quantifier pattern completing on the stream's last row
+    must emit without waiting (no possible extension), while a greedy
+    one_or_more tail at the buffer end stays pending until its WITHIN
+    horizon expires."""
+    from flink_demo_spark.operators import cep
+    from flink_demo_spark.streaming.cep_stream import streaming_match_pattern
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def measures(rows_df, bindings):
+        return {"n": int(len(bindings["a"]))}
+
+    # fixed A NEXT A: completes on the final row -> emitted
+    fixed = (
+        cep.Pattern.begin("a", lambda r: r["event_type"] == "x")
+        .next("b", lambda r: r["event_type"] == "x")
+        .within_time("10s")
+    )
+
+    def m2(rows_df, bindings):
+        return {"n": 2}
+
+    rows = [(1, t0, "x", 0), (1, t0 + dt.timedelta(seconds=1), "x", 1)]
+    out = run_available_now(
+        streaming_match_pattern(
+            _mem_stream(spark, rows, schema), fixed, ["user_id"], "ts",
+            m2, "user_id long, n long",
+        ),
+        output_mode="append",
+    ).collect()
+    assert len(out) == 1
+
+    # greedy a+ tail: last row could extend -> pending at end of stream
+    greedy = cep.Pattern.begin(
+        "a", lambda r: r["event_type"] == "x"
+    ).one_or_more().within_time("10s")
+    out = run_available_now(
+        streaming_match_pattern(
+            _mem_stream(spark, rows, schema), greedy, ["user_id"], "ts",
+            measures, "user_id long, n long",
+        ),
+        output_mode="append",
+    ).collect()
+    assert len(out) == 0  # undecided tail, exactly like Flink's NFA

@@ -322,3 +322,100 @@ def streaming_match_pattern(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_match_pattern_watermarked(
+    events: DataFrame,
+    pattern,
+    key_cols: list[str],
+    ts_col: str,
+    measures,
+    output_schema,
+    order_cols: list[str] | None = None,
+):
+    """Out-of-order-tolerant general streaming CEP — the closest twin
+    to Flink's watermark-driven NFA. Rows buffer per key in event-time
+    order; an anchor's fate (match emitted / failure discarded) is
+    decided once its WITHIN horizon is entirely behind the watermark
+    (``t0 + within <= wm``): every row that could participate is then
+    final, because later-arriving rows at or below the watermark are
+    dropped as late on intake (Flink CEP's late-event handling).
+
+    Requires ``withWatermark`` upstream and ``pattern.within``.
+    Supports skip_past_last_event / skip_to_next. An event-time timer
+    re-fires each key when the watermark advances past its oldest
+    buffered anchor, so decisions land even when later batches bring
+    the key no rows. Bounded Flink jobs flush with a final +inf
+    watermark; availableNow does not — anchors inside the final
+    watermark delay stay pending (same documented delta as
+    ``buffered_consecutive_pattern_stream``).
+    """
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..operators.cep import _match_from, _schema_fields
+
+    if pattern.within is None:
+        raise ValueError(
+            "streaming_match_pattern_watermarked requires pattern.within"
+        )
+    if pattern.after_match not in ("skip_past_last_event", "skip_to_next"):
+        raise NotImplementedError(
+            "streaming CEP supports skip_past_last_event / skip_to_next"
+        )
+    out_columns = [f.name for f in _schema_fields(output_schema)]
+    order = order_cols or [ts_col]
+    state_schema = StructType([StructField("buf", BinaryType())])
+    within = pattern.within
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        recs: list[dict] = pickle.loads(state.get[0]) if state.exists else []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = pd.Timestamp(wm_ms, unit="ms") if wm_ms > 0 else None
+        if not state.hasTimedOut:
+            new = [pdf for pdf in pdfs if len(pdf)]
+            if new:
+                batch = pd.concat(new, ignore_index=True)
+                if wm is not None:
+                    batch = batch[batch[ts_col] > wm]  # late: dropped
+                recs.extend(batch.to_dict("records"))
+        recs.sort(key=lambda r: tuple(r[c] for c in order))
+        out_rows: list[dict] = []
+        while recs:
+            t0 = recs[0][ts_col]
+            if wm is None or pd.Timestamp(t0) + within > wm:
+                break  # horizon still open: rows may yet arrive
+            rows_df = pd.DataFrame(recs)
+            m = _match_from(rows_df, 0, pattern, ts_col, recs)
+            if m is None:
+                recs = recs[1:]
+                continue
+            end, bindings = m
+            rec = measures(rows_df, bindings)
+            for k, v in zip(key_cols, key):
+                rec.setdefault(k, v)
+            out_rows.append(rec)
+            drop = 1 if pattern.after_match == "skip_to_next" else end
+            recs = recs[drop:]
+        state.update((pickle.dumps(recs),))
+        if recs and wm_ms > 0:
+            # wake when the watermark passes the oldest open horizon
+            first_due = int(
+                (pd.Timestamp(recs[0][ts_col]) + within).value // 1_000_000
+            )
+            state.setTimeoutTimestamp(max(first_due, wm_ms + 1))
+        yield (
+            pd.DataFrame(out_rows, columns=out_columns)
+            if out_rows
+            else pd.DataFrame(columns=out_columns)
+        )
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

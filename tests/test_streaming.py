@@ -1127,3 +1127,65 @@ def test_streaming_match_pattern_fixed_tail_emits_at_buffer_end(spark):
         output_mode="append",
     ).collect()
     assert len(out) == 0  # undecided tail, exactly like Flink's NFA
+
+
+def test_streaming_match_pattern_watermarked_out_of_order(spark):
+    """Watermark-driven general CEP: rows arrive OUT of order across
+    micro-batches; matches emit once their WITHIN horizon is behind
+    the watermark and equal the batch result. A too-late row (behind
+    the watermark on arrival) is dropped like Flink CEP drops late
+    events."""
+    from flink_demo_spark.operators import cep
+    from flink_demo_spark.streaming.cep_stream import (
+        streaming_match_pattern_watermarked,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def build_pattern():
+        return (
+            cep.Pattern.begin("a", lambda r: r["event_type"] == "fail")
+            .next("b", lambda r: r["event_type"] == "fail")
+            .within_time("2s")
+        )
+
+    def measures(rows_df, bindings):
+        return {
+            "first_id": int(rows_df.iloc[bindings["a"][0]]["event_id"]),
+            "second_id": int(rows_df.iloc[bindings["b"][0]]["event_id"]),
+        }
+
+    out_schema = "user_id long, first_id long, second_id long"
+    sec = dt.timedelta(seconds=1)
+    # user 1 in event-time order: fail0 fail1 ok2 fail3 fail4
+    # -> pairs (0,1) and (3,4)
+    in_order = [
+        (1, t0 + 0 * sec, "fail", 0),
+        (1, t0 + 1 * sec, "fail", 1),
+        (1, t0 + 5 * sec, "ok", 2),
+        (1, t0 + 6 * sec, "fail", 3),
+        (1, t0 + 7 * sec, "fail", 4),
+    ]
+    # arrival order scrambles within the 10s watermark delay; two
+    # far-future flush batches advance the watermark past every horizon
+    batches = [
+        [in_order[1], in_order[2]],
+        [in_order[0], in_order[4]],
+        [in_order[3], (99, t0 + dt.timedelta(hours=10), "ok", 90)],
+        [(99, t0 + dt.timedelta(hours=10, seconds=5), "ok", 91)],
+    ]
+    stream = _mem_stream_batches(spark, batches, schema).withWatermark(
+        "ts", "10 seconds"
+    )
+    got = {
+        (r.user_id, r.first_id, r.second_id)
+        for r in run_available_now(
+            streaming_match_pattern_watermarked(
+                stream, build_pattern(), ["user_id"], "ts", measures,
+                out_schema, order_cols=["ts", "event_id"],
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    assert got == {(1, 0, 1), (1, 3, 4)}, got

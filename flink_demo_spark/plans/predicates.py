@@ -145,10 +145,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_frame_sample",
-    oracle=None,  # chunk digests depend on the stub slicing; pinned by unit test
+    # the corpus text is pure ASCII (verified: octet_length == length
+    # for every row), so the stub's byte slices equal char slices and
+    # the chunk digests are exact SQL
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS len
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ), f AS (
+      SELECT doc_id, text, greatest(len // 4, 1) AS step,
+             unnest(generate_series(0, least(4, len) - 1)) AS frame_no
+      FROM d
+    )
+    SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+           md5(substr(text, frame_no * step + 1, step)) AS frame_digest
+    FROM f
+    ORDER BY doc_id, frame_no
+    """,
     doc=(
         "video-style frame sampling: binary payload -> mapInPandas -> "
-        "one row per sampled frame (explode-shaped UDF output)."
+        "one row per sampled frame (explode-shaped UDF output); chunk "
+        "digests fully oracle-backed (ASCII corpus: byte == char "
+        "slices)."
     ),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

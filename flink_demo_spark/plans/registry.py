@@ -119,6 +119,9 @@ _SAMPLE_PRIORITY = [
     "text_vocab_topk",
     "text_token_quantiles",
     "decontam_ngram_overlap",
+    # multimodal plumbing (never driver-checked before round 4)
+    "multimodal_features",
+    "multimodal_frame_sample",
     # windows / temporal joins
     "window_tumbling_hourly",
     "window_sliding",

@@ -72,6 +72,24 @@ EXPECT = {
         absent=["CartesianProduct"],
         max_exchanges=2,
     ),
+    # multi-probe IVF: the exploded query side broadcasts; candidates
+    # restricted to probed cells — never a cartesian/shuffled join
+    "similarity_ivf_nprobe": dict(
+        contains=["BroadcastHashJoin", "WindowGroupLimit"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        max_exchanges=2,
+    ),
+    # NFA operators: one key shuffle into mapInPandas, nothing else
+    "cep_iterative_threshold": dict(
+        contains=["MapInPandas"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        max_exchanges=3,
+    ),
+    "match_recognize_all_rows": dict(
+        contains=["MapInPandas"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        max_exchanges=3,
+    ),
     "q1_pricing_summary": dict(
         pushed=["l_shipdate"], partial_agg=True, max_exchanges=2
     ),

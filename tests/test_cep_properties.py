@@ -100,3 +100,52 @@ def test_not_followed_by_excludes_forbidden(seq):
         i, j = b["x"][0], b["y"][0]
         assert seq[i] == "a" and seq[j] == "a" and i < j
         assert all(seq[k] != "b" for k in range(i + 1, j))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.booleans()),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_consecutive_hits_equals_reference_fold(seq, split):
+    """The vectorized shift-compare kernel (streaming/cep_stream.
+    _consecutive_hits) must equal the row-at-a-time fold, including
+    the state seed across an arbitrary batch split."""
+    import numpy as np
+
+    from flink_demo_spark.streaming.cep_stream import _consecutive_hits
+
+    horizon = 5
+    rows = sorted(
+        ((ts, i, int(m)) for i, (ts, m) in enumerate(seq)),
+        key=lambda r: (r[0], r[1]),
+    )
+
+    # reference: sequential fold over the whole sequence
+    expected = []
+    last_m, last_id, last_ts = 0, None, None
+    for ts, eid, m in rows:
+        if m and last_m and last_ts is not None and ts - last_ts <= horizon:
+            expected.append((7, last_id, eid))
+        last_m, last_id, last_ts = m, eid, ts
+
+    # vectorized: two batches split at an arbitrary point, state carried
+    split = min(split, len(rows))
+    got = []
+    state = (0, None, None)
+    for part in (rows[:split], rows[split:]):
+        if not part:
+            continue
+        arr = np.asarray(part, dtype="int64")
+        got.extend(
+            _consecutive_hits(
+                7, arr[:, 0], arr[:, 1], arr[:, 2],
+                state[0], state[1], state[2], horizon,
+            )
+        )
+        state = (int(arr[-1, 2]), int(arr[-1, 1]), int(arr[-1, 0]))
+    assert got == expected

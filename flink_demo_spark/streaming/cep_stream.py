@@ -287,8 +287,9 @@ def streaming_match_pattern(
         out_rows: list[dict] = []
         max_ts = recs[-1][ts_col] if recs else None
         while recs:
-            rows_df = pd.DataFrame(recs)
-            m = _match_from(rows_df, 0, pattern, ts_col, recs)
+            # the matcher runs on recs directly; the pandas frame is
+            # only materialized for measures() on an actual emission
+            m = _match_from(None, 0, pattern, ts_col, recs)
             t0 = recs[0][ts_col]
             expired = max_ts is not None and (max_ts - t0) > within
             if m is None:
@@ -303,7 +304,7 @@ def streaming_match_pattern(
                 and _match_can_extend(pattern, bindings)
             ):
                 break  # a future in-horizon row could extend the match
-            rec = measures(rows_df, bindings)
+            rec = measures(pd.DataFrame(recs), bindings)
             for k, v in zip(key_cols, key):
                 rec.setdefault(k, v)
             out_rows.append(rec)
@@ -387,13 +388,12 @@ def streaming_match_pattern_watermarked(
             t0 = recs[0][ts_col]
             if wm is None or pd.Timestamp(t0) + within > wm:
                 break  # horizon still open: rows may yet arrive
-            rows_df = pd.DataFrame(recs)
-            m = _match_from(rows_df, 0, pattern, ts_col, recs)
+            m = _match_from(None, 0, pattern, ts_col, recs)
             if m is None:
                 recs = recs[1:]
                 continue
             end, bindings = m
-            rec = measures(rows_df, bindings)
+            rec = measures(pd.DataFrame(recs), bindings)
             for k, v in zip(key_cols, key):
                 rec.setdefault(k, v)
             out_rows.append(rec)

@@ -1189,3 +1189,50 @@ def test_streaming_match_pattern_watermarked_out_of_order(spark):
         ).collect()
     }
     assert got == {(1, 0, 1), (1, 3, 4)}, got
+
+
+def test_allowed_lateness_zero_equals_punctuated(spark):
+    """allowedLateness(0) must degenerate to the punctuated-watermark
+    operator exactly: identical drop rule (window end <= wm), identical
+    fire set, every fire_no == 1."""
+    from flink_demo_spark.streaming.lateness import (
+        allowed_lateness_tumbling_count,
+    )
+    from flink_demo_spark.streaming.punctuated import (
+        punctuated_tumbling_count,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    batch1, batch2 = [], []
+    for key in (1, 2, 3):
+        t = 0
+        for i in range(30):
+            t += rng.randrange(0, 8000)
+            jitter = rng.randrange(0, 3) * 9000
+            (batch1 if i < 20 else batch2).append(
+                (key, max(0, t - jitter), key * 100 + i)
+            )
+    schema = "key long, ts_ms long, seq long"
+    stream1 = _mem_stream_batches(spark, [batch1, batch2], schema)
+    stream2 = _mem_stream_batches(spark, [batch1, batch2], schema)
+    punct = sorted(
+        (r.key, r.window_start_ms, r.n_events)
+        for r in run_available_now(
+            punctuated_tumbling_count(
+                stream1, window_ms=10_000, delay_ms=10_000
+            ),
+            output_mode="append",
+        ).collect()
+    )
+    late = run_available_now(
+        allowed_lateness_tumbling_count(
+            stream2, window_ms=10_000, delay_ms=10_000, lateness_ms=0
+        ),
+        output_mode="append",
+    ).collect()
+    assert all(r.fire_no == 1 for r in late)
+    got = sorted((r.key, r.window_start_ms, r.n_events) for r in late)
+    assert got == punct
+    assert punct, "fixture must fire at least one window"

@@ -237,8 +237,11 @@ def streaming_match_pattern(
     output_schema,
     order_cols: list[str] | None = None,
 ):
-    """General streaming twin of ``operators.cep.match_pattern``
-    (Flink ``CEP.pattern(stream)``): per key, rows buffer in group
+    """General streaming twin of ``operators.cep.match_pattern`` —
+    Flink's ``CEP.pattern(stream)`` as the reference uses it
+    (``CEPDemo.scala:301-341`` patternSelectFunction over a live
+    stream; applied: ``OrderPay.scala:31-53``,
+    ``LoginFail.scala:78-86``): per key, rows buffer in group
     state and a match emits the moment its outcome is DECIDED —
     either a non-consumed row follows the match end (the NFA already
     saw and rejected it as an extension), or the anchor's WITHIN
@@ -335,7 +338,9 @@ def streaming_match_pattern_watermarked(
     order_cols: list[str] | None = None,
 ):
     """Out-of-order-tolerant general streaming CEP — the closest twin
-    to Flink's watermark-driven NFA. Rows buffer per key in event-time
+    to Flink's watermark-driven NFA (the reference's CEP streams all
+    run behind ``assignTimestampsAndWatermarks``, e.g.
+    ``CEPDemo.scala:386-397``). Rows buffer per key in event-time
     order; an anchor's fate (match emitted / failure discarded) is
     decided once its WITHIN horizon is entirely behind the watermark
     (``t0 + within <= wm``): every row that could participate is then

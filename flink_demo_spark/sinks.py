@@ -15,6 +15,10 @@
   target (same merge semantics; swap the writer for spark.write.jdbc
   against a real database)
 - Kafka                  -> thin wrapper (not testable in this container)
+- exactly-once 2PC sink  (reference ClickEventCount.java:114 semantic
+  option + StateBackendDemo.scala:23 EXACTLY_ONCE checkpointing)
+  -> ``TwoPhaseCommitSink``: Flink's TwoPhaseCommitSinkFunction
+  lifecycle over staged epoch dirs + an atomic commit ledger
 """
 
 from __future__ import annotations
@@ -115,6 +119,138 @@ def partition_commit_sink(
             committed.add(start)
 
     return fn
+
+
+class TwoPhaseCommitSink:
+    """Exactly-once two-phase-commit sink: the Spark re-expression of
+    Flink's ``TwoPhaseCommitSinkFunction`` (the machinery behind
+    ``FlinkKafkaProducer.Semantic.EXACTLY_ONCE``; the reference wires
+    the semantic option at ClickEventCount.java:114 and pins
+    ``CheckpointingMode.EXACTLY_ONCE`` at StateBackendDemo.scala:23).
+
+    Flink's lifecycle maps onto ``foreachBatch`` epochs:
+
+    - beginTransaction  -> a fresh ``staging/epoch=<batchId>`` dir
+    - preCommit         -> write the micro-batch there (durable once
+                           the writer drops ``_SUCCESS``)
+    - commit            -> atomic ``rename`` into ``committed/`` plus
+                           a ledger marker (itself written tmp+rename,
+                           so the marker is atomic too)
+    - abort             -> delete the staging dir
+    - recoverAndCommit  -> on restart, staged epochs WITH ``_SUCCESS``
+                           are re-committed (they were durably
+                           pre-committed — Flink's recover-and-commit
+                           of transactions in a completed checkpoint);
+                           incomplete staging dirs are aborted
+
+    Exactly-once holds because Spark replays a failed micro-batch with
+    the SAME ``batchId`` and the same data (checkpointed-source
+    contract): a replay of an already-committed epoch is skipped via
+    the ledger, a replay of a half-staged epoch overwrites the staging
+    dir, and readers go through :func:`read_committed`, which only
+    ever sees renamed-in (committed) epochs — the isolation half of
+    2PC. On a real cluster the rename-based commit assumes an atomic
+    rename (HDFS / single-filesystem); on S3-like stores swap the
+    commit step for a manifest write, the lifecycle is unchanged.
+    """
+
+    def __init__(self, path: str, fmt: str = "parquet") -> None:
+        import os
+
+        self.path = path
+        self.fmt = fmt
+        self._staging = os.path.join(path, "staging")
+        self._committed = os.path.join(path, "committed")
+        self._ledger = os.path.join(path, "_ledger")
+        for d in (self._staging, self._committed, self._ledger):
+            os.makedirs(d, exist_ok=True)
+
+    # -- lifecycle ------------------------------------------------------
+    def _epoch_dir(self, root: str, batch_id: int) -> str:
+        import os
+
+        return os.path.join(root, f"epoch={batch_id}")
+
+    def is_committed(self, batch_id: int) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(self._ledger, str(batch_id)))
+
+    def precommit(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Stage the batch durably (Flink preCommit): overwrite-mode so
+        a replay of a half-staged epoch starts clean."""
+        (
+            batch_df.write.mode("overwrite")
+            .format(self.fmt)
+            .save(self._epoch_dir(self._staging, batch_id))
+        )
+
+    def commit(self, batch_id: int) -> None:
+        """Atomically publish a staged epoch (Flink commit). Idempotent:
+        committing an already-committed epoch is a no-op."""
+        import os
+
+        if self.is_committed(batch_id):
+            return
+        src = self._epoch_dir(self._staging, batch_id)
+        dst = self._epoch_dir(self._committed, batch_id)
+        if not os.path.exists(src):
+            raise RuntimeError(f"commit({batch_id}): nothing staged")
+        os.rename(src, dst)
+        tmp = os.path.join(self._ledger, f".{batch_id}.tmp")
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.rename(tmp, os.path.join(self._ledger, str(batch_id)))
+
+    def abort(self, batch_id: int) -> None:
+        """Drop a staged epoch (Flink abort)."""
+        import shutil
+
+        shutil.rmtree(self._epoch_dir(self._staging, batch_id), ignore_errors=True)
+
+    def recover_and_commit(self) -> dict[str, list[int]]:
+        """Flink ``recoverAndCommit``: re-commit every durably
+        pre-committed epoch (staging dir with ``_SUCCESS``), abort the
+        rest. Returns {"committed": [...], "aborted": [...]}."""
+        import os
+
+        done: list[int] = []
+        dropped: list[int] = []
+        for d in sorted(os.listdir(self._staging)):
+            if not d.startswith("epoch="):
+                continue
+            bid = int(d.split("=", 1)[1])
+            if os.path.exists(os.path.join(self._staging, d, "_SUCCESS")):
+                self.commit(bid)
+                done.append(bid)
+            else:
+                self.abort(bid)
+                dropped.append(bid)
+        return {"committed": done, "aborted": dropped}
+
+    # -- foreachBatch entry point --------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replay after commit: exactly-once skip
+        self.precommit(batch_df, batch_id)
+        self.commit(batch_id)
+
+
+def read_committed(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read only the committed epochs of a :class:`TwoPhaseCommitSink`
+    target — the read-committed isolation half of the 2PC contract
+    (staged/aborted data is never visible)."""
+    import os
+
+    root = os.path.join(path, "committed")
+    dirs = [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("epoch=")
+    ]
+    if not dirs:
+        raise ValueError(f"no committed epochs under {root}")
+    return spark.read.format(fmt).load(dirs)
 
 
 def foreach_batch_fanout(

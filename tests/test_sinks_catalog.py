@@ -493,3 +493,105 @@ def test_catalog_orc_table_partitioned_insert(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS fs_table")
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# TwoPhaseCommitSink (Flink TwoPhaseCommitSinkFunction /
+# FlinkKafkaProducer EXACTLY_ONCE; ClickEventCount.java:114,
+# StateBackendDemo.scala:23)
+# ---------------------------------------------------------------------------
+
+
+def _committed_rows(spark, root):
+    from flink_demo_spark.sinks import read_committed
+
+    return sorted(
+        (r.k, r.v) for r in read_committed(spark, root).collect()
+    )
+
+
+def test_two_phase_commit_exactly_once_under_replay(spark):
+    """A replayed micro-batch (same batchId — Spark's checkpointed-source
+    contract) must not duplicate rows: replay-after-commit is skipped
+    via the ledger, replay-after-partial-staging overwrites staging."""
+    import tempfile
+
+    from flink_demo_spark.sinks import TwoPhaseCommitSink
+
+    root = tempfile.mkdtemp(prefix="sink_2pc_")
+    sink = TwoPhaseCommitSink(root)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "k long, v string")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # replay after commit: must be a no-op
+    assert _committed_rows(spark, root) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # replay after a crash mid-pre-commit: half-staged epoch overwritten
+    sink.precommit(b1, 2)  # staged but never committed (crash)
+    sink2 = TwoPhaseCommitSink(root)  # restarted job
+    sink2(b1, 2)  # engine replays batch 2
+    assert _committed_rows(spark, root) == [
+        (1, "a"), (2, "b"), (3, "c"), (3, "c"),
+    ]
+
+
+def test_two_phase_commit_isolation_and_recovery(spark):
+    """Readers never see staged (uncommitted) epochs; recoverAndCommit
+    re-commits durably pre-committed epochs and aborts torn ones —
+    Flink's recoverAndCommit/abort split."""
+    import os
+    import tempfile
+
+    from flink_demo_spark.sinks import TwoPhaseCommitSink
+
+    root = tempfile.mkdtemp(prefix="sink_2pc_rec_")
+    sink = TwoPhaseCommitSink(root)
+    b0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "b")], "k long, v string")
+    sink(b0, 0)
+    # epoch 1: durably pre-committed (has _SUCCESS), crash before commit
+    sink.precommit(b1, 1)
+    # epoch 2: torn staging (no _SUCCESS marker)
+    torn = os.path.join(root, "staging", "epoch=2")
+    os.makedirs(torn)
+    open(os.path.join(torn, "part-00000.parquet"), "w").close()
+
+    # isolation: only epoch 0 is visible before recovery
+    assert _committed_rows(spark, root) == [(1, "a")]
+
+    out = TwoPhaseCommitSink(root).recover_and_commit()
+    assert out == {"committed": [1], "aborted": [2]}
+    assert _committed_rows(spark, root) == [(1, "a"), (2, "b")]
+    assert not os.path.exists(torn)
+    # recovery is idempotent
+    assert TwoPhaseCommitSink(root).recover_and_commit() == {
+        "committed": [], "aborted": [],
+    }
+
+
+def test_two_phase_commit_streaming_end_to_end(spark, sf_dir):
+    """Streaming file source -> foreachBatch(TwoPhaseCommitSink):
+    committed output equals the batch input exactly once."""
+    import tempfile
+
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.sinks import TwoPhaseCommitSink, read_committed
+
+    nation = load_table(spark, sf_dir, "nation")
+    src = tempfile.mkdtemp(prefix="sink_2pc_src_")
+    nation.write.mode("overwrite").parquet(src)
+    root = tempfile.mkdtemp(prefix="sink_2pc_e2e_")
+    stream = spark.readStream.schema(nation.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(TwoPhaseCommitSink(root))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sink_2pc_ck_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = read_committed(spark, root)
+    assert got.count() == nation.count()
+    assert sorted(r.n_nationkey for r in got.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )

@@ -34,16 +34,27 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # Each query is timed TWICE back-to-back and the MIN is reported:
+    # this host is a VM with bursty CPU availability (observed 2-4x
+    # swings on identical plans minutes apart), and min-of-2 recovers
+    # the plan's actual cost instead of whatever the hypervisor was
+    # doing during the single sample.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in bench_queries().items():
-        t0 = time.perf_counter()
-        try:
-            df = spec.fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # one broken query must not kill the bench
-            errors[name] = str(e).split("\n")[0][:200]
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                df = spec.fn(spark, SF_DIR)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as e:  # a broken query must not kill the bench
+                errors[name] = str(e).split("\n")[0][:200]
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        if best is not None:
+            timings[name] = round(best, 3)
 
     # streaming throughput: full events replay through watermark +
     # tumbling window agg to a memory sink (reference generators cap at
@@ -56,11 +67,13 @@ def main() -> None:
         from flink_demo_spark.streaming.windows import tumbling_agg
 
         n_events = load_table(spark, SF_DIR, "events").count()
-        t0 = time.perf_counter()
-        run_available_now(
-            tumbling_agg(events_stream(spark, SF_DIR)), output_mode="complete"
-        )
-        stream_eps = round(n_events / (time.perf_counter() - t0))
+        for _ in range(2):  # best-of-2, same rationale as the queries
+            t0 = time.perf_counter()
+            run_available_now(
+                tumbling_agg(events_stream(spark, SF_DIR)), output_mode="complete"
+            )
+            eps = round(n_events / (time.perf_counter() - t0))
+            stream_eps = eps if stream_eps is None or eps > stream_eps else stream_eps
     except Exception:
         pass
 

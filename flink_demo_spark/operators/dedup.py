@@ -85,15 +85,28 @@ def jaccard_pairs(
     # Each exploded row carries the doc's shingle-set size, so the
     # posting-list pairs already hold (n1, n2) — no size-table joins,
     # ONE scan of the corpus and two shuffles total.
-    # explode_outer + null filter: see shingle_table for why plain
-    # explode would double-evaluate the shingle expression below the
-    # fan-out repartition.
-    arr = fan_out(df).select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh")
+    # The generator emits struct<shingle,n> with the shingle chain
+    # bound ONCE per input row: a separate `size(sh)` column would sit
+    # in the Project above the Generate and re-run the whole chain per
+    # GENERATED row after projection collapse (measured 30s vs 0.8s at
+    # sf0.1 — see text.bind). explode_outer + null filter: see
+    # shingle_table for why plain explode would add a size()>0
+    # predicate that double-evaluates the chain below the fan-out.
+    from .text import bind
+
+    sized = bind(
+        shingles(text_col, k),
+        lambda arr: F.transform(
+            arr,
+            lambda x: F.struct(x.alias("shingle"), F.size(arr).alias("n")),
+        ),
     )
-    sh = arr.select(
-        "doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
-    ).where(F.col("shingle").isNotNull())
+    sh = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode_outer(sized).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("doc_id", F.col("p.n").alias("n"), F.col("p.shingle").alias("shingle"))
+    )
     posting = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids")
     )

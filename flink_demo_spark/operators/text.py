@@ -104,6 +104,26 @@ def fingerprint(text: str | Column) -> Column:
     return F.md5(F.array_join(bag, " "))
 
 
+def bind(col: Column, f) -> Column:
+    """Evaluate ``col`` ONCE per row and hand the materialized value to
+    ``f`` as a higher-order-function lambda variable.
+
+    Why this exists: Spark performs no common-subexpression elimination
+    inside HOF lambdas, and CollapseProject/ColumnPruning inline a
+    staged column into every consumer — worst of all into a Project
+    sitting ABOVE a Generate, where the inlined expression is then
+    re-evaluated once per GENERATED row (measured: ``select(size(sh),
+    explode(sh))`` over the shingle chain ran 30s vs 0.8s at sf0.1).
+    Routing the value through a one-element array makes it a
+    ``NamedLambdaVariable``: computed once, read many, and opaque to
+    projection collapse. The ``element_at(transform(array(e), f), 1)``
+    shape is not simplified away by SimplifyExtractValueOps (pinned by
+    the plan-shape assertions in tests/test_plans.py::
+    test_jaccard_shingle_expression_evaluated_once); if a future
+    optimizer learns to inline it, that test fails loudly."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def shingles_positional(text: str | Column, k: int = 3) -> Column:
     """All k-token shingles in document order (duplicates kept).
 
@@ -112,19 +132,22 @@ def shingles_positional(text: str | Column, k: int = 3) -> Column:
     Spark does no common-subexpression elimination inside
     higher-order-function lambdas, so the index-based form re-evaluates
     the regex ``split`` once per shingle (~n× per row). The slice/zip
-    form evaluates it O(k) times per row — measured 4× faster on the
-    documents table, and the gap grows with document length.
+    form over a :func:`bind`-materialized token array evaluates the
+    split exactly once per row.
     """
-    toks = tokens(text)
-    n = F.size(toks)
-    m = n - (k - 1)  # shingle count; slice() clamps, CASE guards m <= 0
-    joined = F.slice(toks, 1, m)
-    for i in range(1, k):
-        joined = F.zip_with(
-            joined, F.slice(toks, i + 1, m), lambda x, y: F.concat_ws(" ", x, y)
-        )
-    empty = F.array().cast("array<string>")
-    return F.when(n >= k, joined).otherwise(empty)
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        m = n - (k - 1)  # shingle count; slice() clamps, CASE guards m <= 0
+        joined = F.slice(toks, 1, m)
+        for i in range(1, k):
+            joined = F.zip_with(
+                joined, F.slice(toks, i + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+            )
+        empty = F.array().cast("array<string>")
+        return F.when(n >= k, joined).otherwise(empty)
+
+    return bind(tokens(text), build)
 
 
 def shingles(text: str | Column, k: int = 3) -> Column:

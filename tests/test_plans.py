@@ -97,6 +97,16 @@ def test_jaccard_shingle_expression_evaluated_once(spark, sf_dir):
         "shingle expression duplicated — a pushed-down inferred filter "
         "is re-evaluating it on the pre-shuffle scan"
     )
+    # the tokenizer split() must also appear exactly once: text.bind
+    # routes both the token array (inside shingles_positional) and the
+    # shingle array (inside the struct<shingle,n> generator) through
+    # NamedLambdaVariables, so neither CollapseProject nor the Project
+    # above the Generate can re-inline the chain (which would re-run
+    # it once per GENERATED row — measured 30s vs 0.8s at sf0.1)
+    assert plan.count("split(") == 1, (
+        "tokenizer duplicated — text.bind no longer prevents "
+        "projection collapse through the Generate"
+    )
 
 
 def test_match_recognize_single_shuffle(spark, sf_dir):

@@ -287,32 +287,56 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
-    per_doc = toks.select(
+    # ONE tokenization and NO per-doc join: the generator emits
+    # struct<bigram, n_tokens, n_distinct> with the token array bound
+    # once per row (text.bind — a separate per-doc stats branch would
+    # tokenize the corpus a second time and shuffle for the join).
+    # Zero-token or one-token docs emit a single null-bigram row via
+    # explode_outer, so every doc survives into the aggregate.
+    def with_stats(t):
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        stats = lambda b: F.struct(
+            b.alias("bigram"),
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        )
+        return F.when(
+            F.size(bigrams) > 0, F.transform(bigrams, stats)
+        ).otherwise(F.array(stats(F.lit(None).cast("string"))))
+
+    rows = docs.select(
         "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
-    )
-    # same sequence(1,0)-descending guard as text_bigram_topk
-    bigrams = F.when(
-        F.size("t") >= 2,
-        F.expr(
-            "transform(sequence(1, size(t) - 1),"
-            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    agg = (
-        toks.select("doc_id", F.explode_outer(bigrams).alias("bigram"))
-        .where(F.col("bigram").isNotNull())
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
+        F.explode(
+            text.bind(F.split(F.trim("text"), r"\s+"), with_stats)
+        ).alias("p"),
+    ).select("doc_id", "p.bigram", "p.n_tokens", "p.n_distinct")
+    j = (
+        rows.groupBy("doc_id", "bigram")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("n_distinct").alias("n_distinct"),
+        )
         .groupBy("doc_id")
         .agg(
-            F.max("c").cast("long").alias("top_bigram_n"),
-            F.sum("c").cast("long").alias("n_bigrams"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("n_distinct").alias("n_distinct"),
+            F.max(F.when(F.col("bigram").isNotNull(), F.col("c")))
+            .cast("long")
+            .alias("top_bigram_n"),
+            F.sum(F.when(F.col("bigram").isNotNull(), F.col("c")))
+            .cast("long")
+            .alias("n_bigrams"),
         )
     )
-    j = per_doc.join(agg, "doc_id", "left")
     dup = F.col("n_tokens") - F.col("n_distinct")
     return (
         j.select(

@@ -441,20 +441,39 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    c = F.col("text")
-    return docs.select(
-        "doc_id",
-        text.bpe_token_count("text").alias("n_bpe_tokens"),
-        F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+"), F.lit(0))).alias(
-            "n_word_runs"
-        ),
-        F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), F.lit(0))).alias(
-            "n_digits"
-        ),
-        F.size(
-            F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
-        ).alias("n_symbols"),
-    ).orderBy("doc_id")
+    # ONE regex pass: the three alternation branches are disjoint
+    # character classes, so each extracted token's class is recoverable
+    # from its first character — counting by class over the bound array
+    # equals running the three sub-patterns separately, at 1/4 the
+    # regex cost (the regex scan dominates this query at corpus scale).
+    def classify(a):
+        def count_first(pred):
+            return F.size(F.filter(a, lambda x: pred(F.ascii(x))))
+
+        is_alpha = lambda o: ((o >= 65) & (o <= 90)) | ((o >= 97) & (o <= 122))
+        is_digit = lambda o: (o >= 48) & (o <= 57)
+        return F.struct(
+            F.size(a).alias("n_bpe_tokens"),
+            count_first(is_alpha).alias("n_word_runs"),
+            count_first(is_digit).alias("n_digits"),
+            (
+                F.size(a) - count_first(is_alpha) - count_first(is_digit)
+            ).alias("n_symbols"),
+        )
+
+    return (
+        docs.select(
+            "doc_id",
+            text.bind(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(text.BPE_PATTERN), F.lit(0)
+                ),
+                classify,
+            ).alias("s"),
+        )
+        .select("doc_id", "s.*")
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -568,3 +568,125 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start_offset") % 512).alias("pack_offset"),
         (pack != end_pack).alias("straddles"),
     ).orderBy("lang", "doc_id")
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id, i AS chunk_id, 1 + i * 24 AS chunk_start,
+             least(32, len(t) - (1 + i * 24) + 1) AS n_chunk_tokens,
+             array_to_string(t[1 + i * 24 : 1 + i * 24 + 31], ' ')
+               AS chunk_text
+      FROM toks, LATERAL unnest(generate_series(0,
+             CASE WHEN len(t) <= 32 THEN 0
+                  ELSE (len(t) - 32 + 23) // 24 END)) AS g(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(n_chunk_tokens AS INT) AS n_chunk_tokens, chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+    doc=(
+        "RAG-style document chunking: fixed 32-token windows with "
+        "8-token overlap (stride 24), the retrieval-prep transform of "
+        "an LLM data pipeline. Everything is integer arithmetic over a "
+        "bind-materialized token array; one generator per doc, no "
+        "joins, no shuffle before the output sort — a pure map at "
+        "100 TB."
+    ),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunk, stride = 32, 24
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+
+    def chunker(t):
+        n = F.size(t)
+        # ceil((n - chunk)/stride) via floor-div on positive ints
+        extra = F.floor((n - chunk + (stride - 1)) / stride).cast("int")
+        n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(1 + extra)
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                (1 + i * stride).cast("int").alias("chunk_start"),
+                F.least(F.lit(chunk), n - (1 + i * stride) + 1)
+                .cast("int")
+                .alias("n_chunk_tokens"),
+                F.array_join(F.slice(t, 1 + i * stride, chunk), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                text.bind(F.split(F.trim("text"), r"\s+"), chunker)
+            ).alias("c"),
+        )
+        .select("doc_id", "c.*")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+      )
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+      FROM tf JOIN df USING (tok)
+    )
+    SELECT doc_id, rk, tok, score FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    doc=(
+        "top-3 characteristic terms per document by integer-exact "
+        "tf*1e6/df scoring (rank-equivalent to tf-idf for a fixed "
+        "corpus: idf is monotone-decreasing in df and N is constant, "
+        "and integer DIV keeps the score bit-stable across engines "
+        "where log-based idf float sums would not be). The df table is "
+        "vocabulary-sized (MBs even at 100 TB) and broadcasts; the "
+        "corpus side never reshuffles for the join."
+    ),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_t), "tok").select(
+        "doc_id",
+        "tok",
+        F.expr("tf * 1000000 DIV df").cast("long").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "tok", "score")
+        .orderBy("doc_id", "rk")
+    )

@@ -914,3 +914,68 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "embedding_int8_quant",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), mm AS (
+      SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM ev
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           CAST(list_min(list_transform(v,
+             x -> floor(((x - mn) * 254) / (mx - mn)))) AS BIGINT) AS q_min,
+           CAST(list_max(list_transform(v,
+             x -> floor(((x - mn) * 254) / (mx - mn)))) AS BIGINT) AS q_max,
+           round(list_max(list_transform(v,
+             x -> abs(x - (mn + (floor(((x - mn) * 254) / (mx - mn))
+                               * (mx - mn)) / 254)))), 6) AS max_abs_err
+    FROM ev, mm
+    ORDER BY vec_id
+    """,
+    doc=(
+        "per-tensor int8 quantization audit: global [min,max] over the "
+        "corpus -> 255-level uniform grid -> per-vector quantized "
+        "range and max reconstruction error. The compression pass that "
+        "turns a 100 TB float ANN corpus into a quarter-size int8 one; "
+        "the global min/max aggregate is one scalar row broadcast back "
+        "over the scan, and every per-element op is a fixed IEEE "
+        "sequence (sub, mul, div, floor) so any engine reproduces the "
+        "quantized values bit-for-bit — no round() half-even hazards."
+    ),
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    mm = emb.agg(
+        F.min(F.array_min(ev)).alias("mn"), F.max(F.array_max(ev)).alias("mx")
+    )
+    mn, mx = F.col("mn"), F.col("mx")
+
+    def quant(x):
+        return F.floor(((x - mn) * 254) / (mx - mn))
+
+    def stats(v):
+        qv = F.transform(v, quant)
+        errs = F.transform(
+            v,
+            lambda x: F.abs(
+                x - (mn + (quant(x).cast("double") * (mx - mn)) / 254)
+            ),
+        )
+        return F.struct(
+            F.size(v).cast("int").alias("n_dims"),
+            F.array_min(qv).cast("long").alias("q_min"),
+            F.array_max(qv).cast("long").alias("q_max"),
+            F.round(F.array_max(errs), 6).alias("max_abs_err"),
+        )
+
+    return (
+        emb.crossJoin(F.broadcast(mm))
+        .select("vec_id", text.bind(ev, stats).alias("s"))
+        .select("vec_id", "s.*")
+        .orderBy("vec_id")
+    )

@@ -64,6 +64,25 @@ EXPECT = {
     "dedup_minhash_lsh": dict(
         contains=["BroadcastHashJoin"], absent=["CartesianProduct"], partial_agg=True
     ),
+    # pure map + output sort: chunking must not shuffle before the sort
+    "chunk_documents": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "HashAggregate"],
+        max_exchanges=2,  # fan-out repartition + final sort only
+    ),
+    # the vocabulary (df) side must broadcast — a sort-merge join here
+    # would reshuffle the corpus-sized tf table on the token key
+    "text_tfidf_topk": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        partial_agg=True,
+    ),
+    # one scalar min/max row broadcast back over the scan — no
+    # shuffle-side join, no per-vector aggregation shuffle
+    "embedding_int8_quant": dict(
+        contains=["BroadcastNestedLoopJoin"],  # 1-row cross join
+        absent=["SortMergeJoin", "SortAggregate"],
+        max_exchanges=2,  # scalar-agg single partition + output sort
+    ),
     # brute-force ANN: broadcast the (tiny) query set and stream the
     # corpus — the broadcast nested-loop cross is the intended shape;
     # a shuffled CartesianProduct is not

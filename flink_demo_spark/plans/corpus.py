@@ -29,11 +29,16 @@ _JACCARD_PAIRS_CTES = """
                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
         FROM toks
       )
+    ), keep_sh AS (
+      -- mirror of the engine's posting-list skew cap (max_posting=64):
+      -- ultra-frequent boilerplate shingles are dropped from the index
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), common AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN keep_sh k ON k.shingle = a.shingle
       GROUP BY 1, 2
     ), pairs AS (
       SELECT doc1, doc2
@@ -72,7 +77,12 @@ _JACCARD_PAIRS_CTES = """
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    edges = dedup.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.3)
+    # max_posting=64: same skew cap as dedup_jaccard_pairs (mirrored in
+    # the oracle's keep_sh CTE) — one viral shingle must not become a
+    # single-task straggler at corpus scale
+    edges = dedup.jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+    )
     labels = graph.connected_components(
         edges, "doc1", "doc2", nodes=docs.select("doc_id")
     )

@@ -571,8 +571,12 @@ def test_two_phase_commit_isolation_and_recovery(spark):
 
 
 def test_two_phase_commit_streaming_end_to_end(spark, sf_dir):
-    """Streaming file source -> foreachBatch(TwoPhaseCommitSink):
-    committed output equals the batch input exactly once."""
+    """Streaming file source -> foreachBatch(TwoPhaseCommitSink) over
+    MULTIPLE epochs (maxFilesPerTrigger=1), then a restart from the
+    same checkpoint after more input arrives: committed output equals
+    the input exactly once, already-committed epochs are skipped via
+    the ledger, and the restart continues from the next batchId."""
+    import os
     import tempfile
 
     from flink_demo_spark.catalog import load_table
@@ -580,18 +584,45 @@ def test_two_phase_commit_streaming_end_to_end(spark, sf_dir):
 
     nation = load_table(spark, sf_dir, "nation")
     src = tempfile.mkdtemp(prefix="sink_2pc_src_")
-    nation.write.mode("overwrite").parquet(src)
+    nation.repartition(3).write.mode("overwrite").parquet(src)
     root = tempfile.mkdtemp(prefix="sink_2pc_e2e_")
-    stream = spark.readStream.schema(nation.schema).parquet(src)
-    q = (
-        stream.writeStream.foreachBatch(TwoPhaseCommitSink(root))
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sink_2pc_ck_"))
-        .start()
-    )
-    q.awaitTermination(120)
+    ck = tempfile.mkdtemp(prefix="sink_2pc_ck_")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(nation.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(TwoPhaseCommitSink(root))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    epochs = {
+        d for d in os.listdir(os.path.join(root, "committed"))
+        if d.startswith("epoch=")
+    }
+    assert len(epochs) >= 3  # one epoch per input file
     got = read_committed(spark, root)
-    assert got.count() == nation.count()
     assert sorted(r.n_nationkey for r in got.collect()) == sorted(
         r.n_nationkey for r in nation.collect()
+    )
+
+    # new input lands; a restarted job (same checkpoint) must process
+    # ONLY the new file and leave prior epochs untouched
+    extra = nation.limit(2).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 1000
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = read_committed(spark, root)
+    assert got2.count() == nation.count() + 2
+    assert sorted(r.n_nationkey for r in got2.collect()) == sorted(
+        [r.n_nationkey for r in nation.collect()]
+        + [r.n_nationkey + 1000 for r in nation.limit(2).collect()]
     )

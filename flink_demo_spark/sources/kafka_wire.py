@@ -1,0 +1,364 @@
+"""Kafka WIRE-PROTOCOL producer/consumer — no client library, no jar.
+
+The reference's Kafka apps (``Source.scala:116-155`` JSON consumer,
+``Sink.scala`` / ``HotItems.scala:181`` producer) are the one surface
+this container cannot run through ``spark-sql-kafka`` (no jar, no
+broker). Like the Redis (RESP) and Elasticsearch (bulk-HTTP) sinks,
+this module closes the gap at the protocol level: executors speak the
+public Kafka binary protocol (api v0: Metadata/Produce/Fetch, magic-0
+message sets, CRC-checked) directly over sockets, end-to-end-tested
+against an in-process broker implementing the same public spec
+(tests/kafka_broker.py).
+
+Scale/fidelity notes:
+
+- Keyed records route with Kafka's DEFAULT partitioner (positive
+  murmur2 of the key bytes mod partition count), so a migrating app's
+  per-key ordering contract is preserved bit-for-bit.
+- The producer is a ``foreachBatch`` sink: each Spark partition opens
+  one connection and sends one ProduceRequest covering the topic
+  partitions its rows hash to; a non-zero error code raises, failing
+  the micro-batch so replay (with idempotent downstream keys) retries.
+- The consumer maps one Spark task per Kafka partition (the same
+  parallelism contract as the real connector) and emits the connector's
+  fixed schema (key/value binary + topic/partition/offset metadata,
+  CreateTest.scala:141-160 METADATA VIRTUAL columns), so
+  ``decode_events_from_kafka`` runs unchanged on its output.
+- On a real cluster, prefer the maintained connector (see
+  MIGRATING.md); this module is the proof that nothing in the engine
+  depends on it.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import zlib
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
+
+
+# ---------------------------------------------------------------------------
+# primitive codec (Kafka protocol guide, api version 0)
+# ---------------------------------------------------------------------------
+
+
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode()
+    return struct.pack(">h", len(b)) + b
+
+
+def _bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+class _Reader:
+    def __init__(self, buf: bytes) -> None:
+        self.buf, self.pos = buf, 0
+
+    def take(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def i8(self) -> int:
+        return struct.unpack(">b", self.take(1))[0]
+
+    def i16(self) -> int:
+        return struct.unpack(">h", self.take(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self.take(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self.take(8))[0]
+
+    def string(self) -> str | None:
+        n = self.i16()
+        return None if n < 0 else self.take(n).decode()
+
+    def nbytes(self) -> bytes | None:
+        n = self.i32()
+        return None if n < 0 else self.take(n)
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's 32-bit murmur2 (seed 0x9747b28c) — the default
+    partitioner hashes key bytes with this exact function."""
+    m, r = 0x5BD1E995, 24
+    mask = 0xFFFFFFFF
+    h = (0x9747B28C ^ len(data)) & mask
+    n4 = len(data) & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & mask
+        k ^= k >> r
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+    left = len(data) & 3
+    if left >= 3:
+        h ^= data[n4 + 2] << 16
+    if left >= 2:
+        h ^= data[n4 + 1] << 8
+    if left >= 1:
+        h ^= data[n4]
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes, num_partitions: int) -> int:
+    """toPositive(murmur2(key)) % n — Kafka's default partitioner."""
+    return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
+def _message(key: bytes | None, value: bytes | None) -> bytes:
+    """One magic-0 message: crc32 over magic..value."""
+    body = struct.pack(">bb", 0, 0) + _bytes(key) + _bytes(value)
+    return struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
+
+
+def encode_message_set(msgs: list[tuple[bytes | None, bytes | None]]) -> bytes:
+    out = []
+    for key, value in msgs:
+        m = _message(key, value)
+        out.append(struct.pack(">qi", 0, len(m)) + m)
+    return b"".join(out)
+
+
+def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None, bytes | None]]:
+    """[(offset, key, value)] — trailing partial message (allowed by
+    the fetch contract) is dropped; CRC is verified."""
+    r = _Reader(buf)
+    out = []
+    while len(buf) - r.pos >= 12:
+        offset = r.i64()
+        size = r.i32()
+        if len(buf) - r.pos < size:
+            break
+        m = _Reader(r.take(size))
+        crc = struct.unpack(">I", m.take(4))[0]
+        rest = m.buf[m.pos :]
+        if zlib.crc32(rest) & 0xFFFFFFFF != crc:
+            raise IOError(f"message CRC mismatch at offset {offset}")
+        m.i8()  # magic
+        m.i8()  # attributes
+        out.append((offset, m.nbytes(), m.nbytes()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# request/response exchange
+# ---------------------------------------------------------------------------
+
+
+def _exchange(sock: socket.socket, api_key: int, body: bytes, corr: int) -> _Reader:
+    header = struct.pack(">hhi", api_key, 0, corr) + _str("flink-demo-spark")
+    payload = header + body
+    sock.sendall(struct.pack(">i", len(payload)) + payload)
+    raw = b""
+    while len(raw) < 4:
+        chunk = sock.recv(4 - len(raw))
+        if not chunk:
+            raise IOError("broker closed connection")
+        raw += chunk
+    (size,) = struct.unpack(">i", raw)
+    buf = b""
+    while len(buf) < size:
+        chunk = sock.recv(size - len(buf))
+        if not chunk:
+            raise IOError("broker closed mid-response")
+        buf += chunk
+    r = _Reader(buf)
+    got_corr = r.i32()
+    if got_corr != corr:
+        raise IOError(f"correlation id mismatch: {got_corr} != {corr}")
+    return r
+
+
+def fetch_metadata(
+    bootstrap: tuple[str, int], topic: str
+) -> list[tuple[int, str, int]]:
+    """[(partition_id, leader_host, leader_port)] via MetadataRequest v0."""
+    with socket.create_connection(bootstrap, timeout=30) as sock:
+        body = struct.pack(">i", 1) + _str(topic)
+        r = _exchange(sock, API_METADATA, body, corr=1)
+        brokers = {}
+        for _ in range(r.i32()):
+            node = r.i32()
+            host = r.string()
+            port = r.i32()
+            brokers[node] = (host, port)
+        parts: list[tuple[int, str, int]] = []
+        for _ in range(r.i32()):
+            err = r.i16()
+            name = r.string()
+            if err:
+                raise IOError(f"metadata error {err} for topic {name}")
+            for _ in range(r.i32()):
+                perr = r.i16()
+                pid = r.i32()
+                leader = r.i32()
+                for _ in range(r.i32()):
+                    r.i32()  # replicas
+                for _ in range(r.i32()):
+                    r.i32()  # isr
+                if perr:
+                    raise IOError(f"partition {pid} error {perr}")
+                host, port = brokers[leader]
+                parts.append((pid, host, port))
+        if name != topic:
+            raise IOError(f"unexpected topic {name!r}")
+        return sorted(parts)
+
+
+def produce(
+    addr: tuple[str, int],
+    topic: str,
+    by_partition: dict[int, list[tuple[bytes | None, bytes | None]]],
+) -> None:
+    """One ProduceRequest (acks=-1) covering the given partitions;
+    raises on any per-partition error code."""
+    with socket.create_connection(addr, timeout=30) as sock:
+        parts = b"".join(
+            struct.pack(">i", pid) + _bytes(encode_message_set(msgs))
+            for pid, msgs in sorted(by_partition.items())
+        )
+        body = (
+            struct.pack(">hi", -1, 30000)
+            + struct.pack(">i", 1)
+            + _str(topic)
+            + struct.pack(">i", len(by_partition))
+            + parts
+        )
+        r = _exchange(sock, API_PRODUCE, body, corr=2)
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                pid = r.i32()
+                err = r.i16()
+                r.i64()  # base offset
+                if err:
+                    raise IOError(f"produce error {err} on partition {pid}")
+
+
+def fetch_all(
+    addr: tuple[str, int], topic: str, pid: int, max_bytes: int = 1 << 20
+) -> list[tuple[int, bytes | None, bytes | None]]:
+    """Fetch partition ``pid`` from offset 0 to the high watermark."""
+    out: list[tuple[int, bytes | None, bytes | None]] = []
+    offset = 0
+    with socket.create_connection(addr, timeout=30) as sock:
+        corr = 100
+        while True:
+            body = (
+                struct.pack(">iii", -1, 0, 0)
+                + struct.pack(">i", 1)
+                + _str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iqi", pid, offset, max_bytes)
+            )
+            corr += 1
+            r = _exchange(sock, API_FETCH, body, corr)
+            hw = 0
+            got: list[tuple[int, bytes | None, bytes | None]] = []
+            for _ in range(r.i32()):
+                r.string()
+                for _ in range(r.i32()):
+                    rp = r.i32()
+                    err = r.i16()
+                    hw = r.i64()
+                    mset = r.take(r.i32())
+                    if err:
+                        raise IOError(f"fetch error {err} on partition {rp}")
+                    got.extend(decode_message_set(mset))
+            out.extend(m for m in got if m[0] >= offset)
+            if not got or out[-1][0] + 1 >= hw:
+                break
+            offset = out[-1][0] + 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+
+def kafka_wire_sink(bootstrap: tuple[str, int], topic: str):
+    """``foreachBatch`` producer: expects (key binary|string, value
+    binary|string) columns; each Spark partition sends one CRC'd
+    ProduceRequest routing rows with Kafka's default partitioner."""
+
+    def send(batch_df: DataFrame, batch_id: int) -> None:
+        parts = fetch_metadata(bootstrap, topic)
+        n = len(parts)
+        leaders = {pid: (host, port) for pid, host, port in parts}
+
+        def per_partition(rows):
+            groups: dict[int, list] = defaultdict(list)
+            for row in rows:
+                key = row["key"]
+                value = row["value"]
+                kb = key.encode() if isinstance(key, str) else key
+                vb = value.encode() if isinstance(value, str) else value
+                pid = 0 if kb is None else partition_for_key(kb, n)
+                groups[pid].append((kb, vb))
+            by_leader: dict[tuple[str, int], dict[int, list]] = defaultdict(dict)
+            for pid, msgs in groups.items():
+                by_leader[leaders[pid]][pid] = msgs
+            for addr, by_pid in by_leader.items():
+                produce(addr, topic, by_pid)
+
+        batch_df.select("key", "value").foreachPartition(per_partition)
+
+    return send
+
+
+def kafka_wire_read(
+    spark: SparkSession, bootstrap: tuple[str, int], topic: str
+) -> DataFrame:
+    """Bounded read of a whole topic: ONE SPARK TASK PER KAFKA
+    PARTITION (the real connector's parallelism contract), emitting the
+    connector's fixed schema so downstream decoders run unchanged.
+    timestamp is null / timestampType -1: magic-0 message sets predate
+    create-time stamps."""
+    import pandas as pd
+
+    parts = fetch_metadata(bootstrap, topic)
+    n = len(parts)
+    pdf = spark.createDataFrame(
+        [(pid, host, port) for pid, host, port in parts],
+        "pid int, host string, port int",
+    ).repartition(n, "pid")
+
+    def read_partition(batches):
+        for b in batches:
+            for _, row in b.iterrows():
+                msgs = fetch_all((row.host, int(row.port)), topic, int(row.pid))
+                yield pd.DataFrame(
+                    {
+                        "key": [k for _, k, _ in msgs],
+                        "value": [v for _, _, v in msgs],
+                        "topic": [topic] * len(msgs),
+                        "partition": [int(row.pid)] * len(msgs),
+                        "offset": [o for o, _, _ in msgs],
+                        "timestamp": [pd.NaT] * len(msgs),
+                        "timestampType": [-1] * len(msgs),
+                    }
+                )
+
+    return pdf.mapInPandas(
+        read_partition,
+        "key binary, value binary, topic string, partition int, "
+        "offset bigint, timestamp timestamp, timestampType int",
+    )

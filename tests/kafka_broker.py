@@ -1,0 +1,181 @@
+"""In-process Kafka test broker (protocol api v0).
+
+Implements just enough of the PUBLIC Kafka binary protocol —
+Metadata/Produce/Fetch v0 with magic-0 message sets — for the wire
+client in ``flink_demo_spark/sources/kafka_wire.py`` to run true
+end-to-end from Spark executors, the same pattern as the live RESP
+server (Redis sink test) and bulk-HTTP endpoint (Elasticsearch sink
+test). Single-node: this broker leads every partition.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+from flink_demo_spark.sources.kafka_wire import (
+    API_FETCH,
+    API_METADATA,
+    API_PRODUCE,
+    _Reader,
+    _bytes,
+    _str,
+    decode_message_set,
+    encode_message_set,
+)
+
+
+class KafkaTestBroker:
+    def __init__(self, num_partitions: int = 3) -> None:
+        self.num_partitions = num_partitions
+        # topic -> pid -> list[(key, value)]; offsets are list indexes
+        self.log: dict[str, dict[int, list]] = {}
+        self._lock = threading.Lock()
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(64)
+        self.host, self.port = self._srv.getsockname()
+        self._stop = False
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    # -- lifecycle -----------------------------------------------------
+    def close(self) -> None:
+        self._stop = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    def __enter__(self) -> "KafkaTestBroker":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- server loop ---------------------------------------------------
+    def _serve(self) -> None:
+        while not self._stop:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            ).start()
+
+    def _handle(self, conn: socket.socket) -> None:
+        try:
+            while True:
+                raw = self._recv(conn, 4)
+                if raw is None:
+                    return
+                (size,) = struct.unpack(">i", raw)
+                payload = self._recv(conn, size)
+                if payload is None:
+                    return
+                r = _Reader(payload)
+                api_key = r.i16()
+                r.i16()  # api_version (v0 only)
+                corr = r.i32()
+                r.string()  # client id
+                if api_key == API_METADATA:
+                    body = self._metadata(r)
+                elif api_key == API_PRODUCE:
+                    body = self._produce(r)
+                elif api_key == API_FETCH:
+                    body = self._fetch(r)
+                else:
+                    return  # unknown api: drop the connection
+                resp = struct.pack(">i", corr) + body
+                conn.sendall(struct.pack(">i", len(resp)) + resp)
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _recv(conn: socket.socket, n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    # -- api handlers --------------------------------------------------
+    def _ensure(self, topic: str) -> dict[int, list]:
+        with self._lock:
+            return self.log.setdefault(
+                topic, {p: [] for p in range(self.num_partitions)}
+            )
+
+    def _metadata(self, r: _Reader) -> bytes:
+        topics = [r.string() for _ in range(r.i32())]
+        out = struct.pack(">i", 1)  # brokers
+        out += struct.pack(">i", 0) + _str(self.host) + struct.pack(">i", self.port)
+        out += struct.pack(">i", len(topics))
+        for t in topics:
+            self._ensure(t)
+            out += struct.pack(">h", 0) + _str(t)
+            out += struct.pack(">i", self.num_partitions)
+            for pid in range(self.num_partitions):
+                out += struct.pack(">hiii", 0, pid, 0, 1)  # err,pid,leader,#rep
+                out += struct.pack(">i", 0)  # replica node 0
+                out += struct.pack(">i", 1) + struct.pack(">i", 0)  # isr
+        return out
+
+    def _produce(self, r: _Reader) -> bytes:
+        r.i16()  # acks
+        r.i32()  # timeout
+        out_topics = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            plog = self._ensure(topic)
+            presps = []
+            for _ in range(r.i32()):
+                pid = r.i32()
+                mset = r.take(r.i32())
+                msgs = decode_message_set(mset)  # CRC-verifies
+                with self._lock:
+                    base = len(plog[pid])
+                    plog[pid].extend((k, v) for _, k, v in msgs)
+                presps.append(struct.pack(">ihq", pid, 0, base))
+            out_topics.append(
+                _str(topic) + struct.pack(">i", len(presps)) + b"".join(presps)
+            )
+        return struct.pack(">i", len(out_topics)) + b"".join(out_topics)
+
+    def _fetch(self, r: _Reader) -> bytes:
+        r.i32()  # replica id
+        r.i32()  # max wait
+        r.i32()  # min bytes
+        out_topics = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            plog = self._ensure(topic)
+            presps = []
+            for _ in range(r.i32()):
+                pid = r.i32()
+                offset = r.i64()
+                max_bytes = r.i32()
+                with self._lock:
+                    entries = list(enumerate(plog[pid]))[offset:]
+                    hw = len(plog[pid])
+                mset = b""
+                for off, (k, v) in entries:
+                    one = encode_message_set([(k, v)])
+                    one = struct.pack(">q", off) + one[8:]  # real offset
+                    if mset and len(mset) + len(one) > max_bytes:
+                        break
+                    mset += one
+                presps.append(
+                    struct.pack(">ihq", pid, 0, hw) + _bytes(mset)
+                )
+            out_topics.append(
+                _str(topic) + struct.pack(">i", len(presps)) + b"".join(presps)
+            )
+        return struct.pack(">i", len(out_topics)) + b"".join(out_topics)

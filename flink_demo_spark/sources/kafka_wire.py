@@ -38,7 +38,7 @@ from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
 
-API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
+API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA = 0, 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
@@ -252,15 +252,46 @@ def produce(
                     raise IOError(f"produce error {err} on partition {pid}")
 
 
-def fetch_all(
-    addr: tuple[str, int], topic: str, pid: int, max_bytes: int = 1 << 20
+def list_offset(addr: tuple[str, int], topic: str, pid: int, time: int = -1) -> int:
+    """ListOffsets v0: time=-1 -> log-end (high watermark), -2 ->
+    earliest."""
+    with socket.create_connection(addr, timeout=30) as sock:
+        body = (
+            struct.pack(">i", -1)
+            + struct.pack(">i", 1)
+            + _str(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", pid, time, 1)
+        )
+        r = _exchange(sock, API_LIST_OFFSETS, body, corr=3)
+        offset = 0
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                rp = r.i32()
+                err = r.i16()
+                if err:
+                    raise IOError(f"list-offsets error {err} on partition {rp}")
+                for _ in range(r.i32()):
+                    offset = r.i64()
+        return offset
+
+
+def fetch_range(
+    addr: tuple[str, int],
+    topic: str,
+    pid: int,
+    start: int = 0,
+    end: int | None = None,
+    max_bytes: int = 1 << 20,
 ) -> list[tuple[int, bytes | None, bytes | None]]:
-    """Fetch partition ``pid`` from offset 0 to the high watermark."""
+    """Fetch partition ``pid`` offsets [start, end) (end=None -> high
+    watermark at fetch time)."""
     out: list[tuple[int, bytes | None, bytes | None]] = []
-    offset = 0
+    offset = start
     with socket.create_connection(addr, timeout=30) as sock:
         corr = 100
-        while True:
+        while end is None or offset < end:
             body = (
                 struct.pack(">iii", -1, 0, 0)
                 + struct.pack(">i", 1)
@@ -282,11 +313,19 @@ def fetch_all(
                     if err:
                         raise IOError(f"fetch error {err} on partition {rp}")
                     got.extend(decode_message_set(mset))
-            out.extend(m for m in got if m[0] >= offset)
-            if not got or out[-1][0] + 1 >= hw:
+            lim = hw if end is None else min(end, hw)
+            out.extend(m for m in got if offset <= m[0] < lim)
+            if not got or out[-1][0] + 1 >= lim:
                 break
             offset = out[-1][0] + 1
     return out
+
+
+def fetch_all(
+    addr: tuple[str, int], topic: str, pid: int, max_bytes: int = 1 << 20
+) -> list[tuple[int, bytes | None, bytes | None]]:
+    """Fetch partition ``pid`` from offset 0 to the high watermark."""
+    return fetch_range(addr, topic, pid, 0, None, max_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -362,3 +401,116 @@ def kafka_wire_read(
         "key binary, value binary, topic string, partition int, "
         "offset bigint, timestamp timestamp, timestampType int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source (Spark 4): spark.read/.readStream.format("kafka_wire")
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import surface depends on Spark version
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _PartitionRange(InputPartition):
+        def __init__(self, pid: int, host: str, port: int, start: int, end: int):
+            self.pid, self.host, self.port = pid, host, port
+            self.start, self.end = start, end
+
+    class KafkaWireBatchReader(DataSourceReader):
+        def __init__(self, options) -> None:
+            self._topic = options["topic"]
+            host, port = options["bootstrap"].split(":")
+            self._parts = fetch_metadata((host, int(port)), self._topic)
+
+        def partitions(self):
+            return [
+                _PartitionRange(
+                    pid, host, port, 0, list_offset((host, port), self._topic, pid)
+                )
+                for pid, host, port in self._parts
+            ]
+
+        def read(self, p: "_PartitionRange"):
+            for off, k, v in fetch_range(
+                (p.host, p.port), self._topic, p.pid, p.start, p.end
+            ):
+                yield (k, v, self._topic, p.pid, off, None, -1)
+
+    class KafkaWireStreamReader(DataSourceStreamReader):
+        """Micro-batch reader with per-partition offset ranges: the
+        engine checkpoints the {partition: next_offset} dict, so
+        restart resumes exactly where the last committed batch ended —
+        the same offsets-in-WAL contract as the real Kafka source."""
+
+        def __init__(self, options) -> None:
+            self._topic = options["topic"]
+            host, port = options["bootstrap"].split(":")
+            self._bootstrap = (host, int(port))
+            self._parts = fetch_metadata(self._bootstrap, self._topic)
+            starting = options.get("startingoffsets", "earliest")
+            self._from_latest = starting == "latest"
+
+        def initialOffset(self) -> dict:
+            time = -1 if self._from_latest else -2
+            return {
+                str(pid): list_offset((host, port), self._topic, pid, time)
+                for pid, host, port in self._parts
+            }
+
+        def latestOffset(self) -> dict:
+            return {
+                str(pid): list_offset((host, port), self._topic, pid, -1)
+                for pid, host, port in self._parts
+            }
+
+        def partitions(self, start: dict, end: dict):
+            return [
+                _PartitionRange(
+                    pid, host, port, int(start[str(pid)]), int(end[str(pid)])
+                )
+                for pid, host, port in self._parts
+                if int(start[str(pid)]) < int(end[str(pid)])
+            ]
+
+        def read(self, p: "_PartitionRange"):
+            for off, k, v in fetch_range(
+                (p.host, p.port), self._topic, p.pid, p.start, p.end
+            ):
+                yield (k, v, self._topic, p.pid, off, None, -1)
+
+        def commit(self, end: dict) -> None:
+            pass  # broker-side consumer groups are out of scope
+
+    class KafkaWireDataSource(DataSource):
+        """``spark.read/.readStream.format("kafka_wire")`` — a real
+        Kafka reader over the wire protocol with no jar, emitting the
+        jar connector's exact schema. Options: ``bootstrap``
+        ("host:port"), ``topic``, ``startingOffsets``
+        (earliest|latest, streaming only)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "kafka_wire"
+
+        def schema(self) -> str:
+            return (
+                "key binary, value binary, topic string, partition int, "
+                "offset bigint, timestamp timestamp, timestampType int"
+            )
+
+        def reader(self, schema):
+            return KafkaWireBatchReader(self.options)
+
+        def streamReader(self, schema):
+            return KafkaWireStreamReader(self.options)
+
+    def register_kafka_wire(spark: SparkSession) -> None:
+        """Register the format for this session."""
+        spark.dataSource.register(KafkaWireDataSource)
+
+except ImportError:  # Spark < 4: the foreachBatch/mapInPandas paths above remain
+    register_kafka_wire = None  # type: ignore[assignment]

@@ -16,6 +16,7 @@ import threading
 
 from flink_demo_spark.sources.kafka_wire import (
     API_FETCH,
+    API_LIST_OFFSETS,
     API_METADATA,
     API_PRODUCE,
     _Reader,
@@ -87,6 +88,8 @@ class KafkaTestBroker:
                     body = self._produce(r)
                 elif api_key == API_FETCH:
                     body = self._fetch(r)
+                elif api_key == API_LIST_OFFSETS:
+                    body = self._list_offsets(r)
                 else:
                     return  # unknown api: drop the connection
                 resp = struct.pack(">i", corr) + body
@@ -144,6 +147,29 @@ class KafkaTestBroker:
                     base = len(plog[pid])
                     plog[pid].extend((k, v) for _, k, v in msgs)
                 presps.append(struct.pack(">ihq", pid, 0, base))
+            out_topics.append(
+                _str(topic) + struct.pack(">i", len(presps)) + b"".join(presps)
+            )
+        return struct.pack(">i", len(out_topics)) + b"".join(out_topics)
+
+    def _list_offsets(self, r: _Reader) -> bytes:
+        r.i32()  # replica id
+        out_topics = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            plog = self._ensure(topic)
+            presps = []
+            for _ in range(r.i32()):
+                pid = r.i32()
+                time = r.i64()
+                r.i32()  # max offsets
+                with self._lock:
+                    off = 0 if time == -2 else len(plog[pid])
+                presps.append(
+                    struct.pack(">ih", pid, 0)
+                    + struct.pack(">i", 1)
+                    + struct.pack(">q", off)
+                )
             out_topics.append(
                 _str(topic) + struct.pack(">i", len(presps)) + b"".join(presps)
             )

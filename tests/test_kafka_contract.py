@@ -235,3 +235,72 @@ def test_kafka_wire_streaming_producer(spark, sf_dir):
             len(fetch_all((b.host, b.port), "events", pid)) for pid in range(2)
         )
         assert total == events.count()
+
+
+def test_kafka_wire_python_datasource_batch_and_streaming(spark, sf_dir, tmp_path):
+    """spark.read/.readStream.format('kafka_wire'): the Python Data
+    Source wraps the wire protocol as a REAL Spark source. Streaming
+    offsets ride Spark's checkpoint: a restarted query (same
+    checkpoint) reads ONLY records produced after the first pass —
+    the jar connector's exactly-once offsets contract."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kafka_broker import KafkaTestBroker
+
+    from flink_demo_spark.sources.kafka_wire import (
+        produce,
+        register_kafka_wire,
+    )
+
+    register_kafka_wire(spark)
+    with KafkaTestBroker(num_partitions=3) as b:
+        boot = f"{b.host}:{b.port}"
+        produce(
+            (b.host, b.port),
+            "t1",
+            {0: [(b"a", b"v1"), (b"a", b"v2")], 1: [(b"b", b"v3")]},
+        )
+        # batch: full topic, connector schema
+        df = (
+            spark.read.format("kafka_wire")
+            .option("bootstrap", boot)
+            .option("topic", "t1")
+            .load()
+        )
+        assert df.count() == 3
+        assert [f.name for f in df.schema.fields] == [
+            "key", "value", "topic", "partition", "offset",
+            "timestamp", "timestampType",
+        ]
+
+        ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+        def run():
+            sdf = (
+                spark.readStream.format("kafka_wire")
+                .option("bootstrap", boot)
+                .option("topic", "t1")
+                .load()
+            )
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        assert spark.read.parquet(out).count() == 3
+        produce((b.host, b.port), "t1", {2: [(b"c", b"v4")]})
+        run()
+        rows = sorted(
+            (r.partition, r.offset, bytes(r.value))
+            for r in spark.read.parquet(out).collect()
+        )
+        assert rows == [
+            (0, 0, b"v1"), (0, 1, b"v2"), (1, 0, b"v3"), (2, 0, b"v4"),
+        ]

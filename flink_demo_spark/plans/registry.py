@@ -68,6 +68,12 @@ def query(
 # cross-table join with no shared key — the rotation makes the
 # sample-slot motivation moot.)
 _SAMPLE_PRIORITY = [
+    # round-4 additions: the live-broker Kafka round-trip and the new
+    # training-pipeline operators — never driver-checked yet
+    "kafka_roundtrip_window",
+    "chunk_documents",
+    "text_tfidf_topk",
+    "embedding_int8_quant",
     # streaming (applyInPandasWithState / watermark surfaces)
     "streaming_window_hourly",
     "streaming_interval_join",

@@ -383,3 +383,76 @@ def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# session-lifetime demo broker for the Kafka round-trip query: one
+# in-process wire-protocol broker, one produced topic per sf_dir (so
+# repeated calls in a session stay idempotent — no duplicate produce)
+_KAFKA_DEMO: dict = {}
+
+
+@query(
+    "kafka_roundtrip_window",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc=(
+        "full Kafka round-trip, END TO END THROUGH A LIVE BROKER: the "
+        "events table is JSON-encoded and PRODUCED over the Kafka wire "
+        "protocol from executors (keyed by user_id, default murmur2 "
+        "partitioner) to an in-process single-node broker, read back "
+        "with spark.read.format('kafka_wire') (one task per Kafka "
+        "partition), decoded with the shared codec, and hourly "
+        "window-aggregated (reference Source.scala:116-155 consumer -> "
+        "QueryTest.scala:375-385 TUMBLE). The oracle aggregates the "
+        "raw events table directly, so a green row proves the whole "
+        "produce/fetch/decode path is lossless."
+    ),
+)
+def kafka_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.kafka import decode_events_from_kafka, encode_events_as_kafka
+    from ..sources.kafka_broker import KafkaTestBroker
+    from ..sources.kafka_wire import kafka_wire_sink, register_kafka_wire
+
+    if "broker" not in _KAFKA_DEMO:
+        _KAFKA_DEMO["broker"] = KafkaTestBroker(num_partitions=3)
+    broker = _KAFKA_DEMO["broker"]
+    topic_key = ("topic", sf_dir)
+    if topic_key not in _KAFKA_DEMO:
+        topic = f"events_{abs(hash(sf_dir)) % 10**8}"
+        wire = encode_events_as_kafka(_events(spark, sf_dir), topic)
+        kafka_wire_sink((broker.host, broker.port), topic)(wire, batch_id=0)
+        _KAFKA_DEMO[topic_key] = topic
+    topic = _KAFKA_DEMO[topic_key]
+    register_kafka_wire(spark)
+    back = decode_events_from_kafka(
+        spark.read.format("kafka_wire")
+        .option("bootstrap", f"{broker.host}:{broker.port}")
+        .option("topic", topic)
+        .load()
+    )
+    return (
+        back.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,11 +1,13 @@
-"""In-process Kafka test broker (protocol api v0).
+"""In-process single-node Kafka broker (protocol api v0).
 
-Implements just enough of the PUBLIC Kafka binary protocol —
-Metadata/Produce/Fetch v0 with magic-0 message sets — for the wire
-client in ``flink_demo_spark/sources/kafka_wire.py`` to run true
-end-to-end from Spark executors, the same pattern as the live RESP
-server (Redis sink test) and bulk-HTTP endpoint (Elasticsearch sink
-test). Single-node: this broker leads every partition.
+Implements the PUBLIC Kafka binary protocol — Metadata / Produce /
+Fetch / ListOffsets v0 with CRC-checked magic-0 message sets — so the
+wire client in ``kafka_wire.py`` runs true end-to-end from Spark
+executors with no jar and no external service, the same pattern as
+the live RESP server (Redis sink test) and bulk-HTTP endpoint
+(Elasticsearch sink test). Ships in the package (not the test tree)
+because the driver-checked ``kafka_roundtrip_window`` query spins one
+up per session; single-node, in-memory, leads every partition.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ import socket
 import struct
 import threading
 
-from flink_demo_spark.sources.kafka_wire import (
+from .kafka_wire import (
     API_FETCH,
     API_LIST_OFFSETS,
     API_METADATA,

@@ -150,10 +150,7 @@ def test_kafka_wire_produce_fetch_round_trip_from_executors(spark, sf_dir):
     """events -> JSON wire codec -> executor-side ProduceRequests ->
     one-task-per-partition Fetch -> decode: typed rows round-trip
     exactly, and every key's rows land in murmur2(key) % n."""
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from kafka_broker import KafkaTestBroker
+    from flink_demo_spark.sources.kafka_broker import KafkaTestBroker
 
     from flink_demo_spark.catalog import load_table
     from flink_demo_spark.sources.kafka import (
@@ -205,14 +202,11 @@ def test_kafka_wire_produce_fetch_round_trip_from_executors(spark, sf_dir):
 def test_kafka_wire_streaming_producer(spark, sf_dir):
     """Streaming pipeline -> foreachBatch(kafka_wire_sink): micro-batch
     records arrive on the broker exactly once per batch."""
-    import sys
     import tempfile
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from kafka_broker import KafkaTestBroker
 
     from flink_demo_spark.catalog import load_table
     from flink_demo_spark.sources.kafka import encode_events_as_kafka
+    from flink_demo_spark.sources.kafka_broker import KafkaTestBroker
     from flink_demo_spark.sources.kafka_wire import fetch_all, kafka_wire_sink
 
     events = load_table(spark, sf_dir, "events").limit(50)
@@ -243,10 +237,7 @@ def test_kafka_wire_python_datasource_batch_and_streaming(spark, sf_dir, tmp_pat
     offsets ride Spark's checkpoint: a restarted query (same
     checkpoint) reads ONLY records produced after the first pass —
     the jar connector's exactly-once offsets contract."""
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from kafka_broker import KafkaTestBroker
+    from flink_demo_spark.sources.kafka_broker import KafkaTestBroker
 
     from flink_demo_spark.sources.kafka_wire import (
         produce,

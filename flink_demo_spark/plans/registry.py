@@ -71,6 +71,7 @@ _SAMPLE_PRIORITY = [
     # round-4 additions: the live-broker Kafka round-trip and the new
     # training-pipeline operators — never driver-checked yet
     "kafka_roundtrip_window",
+    "streaming_kafka_window",
     "chunk_documents",
     "text_tfidf_topk",
     "embedding_int8_quant",

@@ -697,3 +697,73 @@ def streaming_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append").orderBy(
         "key", "window_start_ms", "fire_no"
     )
+
+
+@query(
+    "streaming_kafka_window",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc=(
+        "the reference's flagship pipeline shape END TO END: Kafka "
+        "consumer -> event time -> TUMBLE agg (Source.scala:116-155 + "
+        "QueryTest.scala:375-385), with the Kafka leg running over the "
+        "real wire protocol. Events are produced once to the live "
+        "in-process broker (shared with kafka_roundtrip_window), then "
+        "readStream.format('kafka_wire') consumes them as a streaming "
+        "micro-batch source (engine-checkpointed per-partition "
+        "offsets), decodes the JSON payloads, and window-aggregates "
+        "under a watermark. Must equal the batch oracle over the raw "
+        "events table."
+    ),
+)
+def streaming_kafka_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..sources.kafka import decode_events_from_kafka, encode_events_as_kafka
+    from ..sources.kafka_broker import KafkaTestBroker
+    from ..sources.kafka_wire import kafka_wire_sink, register_kafka_wire
+    from .temporal import _KAFKA_DEMO
+
+    if "broker" not in _KAFKA_DEMO:
+        _KAFKA_DEMO["broker"] = KafkaTestBroker(num_partitions=3)
+    broker = _KAFKA_DEMO["broker"]
+    topic_key = ("topic", sf_dir)
+    if topic_key not in _KAFKA_DEMO:
+        topic = f"events_{abs(hash(sf_dir)) % 10**8}"
+        wire = encode_events_as_kafka(
+            load_table(spark, sf_dir, "events"), topic
+        )
+        kafka_wire_sink((broker.host, broker.port), topic)(wire, batch_id=0)
+        _KAFKA_DEMO[topic_key] = topic
+    topic = _KAFKA_DEMO[topic_key]
+    register_kafka_wire(spark)
+    stream = (
+        spark.readStream.format("kafka_wire")
+        .option("bootstrap", f"{broker.host}:{broker.port}")
+        .option("topic", topic)
+        .load()
+    )
+    ev = decode_events_from_kafka(stream).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    result = run_available_now(agg, output_mode="complete")
+    return result.orderBy("window_start", "event_type")

@@ -5,13 +5,17 @@ image/audio/video as `binary` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas functions over ``mapInPandas``.
 
-This container has no image/audio codecs, so the *decode* step is a
-deterministic fake (parse pseudo-dimensions from the payload hash) —
-clearly marked below. Everything around it — schema, batch iteration,
-partition behavior, column pruning — is real and what matters at
-100 TB: payloads stream through executors in Arrow batches, metadata
-extraction never touches the driver, and downstream filters on the
-metadata struct prune before any decode work.
+This container has no image/audio codec LIBRARIES, so decode splits
+in two: uncompressed binary PPM (P6) is decoded FOR REAL below
+(header parse + numpy reshape + integer nearest-neighbor resize —
+fully oracle-checked by query `multimodal_ppm_decode`), while
+compressed formats (JPEG/PNG/video) stay behind the clearly-marked
+deterministic stub. Everything around decode — schema, batch
+iteration, partition behavior, column pruning — is real and what
+matters at 100 TB: payloads stream through executors in Arrow
+batches, metadata extraction never touches the driver, and
+downstream filters on the metadata struct prune before any decode
+work.
 """
 
 from __future__ import annotations
@@ -117,3 +121,117 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=[id_col, "frame_no", "frame_digest"])
 
     return df.select(id_col, binary_col).mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path: PPM (P6), an uncompressed public format needing no
+# codec library — header parse + numpy reshape. Compressed formats
+# (JPEG/PNG/...) remain environment-gated behind the stub above.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr) -> bytes:
+    """Binary PPM (P6, maxval 255) from an (h, w, 3) uint8 array."""
+    h, w, c = arr.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """REAL image decode for binary PPM (P6): parse the header
+    (whitespace + '#' comments per the spec), then one zero-copy numpy
+    reshape of the raw RGB plane. Returns (h, w, 3) uint8."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raw = payload[pos : pos + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def resize_nearest(arr, tw: int, th: int):
+    """Integer nearest-neighbor resize: target pixel (i, j) samples
+    source ((i*h)//th, (j*w)//tw) — exact integer index math, so any
+    engine reproduces it bit-for-bit."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    return arr[rows][:, cols]
+
+
+def ppm_features(
+    df: DataFrame, id_col: str, binary_col: str, tw: int = 8, th: int = 8
+) -> DataFrame:
+    """REAL decode -> nearest-neighbor resize -> per-channel integer
+    sums, as Arrow-batched ``mapInPandas``. Unlike ``extract_features``
+    (stub dims), every byte of the payload is actually parsed; output
+    is integer-exact so the whole pipeline is DuckDB-oracle-checkable."""
+    schema = (
+        f"{id_col} long, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                img = decode_ppm(bytes(p))
+                h, w, _ = img.shape
+                small = resize_nearest(img, tw, th).astype("int64")
+                sums = small.reshape(-1, 3).sum(axis=0)
+                rows.append(
+                    (int(i), w, h, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(fn, schema)
+
+
+def synthesize_ppm_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PPM payloads from an id column (the test corpus
+    carries no real images): size (16 + id%16) x (12 + id%8), pixel
+    (x, y) = ((id*7 + x) % 256, (x + y) % 256, (id + 3*y) % 256) —
+    closed-form integers, so an oracle can recompute any downstream
+    stat without decoding bytes."""
+    schema = f"{id_col} long, image binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + i % 16, 12 + i % 8
+                y, x = np.indices((h, w))
+                img = np.stack(
+                    [(i * 7 + x) % 256, (x + y) % 256, (i + 3 * y) % 256],
+                    axis=-1,
+                ).astype("uint8")
+                rows.append((i, encode_ppm(img)))
+            yield pd.DataFrame(rows, columns=[id_col, "image"])
+
+    return df.select(id_col).mapInPandas(fn, schema)

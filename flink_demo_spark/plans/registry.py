@@ -75,6 +75,7 @@ _SAMPLE_PRIORITY = [
     "chunk_documents",
     "text_tfidf_topk",
     "embedding_int8_quant",
+    "multimodal_ppm_decode",
     # streaming (applyInPandasWithState / watermark surfaces)
     "streaming_window_hourly",
     "streaming_interval_join",

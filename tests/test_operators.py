@@ -1229,3 +1229,31 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
         for r in similarity.brute_force_top_k(emb, queries, k=4).collect()
     }
     assert ivf == bf
+
+
+def test_ppm_decode_golden_and_resize():
+    """decode_ppm parses a hand-written P6 payload (with comment)
+    byte-exactly; resize_nearest uses (i*h)//th integer sampling."""
+    import numpy as np
+
+    from flink_demo_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [7, 8, 9]]], dtype=np.uint8
+    )
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    commented = b"P6\n# test comment\n2 2\n255\n" + img.tobytes()
+    assert (decode_ppm(commented) == img).all()
+    big = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    small = resize_nearest(big, 2, 3)
+    assert (small == big[[0, 2, 4]][:, [0, 2]]).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n....")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\nxx")  # truncated raster

@@ -235,3 +235,114 @@ def synthesize_ppm_images(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[id_col, "image"])
 
     return df.select(id_col).mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path #2: WAV (RIFF PCM16 mono) — the audio analog of the
+# PPM path. Pure struct parsing + numpy; compressed audio (MP3/AAC/...)
+# stays behind the stub.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Canonical RIFF/WAVE payload from an int16 numpy array (mono
+    PCM16)."""
+    import struct
+
+    raw = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for RIFF/WAVE PCM16 mono: walk the chunk
+    list (fmt/data in any order, unknown chunks skipped per spec),
+    validate the format block, return (sample_rate, int16 array)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, raw = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"only PCM16 mono supported, got fmt={audio_fmt} "
+                    f"ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or raw is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(raw, dtype="<i2")
+
+
+def wav_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """REAL decode -> integer signal stats per payload (duration,
+    total |amplitude|, peak) — Arrow-batched, integer-exact, so the
+    whole path is DuckDB-oracle-checkable like ``ppm_features``."""
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples int, "
+        "duration_ms int, sum_abs bigint, peak int"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                rate, samples = decode_wav(bytes(p))
+                a = samples.astype("int64")
+                rows.append(
+                    (
+                        int(i),
+                        int(rate),
+                        len(a),
+                        int(len(a) * 1000 // rate),
+                        int(abs(a).sum()),
+                        int(abs(a).max()) if len(a) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_samples",
+                    "duration_ms", "sum_abs", "peak",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(fn, schema)
+
+
+def synthesize_wav_clips(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PCM16 clips from an id column: n = 800 + 16*(id%17)
+    samples at 8 kHz, sample(t) = ((id*31 + t*7) % 4096) - 2048 —
+    closed-form integers an oracle can recompute without decoding."""
+    schema = f"{id_col} long, audio binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 800 + 16 * (i % 17)
+                t = np.arange(n, dtype="int64")
+                samples = ((i * 31 + t * 7) % 4096) - 2048
+                rows.append((i, encode_wav(samples, 8000)))
+            yield pd.DataFrame(rows, columns=[id_col, "audio"])
+
+    return df.select(id_col).mapInPandas(fn, schema)

@@ -1026,3 +1026,40 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     imgs = multimodal.synthesize_ppm_images(text.fan_out(docs), "doc_id")
     return multimodal.ppm_features(imgs, "doc_id", "image").orderBy("doc_id")
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 800 + 16 * (doc_id % 17) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n, ((doc_id * 31 + t * 7) % 4096) - 2048 AS v
+      FROM d, LATERAL unnest(generate_series(0, n - 1)) AS g(t)
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST(n * 1000 // 8000 AS INT) AS duration_ms,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS INT) AS peak
+    FROM s
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+    doc=(
+        "REAL audio decode end to end: deterministic RIFF/WAVE PCM16 "
+        "payloads per doc_id, chunk-walked and parsed byte-for-byte in "
+        "Arrow-batched mapInPandas, reduced to integer signal stats "
+        "(duration, total |amplitude|, peak). Oracle recomputes the "
+        "closed-form samples — a hash-match proves the WAV parser and "
+        "the Arrow path exact. Compressed audio stays behind the "
+        "documented stub."
+    ),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clips = multimodal.synthesize_wav_clips(text.fan_out(docs), "doc_id")
+    return multimodal.wav_features(clips, "doc_id", "audio").orderBy("doc_id")

@@ -76,6 +76,7 @@ _SAMPLE_PRIORITY = [
     "text_tfidf_topk",
     "embedding_int8_quant",
     "multimodal_ppm_decode",
+    "multimodal_wav_decode",
     # streaming (applyInPandasWithState / watermark surfaces)
     "streaming_window_hourly",
     "streaming_interval_join",

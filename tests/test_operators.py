@@ -1257,3 +1257,31 @@ def test_ppm_decode_golden_and_resize():
         decode_ppm(b"P5\n2 2\n255\n....")
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n2 2\n255\nxx")  # truncated raster
+
+
+def test_wav_decode_golden_chunk_walk():
+    """decode_wav round-trips PCM16, skips unknown chunks with word
+    alignment, and rejects non-PCM16 payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_demo_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array([0, 1, -1, 32767, -32768], dtype=np.int16)
+    rate, back = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100 and (back == s).all()
+    payload = encode_wav(s)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = payload[:12] + extra + payload[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert (decode_wav(patched)[1] == s).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + payload[4:])
+    stereo = payload.replace(
+        struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16),
+    )
+    with pytest.raises(ValueError):
+        decode_wav(stereo)

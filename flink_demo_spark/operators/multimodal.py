@@ -346,3 +346,128 @@ def synthesize_wav_clips(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[id_col, "audio"])
 
     return df.select(id_col).mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path #3: Y4M (YUV4MPEG2) — the video analog. Uncompressed
+# frame stream, no codec library needed; frame sampling becomes real
+# frame extraction instead of byte slicing.
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """YUV4MPEG2 C444 payload from an (n, 3, h, w) uint8 array
+    (one Y, U, V plane per frame)."""
+    n, c, h, w = frames.shape
+    assert c == 3
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)
+    out = [head]
+    for f in frames:
+        out.append(b"FRAME\n" + f.tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """REAL video decode for YUV4MPEG2 (C444): parse the stream
+    header's tagged parameters, then split the FRAME stream. Returns
+    (fps, (n, 3, h, w) uint8)."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    colorspace = b"C420jpeg"  # spec default when the C tag is absent
+    for tag in head[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"F":
+            fps = int(tag[1:].split(b":")[0])
+        elif tag[:1] == b"C":
+            colorspace = tag
+    if colorspace != b"C444":
+        raise ValueError(f"only C444 supported, got {colorspace.decode()}")
+    if w is None or h is None or fps is None:
+        raise ValueError("missing W/H/F stream parameters")
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        raw = payload[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(raw) != frame_bytes:
+            raise ValueError("truncated frame raster")
+        frames.append(
+            np.frombuffer(raw, dtype=np.uint8).reshape(3, h, w)
+        )
+        pos = fnl + 1 + frame_bytes
+    import numpy as np
+
+    return fps, np.stack(frames) if frames else np.zeros((0, 3, h, w), "uint8")
+
+
+def y4m_frame_stats(
+    df: DataFrame, id_col: str, binary_col: str, every: int = 2
+) -> DataFrame:
+    """REAL frame sampling: decode the Y4M stream, keep every
+    ``every``-th frame (ffmpeg `select=not(mod(n\\,k))` analog), emit
+    one row per sampled frame with integer luma stats — the
+    explode-shaped output of a real keyframe pipeline, oracle-exact."""
+    schema = (
+        f"{id_col} long, frame_no int, n_frames int, fps int, "
+        "width int, height int, sum_luma bigint"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                fps, frames = decode_y4m(bytes(p))
+                n, _, h, w = frames.shape
+                for f_no in range(0, n, every):
+                    luma = frames[f_no][0].astype("int64")
+                    rows.append(
+                        (int(i), f_no, n, int(fps), w, h, int(luma.sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_no", "n_frames", "fps",
+                    "width", "height", "sum_luma",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(fn, schema)
+
+
+def synthesize_y4m_clips(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic C444 clips: 3 + id%4 frames of 8x6, luma(f, x, y)
+    = (id + 17*f + x + 2*y) % 256, chroma planes constant 128 —
+    closed-form integers an oracle can recompute."""
+    schema = f"{id_col} long, video binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n, w, h = 3 + i % 4, 8, 6
+                y_idx, x_idx = np.indices((h, w))
+                frames = []
+                for f in range(n):
+                    luma = (i + 17 * f + x_idx + 2 * y_idx) % 256
+                    chroma = np.full((h, w), 128)
+                    frames.append(np.stack([luma, chroma, chroma]))
+                rows.append(
+                    (i, encode_y4m(np.stack(frames).astype("uint8"), fps=25))
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "video"])
+
+    return df.select(id_col).mapInPandas(fn, schema)

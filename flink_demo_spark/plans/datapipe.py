@@ -1063,3 +1063,45 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clips = multimodal.synthesize_wav_clips(text.fan_out(docs), "doc_id")
     return multimodal.wav_features(clips, "doc_id", "audio").orderBy("doc_id")
+
+
+@query(
+    "multimodal_y4m_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 3 + doc_id % 4 AS n FROM documents
+    ), f AS (
+      SELECT doc_id, n, fno
+      FROM d, LATERAL unnest(generate_series(0, n - 1, 2)) AS g(fno)
+    ), px AS (
+      SELECT doc_id, n, fno,
+             (doc_id + 17 * fno + x + 2 * y) % 256 AS luma
+      FROM f,
+           LATERAL unnest(generate_series(0, 7)) AS gx(x),
+           LATERAL unnest(generate_series(0, 5)) AS gy(y)
+    )
+    SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(n AS INT) AS n_frames,
+           25 AS fps, 8 AS width, 6 AS height,
+           CAST(sum(luma) AS BIGINT) AS sum_luma
+    FROM px
+    GROUP BY doc_id, fno, n
+    ORDER BY doc_id, frame_no
+    """,
+    doc=(
+        "REAL video frame sampling end to end: deterministic "
+        "YUV4MPEG2 (C444) clips per doc_id, stream-header + FRAME "
+        "parsing byte-for-byte, every 2nd frame sampled (the ffmpeg "
+        "select-filter analog), integer luma sums per sampled frame. "
+        "Oracle recomputes the closed-form pixels — proves the Y4M "
+        "parser, the frame sampler, and the Arrow path exact. "
+        "Compressed video stays behind the documented stub."
+    ),
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clips = multimodal.synthesize_y4m_clips(text.fan_out(docs), "doc_id")
+    return multimodal.y4m_frame_stats(clips, "doc_id", "video", every=2).orderBy(
+        "doc_id", "frame_no"
+    )

@@ -77,6 +77,7 @@ _SAMPLE_PRIORITY = [
     "embedding_int8_quant",
     "multimodal_ppm_decode",
     "multimodal_wav_decode",
+    "multimodal_y4m_frames",
     # streaming (applyInPandasWithState / watermark surfaces)
     "streaming_window_hourly",
     "streaming_interval_join",

@@ -1285,3 +1285,20 @@ def test_wav_decode_golden_chunk_walk():
     )
     with pytest.raises(ValueError):
         decode_wav(stereo)
+
+
+def test_y4m_decode_golden_and_guards():
+    """decode_y4m round-trips C444 frames and rejects other
+    colorspaces / truncated rasters."""
+    import numpy as np
+    import pytest
+
+    from flink_demo_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = np.arange(2 * 3 * 4 * 5, dtype=np.uint8).reshape(2, 3, 4, 5)
+    fps, back = decode_y4m(encode_y4m(frames, 30))
+    assert fps == 30 and (back == frames).all()
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H5 F25:1 Ip A1:1 C420\nFRAME\n" + b"x" * 60)
+    with pytest.raises(ValueError):
+        decode_y4m(encode_y4m(frames)[:-3])  # truncated raster

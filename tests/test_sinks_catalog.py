@@ -626,3 +626,35 @@ def test_two_phase_commit_streaming_end_to_end(spark, sf_dir):
         [r.n_nationkey for r in nation.collect()]
         + [r.n_nationkey + 1000 for r in nation.limit(2).collect()]
     )
+
+
+def test_compact_partition_small_files(spark):
+    """Streaming appends leave many small files; compaction rewrites
+    them into fewer files atomically, preserves rows exactly and the
+    _SUCCESS commit marker, and re-running is a no-op."""
+    import tempfile
+
+    from flink_demo_spark.sinks import compact_partition
+
+    root = tempfile.mkdtemp(prefix="sink_compact_")
+    pdir = os.path.join(root, "dt=0")
+    for batch in range(6):  # 6 micro-batch appends -> >= 6 files
+        spark.createDataFrame(
+            [(batch * 10 + i, f"v{batch}_{i}") for i in range(5)],
+            "k long, v string",
+        ).coalesce(1).write.mode("append").parquet(pdir)
+    open(os.path.join(pdir, "_SUCCESS"), "w").close()
+    before = spark.read.parquet(pdir).collect()
+    n_before = len(
+        [f for f in os.listdir(pdir) if not f.startswith(("_", "."))]
+    )
+    assert n_before >= 6
+
+    out = compact_partition(spark, root, "dt=0", target_bytes=1 << 30)
+    assert out["files_before"] == n_before and out["files_after"] == 1
+    assert os.path.exists(os.path.join(pdir, "_SUCCESS"))
+    after = spark.read.parquet(pdir).collect()
+    assert sorted(r.k for r in after) == sorted(r.k for r in before)
+    # idempotent: nothing left to compact
+    again = compact_partition(spark, root, "dt=0", target_bytes=1 << 30)
+    assert again["files_after"] == again["files_before"] == 1

@@ -724,24 +724,11 @@ def streaming_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_kafka_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..catalog import load_table
-    from ..sources.kafka import decode_events_from_kafka, encode_events_as_kafka
-    from ..sources.kafka_broker import KafkaTestBroker
-    from ..sources.kafka_wire import kafka_wire_sink, register_kafka_wire
-    from .temporal import _KAFKA_DEMO
+    from ..sources.kafka import decode_events_from_kafka
+    from ..sources.kafka_wire import register_kafka_wire
+    from .temporal import _kafka_demo_topic
 
-    if "broker" not in _KAFKA_DEMO:
-        _KAFKA_DEMO["broker"] = KafkaTestBroker(num_partitions=3)
-    broker = _KAFKA_DEMO["broker"]
-    topic_key = ("topic", sf_dir)
-    if topic_key not in _KAFKA_DEMO:
-        topic = f"events_{abs(hash(sf_dir)) % 10**8}"
-        wire = encode_events_as_kafka(
-            load_table(spark, sf_dir, "events"), topic
-        )
-        kafka_wire_sink((broker.host, broker.port), topic)(wire, batch_id=0)
-        _KAFKA_DEMO[topic_key] = topic
-    topic = _KAFKA_DEMO[topic_key]
+    broker, topic = _kafka_demo_topic(spark, sf_dir)
     register_kafka_wire(spark)
     stream = (
         spark.readStream.format("kafka_wire")

@@ -389,6 +389,27 @@ def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-process wire-protocol broker, one produced topic per sf_dir (so
 # repeated calls in a session stay idempotent — no duplicate produce)
 _KAFKA_DEMO: dict = {}
+_KAFKA_DEMO_LOCK = __import__("threading").Lock()
+
+
+def _kafka_demo_topic(spark, sf_dir: str) -> tuple:
+    """(broker, topic) for sf_dir — broker started and topic produced
+    exactly once per process, safe under concurrent query calls."""
+    from ..sources.kafka import encode_events_as_kafka
+    from ..sources.kafka_broker import KafkaTestBroker
+    from ..sources.kafka_wire import kafka_wire_sink
+
+    with _KAFKA_DEMO_LOCK:
+        if "broker" not in _KAFKA_DEMO:
+            _KAFKA_DEMO["broker"] = KafkaTestBroker(num_partitions=3)
+        broker = _KAFKA_DEMO["broker"]
+        key = ("topic", sf_dir)
+        if key not in _KAFKA_DEMO:
+            topic = f"events_{abs(hash(sf_dir)) % 10**8}"
+            wire = encode_events_as_kafka(_events(spark, sf_dir), topic)
+            kafka_wire_sink((broker.host, broker.port), topic)(wire, batch_id=0)
+            _KAFKA_DEMO[key] = topic
+        return broker, _KAFKA_DEMO[key]
 
 
 @query(
@@ -417,20 +438,10 @@ _KAFKA_DEMO: dict = {}
     ),
 )
 def kafka_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.kafka import decode_events_from_kafka, encode_events_as_kafka
-    from ..sources.kafka_broker import KafkaTestBroker
-    from ..sources.kafka_wire import kafka_wire_sink, register_kafka_wire
+    from ..sources.kafka import decode_events_from_kafka
+    from ..sources.kafka_wire import register_kafka_wire
 
-    if "broker" not in _KAFKA_DEMO:
-        _KAFKA_DEMO["broker"] = KafkaTestBroker(num_partitions=3)
-    broker = _KAFKA_DEMO["broker"]
-    topic_key = ("topic", sf_dir)
-    if topic_key not in _KAFKA_DEMO:
-        topic = f"events_{abs(hash(sf_dir)) % 10**8}"
-        wire = encode_events_as_kafka(_events(spark, sf_dir), topic)
-        kafka_wire_sink((broker.host, broker.port), topic)(wire, batch_id=0)
-        _KAFKA_DEMO[topic_key] = topic
-    topic = _KAFKA_DEMO[topic_key]
+    broker, topic = _kafka_demo_topic(spark, sf_dir)
     register_kafka_wire(spark)
     back = decode_events_from_kafka(
         spark.read.format("kafka_wire")

@@ -194,9 +194,19 @@ class TwoPhaseCommitSink:
             return
         src = self._epoch_dir(self._staging, batch_id)
         dst = self._epoch_dir(self._committed, batch_id)
-        if not os.path.exists(src):
-            raise RuntimeError(f"commit({batch_id}): nothing staged")
-        os.rename(src, dst)
+        if os.path.exists(dst):
+            # A previous commit() crashed between the rename and the
+            # ledger write: the epoch IS published (rename happened),
+            # only the marker is missing. Finish the second half — drop
+            # any re-staged copy and write the marker — instead of
+            # renaming onto a non-empty dir (OSError crash loop).
+            import shutil
+
+            shutil.rmtree(src, ignore_errors=True)
+        else:
+            if not os.path.exists(src):
+                raise RuntimeError(f"commit({batch_id}): nothing staged")
+            os.rename(src, dst)
         tmp = os.path.join(self._ledger, f".{batch_id}.tmp")
         with open(tmp, "w") as f:
             f.write("committed")
@@ -453,11 +463,15 @@ def compact_partition(
 
     Rewrites the partition's data files into ``ceil(bytes /
     target_bytes)`` files of ~``target_bytes`` each, atomically:
-    the compacted files land in a hidden staging dir, then replace
-    the originals only after a successful write, and the partition's
-    ``_SUCCESS`` marker (commit contract) is preserved. Readers see
-    either the old file set or the new one, never a mix — same
-    visibility contract as the 2PC sink's epoch rename.
+    the compacted files land in a sibling versioned dir, visibility
+    flips in ONE ``renameat2(RENAME_EXCHANGE)`` (Linux) so a
+    concurrent reader sees either the old file set or the new one,
+    never a mix, and the partition's ``_SUCCESS`` marker (commit
+    contract) is preserved. Where the kernel/libc lacks
+    RENAME_EXCHANGE the flip degrades to two renames with a
+    momentary not-found window (never duplicates); a crash at any
+    point leaves either the old or the new set complete, and
+    re-running compaction converges.
 
     Returns {"files_before": n, "files_after": m, "bytes": b}.
     """
@@ -479,8 +493,13 @@ def compact_partition(
             "files_after": len(data_files),
             "bytes": total,
         }
-    staging = os.path.join(pdir, ".compact_staging")
+    # dot-prefixed siblings: invisible to Spark's file listing, so a
+    # crash that leaves one behind never pollutes a partitioned read
+    parent, base = os.path.split(pdir.rstrip("/"))
+    staging = os.path.join(parent, f".{base}.compact_staging")
+    retired = os.path.join(parent, f".{base}.compact_retired")
     shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
     (
         spark.read.format(fmt)
         .load(pdir)
@@ -492,21 +511,42 @@ def compact_partition(
     new_files = [
         f for f in os.listdir(staging) if not f.startswith(("_", "."))
     ]
-    # swap: move compacted files in, then drop the originals — a crash
-    # between the two steps leaves a readable superset (duplicate rows
-    # possible only mid-crash; re-running compaction converges)
-    for f in new_files:
-        os.rename(
-            os.path.join(staging, f), os.path.join(pdir, "compacted-" + f)
-        )
-    for f in data_files:
-        os.remove(os.path.join(pdir, f))
-        crc = os.path.join(pdir, f".{f}.crc")  # local-fs checksum twin
-        if os.path.exists(crc):
-            os.remove(crc)
+    # carry the commit-contract markers (e.g. _SUCCESS written by
+    # partition_commit_sink) into the replacement dir so the flip
+    # preserves them even when the compaction write didn't recreate one
+    for f in os.listdir(pdir):
+        if f.startswith("_") and not os.path.exists(os.path.join(staging, f)):
+            shutil.copy2(os.path.join(pdir, f), os.path.join(staging, f))
+    if not _exchange_dirs(pdir, staging):
+        # no RENAME_EXCHANGE: two renames — readers briefly see
+        # not-found, never a mixed/duplicated file set
+        os.rename(pdir, retired)
+        os.rename(staging, pdir)
+        staging = retired
     shutil.rmtree(staging, ignore_errors=True)
     return {
         "files_before": len(data_files),
         "files_after": len(new_files),
         "bytes": total,
     }
+
+
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically swap two directories via Linux ``renameat2(...,
+    RENAME_EXCHANGE)`` — the single-syscall flip that gives
+    :func:`compact_partition` its reader-never-sees-a-mix guarantee.
+    Returns False when the libc or filesystem doesn't support it."""
+    import ctypes
+    import os
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        renameat2 = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    rc = renameat2(
+        AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b), RENAME_EXCHANGE
+    )
+    return rc == 0

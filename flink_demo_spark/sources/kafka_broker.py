@@ -193,13 +193,18 @@ class KafkaTestBroker:
                 with self._lock:
                     entries = list(enumerate(plog[pid]))[offset:]
                     hw = len(plog[pid])
+                # real v0 contract: return AT MOST max_bytes of log —
+                # the cut may land mid-message (the client drops the
+                # trailing partial and, for a pinned range, retries
+                # with a doubled max_bytes; see fetch_range)
                 mset = b""
                 for off, (k, v) in entries:
                     one = encode_message_set([(k, v)])
                     one = struct.pack(">q", off) + one[8:]  # real offset
-                    if mset and len(mset) + len(one) > max_bytes:
-                        break
                     mset += one
+                    if len(mset) >= max_bytes:
+                        break
+                mset = mset[:max_bytes]
                 presps.append(
                     struct.pack(">ihq", pid, 0, hw) + _bytes(mset)
                 )

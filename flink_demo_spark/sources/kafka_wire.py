@@ -12,13 +12,21 @@ against an in-process broker implementing the same public spec
 
 Scale/fidelity notes:
 
-- Keyed records route with Kafka's DEFAULT partitioner (positive
-  murmur2 of the key bytes mod partition count), so a migrating app's
-  per-key ordering contract is preserved bit-for-bit.
-- The producer is a ``foreachBatch`` sink: each Spark partition opens
-  one connection and sends one ProduceRequest covering the topic
-  partitions its rows hash to; a non-zero error code raises, failing
-  the micro-batch so replay (with idempotent downstream keys) retries.
+- NON-NULL keyed records route with Kafka's DEFAULT partitioner
+  (positive murmur2 of the key bytes mod partition count), so a
+  migrating app's per-key ordering contract is preserved bit-for-bit.
+  Null-keyed records are rotated across partitions per batch (the
+  spirit of Kafka's sticky/round-robin null-key behaviour — Kafka
+  itself makes no placement promise for null keys).
+- The producer is a ``foreachBatch`` sink: executors process Arrow
+  batches — murmur2 partitioning and message-set assembly are numpy
+  batch operations (no per-row Python in the produce loop; the
+  per-message CRC32 the protocol frame mandates is a C call per
+  record over a preassembled buffer) — and each executor partition
+  opens one connection per leader and sends one ProduceRequest
+  covering the topic partitions its rows hash to; a non-zero error
+  code raises, failing the micro-batch so replay (with idempotent
+  downstream keys) retries.
 - The consumer maps one Spark task per Kafka partition (the same
   parallelism contract as the real connector) and emits the connector's
   fixed schema (key/value binary + topic/partition/offset metadata,
@@ -39,6 +47,11 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, SparkSession
 
 API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA = 0, 1, 2, 3
+
+# fetch_range doubles max_bytes while a pinned range makes no progress
+# (next record bigger than the fetch size); past this cap it raises
+# record-too-large instead — mirroring the real client's behaviour
+MAX_FETCH_BYTES = 1 << 28
 
 
 # ---------------------------------------------------------------------------
@@ -122,6 +135,51 @@ def partition_for_key(key: bytes, num_partitions: int) -> int:
     return (murmur2(key) & 0x7FFFFFFF) % num_partitions
 
 
+def murmur2_batch(keys: list[bytes]):
+    """Vectorized :func:`murmur2` over a batch of keys: one padded
+    (n × words) uint32 matrix, the word-mix loop runs over WORD
+    POSITIONS (≤ longest-key/4 numpy passes over all keys at once),
+    not over keys. Bit-identical to the scalar function (asserted
+    against the Java vectors in tests/test_kafka_contract.py)."""
+    import numpy as np
+
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    m = np.uint64(0x5BD1E995)
+    mask = np.uint64(0xFFFFFFFF)
+    lens = np.fromiter((len(k) for k in keys), dtype=np.int64, count=n)
+    maxw = max(1, int(-(-lens.max() // 4)))
+    padded = b"".join(k.ljust(maxw * 4, b"\0") for k in keys)
+    bytemat = np.frombuffer(padded, dtype=np.uint8).reshape(n, maxw * 4)
+    words = bytemat.view("<u4").reshape(n, maxw).astype(np.uint64)
+    h = (np.uint64(0x9747B28C) ^ lens.astype(np.uint64)) & mask
+    nwords = lens // 4  # full 4-byte words per key
+    for j in range(int(nwords.max())):
+        act = nwords > j
+        k = words[act, j]
+        k = (k * m) & mask
+        k ^= k >> np.uint64(24)
+        k = (k * m) & mask
+        h[act] = (((h[act] * m) & mask) ^ k) & mask
+    left = lens & 3
+    n4 = (lens & ~3).astype(np.int64)
+    idx = np.arange(n)
+    for tail_ge, shift in ((3, 16), (2, 8)):
+        sel = left >= tail_ge
+        if sel.any():
+            b = bytemat[idx[sel], n4[sel] + (tail_ge - 1)].astype(np.uint64)
+            h[sel] ^= b << np.uint64(shift)
+    sel = left >= 1
+    if sel.any():
+        h[sel] ^= bytemat[idx[sel], n4[sel]].astype(np.uint64)
+        h[sel] = (h[sel] * m) & mask
+    h ^= h >> np.uint64(13)
+    h = (h * m) & mask
+    h ^= h >> np.uint64(15)
+    return h.astype(np.uint32)
+
+
 def _message(key: bytes | None, value: bytes | None) -> bytes:
     """One magic-0 message: crc32 over magic..value."""
     body = struct.pack(">bb", 0, 0) + _bytes(key) + _bytes(value)
@@ -129,31 +187,109 @@ def _message(key: bytes | None, value: bytes | None) -> bytes:
 
 
 def encode_message_set(msgs: list[tuple[bytes | None, bytes | None]]) -> bytes:
-    out = []
-    for key, value in msgs:
-        m = _message(key, value)
-        out.append(struct.pack(">qi", 0, len(m)) + m)
-    return b"".join(out)
+    """Batch-assemble a magic-0 message set: numpy scatter writes every
+    fixed field and ragged payload into one preallocated buffer — no
+    per-message Python packing. The per-message CRC32 the frame format
+    mandates is a zlib C call over a slice of the assembled buffer."""
+    import numpy as np
+
+    n = len(msgs)
+    if n == 0:
+        return b""
+    if n < 8:  # scalar path cheaper than numpy setup for tiny sets
+        return b"".join(
+            struct.pack(">qi", 0, len(m)) + m
+            for m in (_message(k, v) for k, v in msgs)
+        )
+    keys = [k for k, _ in msgs]
+    vals = [v for _, v in msgs]
+    klenp = np.fromiter(
+        (0 if k is None else len(k) for k in keys), dtype=np.int64, count=n
+    )
+    vlenp = np.fromiter(
+        (0 if v is None else len(v) for v in vals), dtype=np.int64, count=n
+    )
+    klenf = np.where(
+        np.fromiter((k is None for k in keys), dtype=bool, count=n), -1, klenp
+    ).astype(np.int64)
+    vlenf = np.where(
+        np.fromiter((v is None for v in vals), dtype=bool, count=n), -1, vlenp
+    ).astype(np.int64)
+    # record = offset(8) size(4) | crc(4) magic(1) attrs(1) klen(4) key vlen(4) val
+    body_len = 10 + klenp + vlenp  # magic..value, the CRC'd span is crc-less body
+    rec_len = 12 + 4 + body_len
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(rec_len[:-1], out=starts[1:])
+    buf = np.zeros(int(rec_len.sum()), dtype=np.uint8)
+
+    def scatter_be32(pos: "np.ndarray", val: "np.ndarray") -> None:
+        v = val.astype(np.int64) & 0xFFFFFFFF
+        buf[pos] = (v >> 24) & 0xFF
+        buf[pos + 1] = (v >> 16) & 0xFF
+        buf[pos + 2] = (v >> 8) & 0xFF
+        buf[pos + 3] = v & 0xFF
+
+    def scatter_ragged(pos: "np.ndarray", lens: "np.ndarray", payload: bytes) -> None:
+        if not payload:
+            return
+        rep_start = np.repeat(pos, lens)
+        seg0 = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=seg0[1:])
+        intra = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(seg0, lens)
+        buf[rep_start + intra] = np.frombuffer(payload, dtype=np.uint8)
+
+    scatter_be32(starts + 8, 4 + body_len)  # size field (crc..value)
+    # magic/attrs at starts+16/17 are already zero
+    scatter_be32(starts + 18, klenf)
+    scatter_ragged(starts + 22, klenp, b"".join(k for k in keys if k))
+    scatter_be32(starts + 22 + klenp, vlenf)
+    scatter_ragged(starts + 26 + klenp, vlenp, b"".join(v for v in vals if v))
+    mv = memoryview(buf)
+    crc32 = zlib.crc32
+    body_pos = starts + 16
+    crcs = np.fromiter(
+        (
+            crc32(mv[int(p) : int(p) + int(ln)])
+            for p, ln in zip(body_pos, body_len)
+        ),
+        dtype=np.uint32,
+        count=n,
+    )
+    scatter_be32(starts + 12, crcs)
+    return buf.tobytes()
 
 
 def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None, bytes | None]]:
     """[(offset, key, value)] — trailing partial message (allowed by
-    the fetch contract) is dropped; CRC is verified."""
-    r = _Reader(buf)
-    out = []
-    while len(buf) - r.pos >= 12:
-        offset = r.i64()
-        size = r.i32()
-        if len(buf) - r.pos < size:
+    the fetch contract) is dropped; CRC is verified. A flat header
+    walk with precompiled structs and zero-copy memoryview slices
+    (CRC verify is one zlib C call per message) — no per-field
+    reader-object overhead in the fetch hot path."""
+    hdr = struct.Struct(">qi").unpack_from  # offset, size
+    be32 = struct.Struct(">i").unpack_from
+    beU32 = struct.Struct(">I").unpack_from
+    crc32 = zlib.crc32
+    mv = memoryview(buf)
+    n = len(buf)
+    pos = 0
+    out: list[tuple[int, bytes | None, bytes | None]] = []
+    while n - pos >= 12:
+        offset, size = hdr(buf, pos)
+        if n - pos - 12 < size:
             break
-        m = _Reader(r.take(size))
-        crc = struct.unpack(">I", m.take(4))[0]
-        rest = m.buf[m.pos :]
-        if zlib.crc32(rest) & 0xFFFFFFFF != crc:
+        (crc,) = beU32(buf, pos + 12)
+        body = mv[pos + 16 : pos + 12 + size]
+        if crc32(body) & 0xFFFFFFFF != crc:
             raise IOError(f"message CRC mismatch at offset {offset}")
-        m.i8()  # magic
-        m.i8()  # attributes
-        out.append((offset, m.nbytes(), m.nbytes()))
+        (klen,) = be32(buf, pos + 18)  # skip magic+attrs
+        p = pos + 22
+        key = None if klen < 0 else bytes(mv[p : p + klen])
+        p += max(klen, 0)
+        (vlen,) = be32(buf, p)
+        p += 4
+        value = None if vlen < 0 else bytes(mv[p : p + vlen])
+        out.append((offset, key, value))
+        pos += 12 + size
     return out
 
 
@@ -200,11 +336,14 @@ def fetch_metadata(
             port = r.i32()
             brokers[node] = (host, port)
         parts: list[tuple[int, str, int]] = []
+        seen_topic = False
         for _ in range(r.i32()):
             err = r.i16()
             name = r.string()
             if err:
                 raise IOError(f"metadata error {err} for topic {name}")
+            is_ours = name == topic
+            seen_topic = seen_topic or is_ours
             for _ in range(r.i32()):
                 perr = r.i16()
                 pid = r.i32()
@@ -213,12 +352,14 @@ def fetch_metadata(
                     r.i32()  # replicas
                 for _ in range(r.i32()):
                     r.i32()  # isr
+                if not is_ours:
+                    continue  # broker may return extra topics; skip them
                 if perr:
                     raise IOError(f"partition {pid} error {perr}")
                 host, port = brokers[leader]
                 parts.append((pid, host, port))
-        if name != topic:
-            raise IOError(f"unexpected topic {name!r}")
+        if not seen_topic:
+            raise IOError(f"topic {topic!r} absent from metadata response")
         return sorted(parts)
 
 
@@ -315,9 +456,24 @@ def fetch_range(
                     got.extend(decode_message_set(mset))
             lim = hw if end is None else min(end, hw)
             out.extend(m for m in got if offset <= m[0] < lim)
-            if not got or out[-1][0] + 1 >= lim:
+            if not got:
+                if offset < lim:
+                    # a pinned [start, end) range with no progress means
+                    # the next message exceeds max_bytes (the broker sent
+                    # only a partial message and decode dropped it) —
+                    # retry bigger rather than silently committing
+                    # offsets whose records were never delivered
+                    if max_bytes >= MAX_FETCH_BYTES:
+                        raise IOError(
+                            f"record at offset {offset} larger than "
+                            f"{max_bytes} bytes (record-too-large)"
+                        )
+                    max_bytes *= 2
+                    continue
                 break
-            offset = out[-1][0] + 1
+            if out and out[-1][0] + 1 >= lim:
+                break
+            offset = got[-1][0] + 1
     return out
 
 
@@ -335,30 +491,61 @@ def fetch_all(
 
 def kafka_wire_sink(bootstrap: tuple[str, int], topic: str):
     """``foreachBatch`` producer: expects (key binary|string, value
-    binary|string) columns; each Spark partition sends one CRC'd
-    ProduceRequest routing rows with Kafka's default partitioner."""
+    binary|string) columns. Executors consume ARROW BATCHES: partition
+    routing is one :func:`murmur2_batch` numpy pass (bit-identical to
+    the default partitioner for non-null keys; null keys rotate across
+    partitions — Kafka promises no placement for them), message sets
+    are batch-assembled by :func:`encode_message_set`, and each
+    executor partition sends one CRC'd ProduceRequest per leader."""
 
     def send(batch_df: DataFrame, batch_id: int) -> None:
         parts = fetch_metadata(bootstrap, topic)
         n = len(parts)
         leaders = {pid: (host, port) for pid, host, port in parts}
 
-        def per_partition(rows):
-            groups: dict[int, list] = defaultdict(list)
-            for row in rows:
-                key = row["key"]
-                value = row["value"]
-                kb = key.encode() if isinstance(key, str) else key
-                vb = value.encode() if isinstance(value, str) else value
-                pid = 0 if kb is None else partition_for_key(kb, n)
-                groups[pid].append((kb, vb))
-            by_leader: dict[tuple[str, int], dict[int, list]] = defaultdict(dict)
-            for pid, msgs in groups.items():
-                by_leader[leaders[pid]][pid] = msgs
-            for addr, by_pid in by_leader.items():
-                produce(addr, topic, by_pid)
+        def send_batches(batches):
+            import numpy as np
+            import pandas as pd
 
-        batch_df.select("key", "value").foreachPartition(per_partition)
+            for pdf in batches:
+                cnt = len(pdf)
+                if cnt == 0:
+                    continue
+                keys = [
+                    k.encode()
+                    if isinstance(k, str)
+                    else (None if k is None else bytes(k))
+                    for k in pdf["key"]
+                ]
+                vals = [
+                    v.encode()
+                    if isinstance(v, str)
+                    else (None if v is None else bytes(v))
+                    for v in pdf["value"]
+                ]
+                nonnull = np.fromiter(
+                    (k is not None for k in keys), dtype=bool, count=cnt
+                )
+                pids = np.zeros(cnt, dtype=np.int64)
+                if nonnull.any():
+                    hashed = murmur2_batch([k for k in keys if k is not None])
+                    pids[nonnull] = (hashed.astype(np.int64) & 0x7FFFFFFF) % n
+                n_null = cnt - int(nonnull.sum())
+                if n_null:
+                    pids[~nonnull] = np.arange(n_null, dtype=np.int64) % n
+                by_leader: dict[tuple[str, int], dict[int, list]] = defaultdict(dict)
+                for pid in np.unique(pids):
+                    sel = np.flatnonzero(pids == pid)
+                    by_leader[leaders[int(pid)]][int(pid)] = [
+                        (keys[i], vals[i]) for i in sel
+                    ]
+                for addr, by_pid in by_leader.items():
+                    produce(addr, topic, by_pid)
+                yield pd.DataFrame({"sent": [cnt]})
+
+        batch_df.select("key", "value").mapInPandas(
+            send_batches, "sent long"
+        ).collect()
 
     return send
 

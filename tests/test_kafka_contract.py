@@ -339,3 +339,215 @@ def test_kafka_wire_failure_paths():
         produce((b.host, b.port), "t_err", {0: [(b"k", b"v")]})
         msgs = fetch_all((b.host, b.port), "t_err", 0)
         assert [(k, v) for _, k, v in msgs][-1] == (b"k", b"v")
+
+
+def test_murmur2_batch_matches_scalar():
+    """The numpy-vectorized partitioner hash must be bit-identical to
+    the scalar reference (itself pinned to the Java vectors) for every
+    key length class: empty, sub-word tails 1-3, exact words, long."""
+    import random
+
+    from flink_demo_spark.sources.kafka_wire import murmur2, murmur2_batch
+
+    rng = random.Random(42)
+    keys = [b"", b"21", b"foobar", b"a-little-bit-long-string"]
+    keys += [bytes(rng.randrange(256) for _ in range(n)) for n in range(0, 35)]
+    keys += [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+             for _ in range(50)]
+    got = murmur2_batch(keys)
+    assert [int(h) for h in got] == [murmur2(k) for k in keys]
+
+
+def test_encode_message_set_batch_matches_scalar():
+    """The numpy batch assembler (n >= 8) must produce byte-identical
+    message sets to the scalar packer, including null/empty keys and
+    values, and decode must round-trip them."""
+    import struct
+
+    from flink_demo_spark.sources.kafka_wire import (
+        _message,
+        decode_message_set,
+        encode_message_set,
+    )
+
+    msgs = [
+        (b"k1", b"hello"),
+        (None, b"null-key"),
+        (b"null-value", None),
+        (b"", b""),  # empty (not null) payloads
+        (None, None),
+        (b"k" * 100, b"v" * 1000),
+        (b"x", b"y"),
+        (b"tail3", b"odd-len-payload!"),
+        (b"k9", b"v9"),
+    ]
+    assert len(msgs) >= 8  # exercises the numpy path
+    scalar = b"".join(
+        struct.pack(">qi", 0, len(m)) + m for m in (_message(k, v) for k, v in msgs)
+    )
+    batch = encode_message_set(msgs)
+    assert batch == scalar
+    assert [(k, v) for _, k, v in decode_message_set(batch)] == msgs
+
+
+def test_fetch_range_record_too_large():
+    """A record bigger than max_bytes makes the real broker return a
+    partial message; the client must retry with a doubled fetch size
+    (never silently skip committed-range records) and raise
+    record-too-large once the cap is hit."""
+    import pytest
+
+    from flink_demo_spark.sources import kafka_wire as kw
+    from flink_demo_spark.sources.kafka_broker import KafkaTestBroker
+
+    big = b"x" * 8192
+    with KafkaTestBroker(num_partitions=1) as b:
+        kw.produce((b.host, b.port), "big", {0: [(b"k0", b"small"), (b"k1", big), (b"k2", b"tail")]})
+        # pinned range with a tiny initial fetch size: must double until
+        # the 8 KiB record fits and deliver ALL records of the range
+        got = kw.fetch_range((b.host, b.port), "big", 0, 0, 3, max_bytes=64)
+        assert [(o, k) for o, k, _ in got] == [(0, b"k0"), (1, b"k1"), (2, b"k2")]
+        assert got[1][2] == big
+        # with the doubling cap below the record size, raise instead of
+        # committing offsets whose records were never delivered
+        old_cap = kw.MAX_FETCH_BYTES
+        kw.MAX_FETCH_BYTES = 1024
+        try:
+            with pytest.raises(IOError, match="record-too-large"):
+                kw.fetch_range((b.host, b.port), "big", 0, 0, 3, max_bytes=64)
+        finally:
+            kw.MAX_FETCH_BYTES = old_cap
+
+
+def test_fetch_metadata_rejects_missing_topic():
+    """A metadata response without the requested topic must raise a
+    clear protocol error, not NameError; extra topics are skipped."""
+    import struct as st
+
+    import pytest
+
+    from flink_demo_spark.sources.kafka_broker import KafkaTestBroker
+    from flink_demo_spark.sources.kafka_wire import _str, fetch_metadata
+
+    with KafkaTestBroker(num_partitions=1) as b:
+        def other_topic_only(r):
+            [r.string() for _ in range(r.i32())]
+            out = st.pack(">i", 1)
+            out += st.pack(">i", 0) + _str(b.host) + st.pack(">i", b.port)
+            out += st.pack(">i", 1)  # one topic, but not the requested one
+            out += st.pack(">h", 0) + _str("unrelated")
+            out += st.pack(">i", 1)
+            out += st.pack(">hiii", 0, 0, 0, 1) + st.pack(">i", 0)
+            out += st.pack(">i", 1) + st.pack(">i", 0)
+            return out
+
+        b._metadata = other_topic_only
+        with pytest.raises(IOError, match="absent from metadata"):
+            fetch_metadata((b.host, b.port), "wanted")
+
+
+def test_kafka_wire_sink_rotates_null_keys(spark):
+    """Null-keyed records must spread across partitions (Kafka's
+    round-robin/sticky spirit), not pile onto partition 0."""
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.sources.kafka_broker import KafkaTestBroker
+    from flink_demo_spark.sources.kafka_wire import fetch_all, kafka_wire_sink
+
+    df = (
+        spark.range(6)
+        .select(
+            F.lit(None).cast("binary").alias("key"),
+            F.col("id").cast("string").cast("binary").alias("value"),
+        )
+        .coalesce(1)  # one Arrow batch -> deterministic rotation
+    )
+    with KafkaTestBroker(num_partitions=3) as b:
+        kafka_wire_sink((b.host, b.port), "nulls")(df, batch_id=0)
+        per_pid = {
+            pid: len(fetch_all((b.host, b.port), "nulls", pid))
+            for pid in range(3)
+        }
+        assert sum(per_pid.values()) == 6
+        assert all(n == 2 for n in per_pid.values()), per_pid
+
+
+def test_kafka_wire_two_broker_layout_parallelism_and_recovery(spark, tmp_path):
+    """Topic leadership split across TWO live brokers: the data source
+    plans one Spark task per Kafka partition, each task fetches from
+    that partition's own leader, and a checkpoint restart resumes from
+    the committed per-partition offsets on both leaders."""
+    import struct as st
+
+    from flink_demo_spark.sources.kafka_broker import KafkaTestBroker
+    from flink_demo_spark.sources.kafka_wire import (
+        _str,
+        produce,
+        register_kafka_wire,
+    )
+
+    register_kafka_wire(spark)
+    with KafkaTestBroker(num_partitions=2) as b0, KafkaTestBroker(
+        num_partitions=2
+    ) as b1:
+        def split_metadata(r):
+            topics = [r.string() for _ in range(r.i32())]
+            out = st.pack(">i", 2)
+            for node, br in enumerate((b0, b1)):
+                out += st.pack(">i", node) + _str(br.host) + st.pack(">i", br.port)
+            out += st.pack(">i", len(topics))
+            for t in topics:
+                out += st.pack(">h", 0) + _str(t)
+                out += st.pack(">i", 2)
+                for pid in range(2):  # partition pid led by node pid
+                    out += st.pack(">hiii", 0, pid, pid, 1)
+                    out += st.pack(">i", pid)
+                    out += st.pack(">i", 1) + st.pack(">i", pid)
+            return out
+
+        b0._metadata = split_metadata
+        b1._metadata = split_metadata
+        # records live ONLY on their leader: p0 -> b0, p1 -> b1
+        produce((b0.host, b0.port), "t2", {0: [(b"a", b"v0a"), (b"a", b"v0b")]})
+        produce((b1.host, b1.port), "t2", {1: [(b"b", b"v1a")]})
+
+        df = (
+            spark.read.format("kafka_wire")
+            .option("bootstrap", f"{b0.host}:{b0.port}")
+            .option("topic", "t2")
+            .load()
+        )
+        # one task per Kafka partition (the jar connector's contract)
+        assert df.rdd.getNumPartitions() == 2
+        rows = sorted((r.partition, r.offset, bytes(r.value)) for r in df.collect())
+        assert rows == [(0, 0, b"v0a"), (0, 1, b"v0b"), (1, 0, b"v1a")]
+
+        ck, out_dir = str(tmp_path / "ck2"), str(tmp_path / "out2")
+
+        def run():
+            q = (
+                spark.readStream.format("kafka_wire")
+                .option("bootstrap", f"{b0.host}:{b0.port}")
+                .option("topic", "t2")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        assert spark.read.parquet(out_dir).count() == 3
+        # new records on BOTH leaders; restart reads only those
+        produce((b0.host, b0.port), "t2", {0: [(b"a", b"v0c")]})
+        produce((b1.host, b1.port), "t2", {1: [(b"b", b"v1b")]})
+        run()
+        rows = sorted((r.partition, r.offset, bytes(r.value))
+                      for r in spark.read.parquet(out_dir).collect())
+        assert rows == [
+            (0, 0, b"v0a"), (0, 1, b"v0b"), (0, 2, b"v0c"),
+            (1, 0, b"v1a"), (1, 1, b"v1b"),
+        ]

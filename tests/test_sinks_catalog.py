@@ -658,3 +658,77 @@ def test_compact_partition_small_files(spark):
     # idempotent: nothing left to compact
     again = compact_partition(spark, root, "dt=0", target_bytes=1 << 30)
     assert again["files_after"] == again["files_before"] == 1
+
+
+def test_two_phase_commit_crash_between_rename_and_ledger(spark):
+    """A crash AFTER the epoch rename but BEFORE the ledger marker must
+    not wedge recovery: the replayed batch re-stages, and commit()
+    finishes the interrupted second half (marker write) instead of
+    renaming onto the already-published dir and crash-looping."""
+    import os
+    import tempfile
+
+    from flink_demo_spark.sinks import TwoPhaseCommitSink
+
+    root = tempfile.mkdtemp(prefix="sink_2pc_torn_")
+    sink = TwoPhaseCommitSink(root)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # simulate the torn commit: stage + rename done, ledger marker missing
+    sink.precommit(b0, 0)
+    os.rename(
+        os.path.join(root, "staging", "epoch=0"),
+        os.path.join(root, "committed", "epoch=0"),
+    )
+    assert not sink.is_committed(0)
+
+    # engine replays batch 0 into a restarted sink
+    sink2 = TwoPhaseCommitSink(root)
+    sink2(b0, 0)
+    assert sink2.is_committed(0)
+    assert _committed_rows(spark, root) == [(1, "a"), (2, "b")]
+    assert not os.path.exists(os.path.join(root, "staging", "epoch=0"))
+    # and a second replay is the usual ledger-skip no-op
+    sink2(b0, 0)
+    assert _committed_rows(spark, root) == [(1, "a"), (2, "b")]
+
+
+def test_compact_partition_flip_is_atomic_and_crash_safe(spark):
+    """The compaction flip must never expose a mixed old+new file set:
+    the replacement dir is exchanged in, and a crash-leftover staging
+    sibling is invisible to partitioned reads (dot-prefixed)."""
+    import tempfile
+
+    from flink_demo_spark.sinks import _exchange_dirs, compact_partition
+
+    root = tempfile.mkdtemp(prefix="sink_compact_atomic_")
+    pdir = os.path.join(root, "dt=1")
+    for batch in range(4):
+        spark.createDataFrame(
+            [(batch * 10 + i, "x") for i in range(4)], "k long, v string"
+        ).coalesce(1).write.mode("append").parquet(pdir)
+    open(os.path.join(pdir, "_SUCCESS"), "w").close()
+    before = sorted(r.k for r in spark.read.parquet(pdir).collect())
+
+    # crash leftovers from a hypothetical earlier attempt must be
+    # ignored by partition discovery and cleaned up by the next run
+    stale = os.path.join(root, ".dt=1.compact_staging")
+    os.makedirs(stale)
+    open(os.path.join(stale, "junk.parquet"), "w").close()
+    assert [r[0] for r in spark.read.parquet(root).select("dt").distinct().collect()] == [1]
+
+    out = compact_partition(spark, root, "dt=1", target_bytes=1 << 30)
+    assert out["files_after"] == 1
+    assert sorted(r.k for r in spark.read.parquet(pdir).collect()) == before
+    assert os.path.exists(os.path.join(pdir, "_SUCCESS"))
+    # no stale siblings survive a successful compaction
+    assert not os.path.exists(stale)
+    assert not os.path.exists(os.path.join(root, ".dt=1.compact_retired"))
+
+    # the atomic primitive itself: RENAME_EXCHANGE swaps both dirs
+    a, b = os.path.join(root, "a"), os.path.join(root, "b")
+    os.makedirs(a), os.makedirs(b)
+    open(os.path.join(a, "fa"), "w").close()
+    open(os.path.join(b, "fb"), "w").close()
+    if _exchange_dirs(a, b):
+        assert os.path.exists(os.path.join(a, "fb"))
+        assert os.path.exists(os.path.join(b, "fa"))

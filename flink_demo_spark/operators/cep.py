@@ -630,6 +630,17 @@ def _anchor_failure_is_final(pattern: Pattern, n_avail: int) -> bool:
         return False
     if any(s.contiguity != "next" for s in steps[1:]):
         return False
+    # a repeating step with relaxed/combinations LOOP contiguity can
+    # recruit a future row for a later repeat even after `need` rows
+    # arrived (intervening non-matches are skipped), so its failure is
+    # never final on row count alone — fall back to WITHIN expiry
+    if any(
+        not s.negated
+        and s.loop != "consecutive"
+        and (s.max_times is None or s.max_times > 1 or s.min_times > 1)
+        for s in steps
+    ):
+        return False
     need = sum(s.min_times for s in steps if not s.negated)
     if steps and steps[-1].negated:
         need += 1  # trailing notNext needs one lookahead row

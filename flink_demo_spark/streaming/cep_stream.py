@@ -249,10 +249,16 @@ def streaming_match_pattern(
     A failed anchor is discarded only once its horizon expires.
 
     Requires ``pattern.within`` (unbounded patterns would buffer
-    forever, exactly like Flink NFA state) and supports the
-    ``skip_past_last_event`` / ``skip_to_next`` after-match
-    strategies. Assumes micro-batches arrive in event-time order per
-    key (file replay / availableNow) — the same contract as
+    forever, exactly like Flink NFA state) and supports ALL after-match
+    strategies the batch engine does: ``skip_past_last_event``,
+    ``skip_to_next``, ``("skip_to_first", name)`` and
+    ``("skip_to_last", name)``. The skip_to_first anchor emits EVERY
+    solution at the pinned anchor (CEPDemo.scala:914 semantics), so it
+    is decided only once the anchor's WITHIN horizon has expired — any
+    earlier, a future in-horizon row could still add a solution; the
+    single-match strategies emit at earliest decidability as before.
+    Assumes micro-batches arrive in event-time order per key (file
+    replay / availableNow) — the same contract as
     ``streaming_match_recognize``. Iterative (row, ctx) conditions
     work unchanged (same NFA).
     """
@@ -263,6 +269,7 @@ def streaming_match_pattern(
 
     from ..operators.cep import (
         _anchor_failure_is_final,
+        _iter_matches_from,
         _match_can_extend,
         _match_from,
         _schema_fields,
@@ -270,10 +277,15 @@ def streaming_match_pattern(
 
     if pattern.within is None:
         raise ValueError("streaming_match_pattern requires pattern.within")
-    if pattern.after_match not in ("skip_past_last_event", "skip_to_next"):
-        raise NotImplementedError(
-            "streaming CEP supports skip_past_last_event / skip_to_next"
+    after = pattern.after_match
+    if not (
+        after in ("skip_past_last_event", "skip_to_next")
+        or (
+            isinstance(after, tuple)
+            and after[0] in ("skip_to_first", "skip_to_last")
         )
+    ):
+        raise NotImplementedError(f"unknown after-match strategy {after!r}")
     out_columns = [f.name for f in _schema_fields(output_schema)]
     order = order_cols or [ts_col]
     state_schema = StructType([StructField("buf", BinaryType())])
@@ -301,6 +313,22 @@ def streaming_match_pattern(
                     continue
                 break  # pending: a future row may still complete it
             end, bindings = m
+            if isinstance(after, tuple) and after[0] == "skip_to_first":
+                if not expired:
+                    break  # more solutions may land inside the horizon
+                max_end = end
+                for e2, b2 in _iter_matches_from(
+                    None, 0, pattern, ts_col, recs
+                ):
+                    rec = measures(pd.DataFrame(recs), b2)
+                    for k, v in zip(key_cols, key):
+                        rec.setdefault(k, v)
+                    out_rows.append(rec)
+                    max_end = max(max_end, e2)
+                idxs = bindings.get(after[1]) or []
+                first_idx = min(idxs) if idxs else 0
+                recs = recs[first_idx if first_idx > 0 else max_end :]
+                continue
             if (
                 end == len(recs)
                 and not expired
@@ -311,7 +339,14 @@ def streaming_match_pattern(
             for k, v in zip(key_cols, key):
                 rec.setdefault(k, v)
             out_rows.append(rec)
-            drop = 1 if pattern.after_match == "skip_to_next" else end
+            if isinstance(after, tuple):  # skip_to_last
+                idxs = bindings.get(after[1]) or []
+                last_idx = max(idxs) if idxs else 0
+                drop = last_idx if last_idx > 0 else end
+            elif after == "skip_to_next":
+                drop = 1
+            else:
+                drop = end
             recs = recs[drop:]
         state.update((pickle.dumps(recs),))
         if out_rows:
@@ -348,7 +383,11 @@ def streaming_match_pattern_watermarked(
     dropped as late on intake (Flink CEP's late-event handling).
 
     Requires ``withWatermark`` upstream and ``pattern.within``.
-    Supports skip_past_last_event / skip_to_next. An event-time timer
+    Supports every batch after-match strategy (skip_past_last_event,
+    skip_to_next, skip_to_first, skip_to_last) — an anchor is decided
+    only once its horizon is behind the watermark, at which point all
+    its solutions are final, so the skip_to_first emit-all rule needs
+    no extra wait here. An event-time timer
     re-fires each key when the watermark advances past its oldest
     buffered anchor, so decisions land even when later batches bring
     the key no rows. Bounded Flink jobs flush with a final +inf
@@ -361,16 +400,21 @@ def streaming_match_pattern_watermarked(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    from ..operators.cep import _match_from, _schema_fields
+    from ..operators.cep import _iter_matches_from, _match_from, _schema_fields
 
     if pattern.within is None:
         raise ValueError(
             "streaming_match_pattern_watermarked requires pattern.within"
         )
-    if pattern.after_match not in ("skip_past_last_event", "skip_to_next"):
-        raise NotImplementedError(
-            "streaming CEP supports skip_past_last_event / skip_to_next"
+    after = pattern.after_match
+    if not (
+        after in ("skip_past_last_event", "skip_to_next")
+        or (
+            isinstance(after, tuple)
+            and after[0] in ("skip_to_first", "skip_to_last")
         )
+    ):
+        raise NotImplementedError(f"unknown after-match strategy {after!r}")
     out_columns = [f.name for f in _schema_fields(output_schema)]
     order = order_cols or [ts_col]
     state_schema = StructType([StructField("buf", BinaryType())])
@@ -398,11 +442,32 @@ def streaming_match_pattern_watermarked(
                 recs = recs[1:]
                 continue
             end, bindings = m
+            if isinstance(after, tuple) and after[0] == "skip_to_first":
+                max_end = end
+                for e2, b2 in _iter_matches_from(
+                    None, 0, pattern, ts_col, recs
+                ):
+                    rec = measures(pd.DataFrame(recs), b2)
+                    for k, v in zip(key_cols, key):
+                        rec.setdefault(k, v)
+                    out_rows.append(rec)
+                    max_end = max(max_end, e2)
+                idxs = bindings.get(after[1]) or []
+                first_idx = min(idxs) if idxs else 0
+                recs = recs[first_idx if first_idx > 0 else max_end :]
+                continue
             rec = measures(pd.DataFrame(recs), bindings)
             for k, v in zip(key_cols, key):
                 rec.setdefault(k, v)
             out_rows.append(rec)
-            drop = 1 if pattern.after_match == "skip_to_next" else end
+            if isinstance(after, tuple):  # skip_to_last
+                idxs = bindings.get(after[1]) or []
+                last_idx = max(idxs) if idxs else 0
+                drop = last_idx if last_idx > 0 else end
+            elif after == "skip_to_next":
+                drop = 1
+            else:
+                drop = end
             recs = recs[drop:]
         state.update((pickle.dumps(recs),))
         if recs and wm_ms > 0:

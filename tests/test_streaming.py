@@ -1236,3 +1236,136 @@ def test_allowed_lateness_zero_equals_punctuated(spark):
     got = sorted((r.key, r.window_start_ms, r.n_events) for r in late)
     assert got == punct
     assert punct, "fixture must fire at least one window"
+
+
+def test_streaming_match_pattern_skip_to_first_and_last_equal_batch(spark):
+    """The CEPDemo.scala skipToFirst:914 / skipToLast:949 goldens
+    replayed through the general streaming twin on random micro-batch
+    splits must equal the batch match_pattern result exactly (the
+    round-4 NotImplementedError gap). A trailing non-matching row
+    expires every anchor's WITHIN horizon so the emit-all-at-anchor
+    skip_to_first decision fires before the stream ends."""
+    import random
+
+    from flink_demo_spark.operators import cep
+    from flink_demo_spark.streaming.cep_stream import streaming_match_pattern
+
+    t0 = dt.datetime(1970, 1, 1)
+    seq = [
+        ("sensor_1", 92, 20), ("sensor_1", 93, 21), ("sensor_1", 94, 22),
+        ("sensor_2", 92, 22), ("sensor_1", 96, 22), ("sensor_2", 99, 24),
+        ("sensor_2", 200, 0),  # horizon-expiring sentinel, matches nothing
+    ]
+    rows = [
+        (1, sid, t0 + dt.timedelta(seconds=s), v, i)
+        for i, (sid, s, v) in enumerate(seq)
+    ]
+    schema = "k long, id string, ts timestamp, vc long, event_id long"
+
+    def pat(strategy):
+        p = cep.Pattern.begin("first", lambda r: r["id"] == "sensor_1")
+        p = p.times_or_more(2).relaxed().reluctant().within_time("30s")
+        return getattr(p, strategy)("first")
+
+    def measures(rows_df, b):
+        return {
+            "members": ",".join(
+                str(int(rows_df.iloc[i]["ts"].timestamp())) for i in b["first"]
+            )
+        }
+
+    out_schema = "k long, members string"
+    rng = random.Random(11)
+    rows_sorted = sorted(rows, key=lambda r: (r[2], r[4]))
+    expected_goldens = {
+        "skip_to_first": {"92,93", "92,93,94", "92,93,94,96"},
+        "skip_to_last": {"92,93", "93,94", "94,96"},
+    }
+    for strategy, golden in expected_goldens.items():
+        batch_out = {
+            r.members
+            for r in cep.match_pattern(
+                spark.createDataFrame(rows, schema), pat(strategy),
+                ["k"], "ts", measures, out_schema,
+                order_cols=["ts", "event_id"],
+            ).collect()
+        }
+        assert batch_out == golden  # CEPDemo golden, with-within variant
+        cuts = sorted(rng.sample(range(1, len(rows_sorted)), 3))
+        batches, prev = [], 0
+        for c in [*cuts, len(rows_sorted)]:
+            batches.append(rows_sorted[prev:c])
+            prev = c
+        got = {
+            r.members
+            for r in run_available_now(
+                streaming_match_pattern(
+                    _mem_stream_batches(spark, batches, schema),
+                    pat(strategy), ["k"], "ts", measures, out_schema,
+                    order_cols=["ts", "event_id"],
+                ),
+                output_mode="append",
+            ).collect()
+        }
+        assert got == golden, (strategy, got)
+
+
+def test_streaming_match_pattern_watermarked_skip_strategies(spark):
+    """skip_to_first / skip_to_last through the watermark-driven twin
+    with OUT-OF-ORDER micro-batches: same goldens once the watermark
+    closes each anchor's horizon."""
+    from flink_demo_spark.operators import cep
+    from flink_demo_spark.streaming.cep_stream import (
+        streaming_match_pattern_watermarked,
+    )
+
+    t0 = dt.datetime(1970, 1, 2)
+    seq = [
+        ("sensor_1", 92, 20), ("sensor_1", 93, 21), ("sensor_1", 94, 22),
+        ("sensor_2", 92, 22), ("sensor_1", 96, 22), ("sensor_2", 99, 24),
+        ("sensor_2", 400, 0),  # pushes the watermark past every horizon
+    ]
+    rows = [
+        (1, sid, t0 + dt.timedelta(seconds=s), v, i)
+        for i, (sid, s, v) in enumerate(seq)
+    ]
+    schema = "k long, id string, ts timestamp, vc long, event_id long"
+
+    def pat(strategy):
+        p = cep.Pattern.begin("first", lambda r: r["id"] == "sensor_1")
+        p = p.times_or_more(2).relaxed().reluctant().within_time("30s")
+        return getattr(p, strategy)("first")
+
+    def measures(rows_df, b):
+        return {
+            "members": ",".join(
+                str(int(rows_df.iloc[i]["ts"].timestamp()) - 86400)
+                for i in b["first"]
+            )
+        }
+
+    # out-of-order split: second batch carries an EARLIER row (93),
+    # above the watermark thanks to the 5s delay (wm after batch 1 = 89)
+    batches = [
+        [rows[0], rows[2], rows[3]],          # 92, 94, s2-92
+        [rows[1], rows[4], rows[5]],          # 93 (late-but-above-wm), 96, s2-99
+        [rows[6]],                            # watermark push
+    ]
+    for strategy, golden in {
+        "skip_to_first": {"92,93", "92,93,94", "92,93,94,96"},
+        "skip_to_last": {"92,93", "93,94", "94,96"},
+    }.items():
+        got = {
+            r.members
+            for r in run_available_now(
+                streaming_match_pattern_watermarked(
+                    _mem_stream_batches(spark, batches, schema).withWatermark(
+                        "ts", "5 seconds"
+                    ),
+                    pat(strategy), ["k"], "ts", measures,
+                    "k long, members string", order_cols=["ts", "event_id"],
+                ),
+                output_mode="append",
+            ).collect()
+        }
+        assert got == golden, (strategy, got)

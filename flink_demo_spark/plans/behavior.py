@@ -334,6 +334,7 @@ def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY anchor_id
     """,
+    bench=True,
     doc=(
         "CEP timeout side-output (reference TimeoutMatchByCep.scala:10-19, "
         "OrderPay.scala:31-53): signup followedBy purchase within 7 days "

@@ -245,6 +245,7 @@ def match_recognize_rise_fall(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN base bb ON bb.user_id = a.user_id AND bb.rn = re.rn + 1
     ORDER BY symbol, start_time, sum_price
     """,
+    bench=True,
     doc=(
         "MATCH_RECOGNIZE running-aggregate budget pattern "
         "(TableSQLFunc2.scala:87-100: A+ B with SUM(A.price) < "

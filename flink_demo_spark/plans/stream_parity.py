@@ -287,6 +287,7 @@ def streaming_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rk <= 3
     ORDER BY window_start, rk
     """,
+    bench=True,
     doc=(
         "streaming HotItems (reference HotItems.scala:25-122, the "
         "flagship app): sliding-window view counts in Structured "
@@ -668,6 +669,7 @@ def streaming_cep_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM refire
     ORDER BY key, window_start_ms, fire_no
     """,
+    bench=True,
     doc=(
         "allowedLateness window re-fire (WatermarkDemo.scala:207-299): "
         "1-day tumbling windows, 1h bounded delay, 2h allowedLateness "

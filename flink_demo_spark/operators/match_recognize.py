@@ -754,8 +754,12 @@ def _emit_all_rows(recs, bindings, spec, match_no, out):
 def _partition_rows(pdf, spec, ts_col, part_vals_cols) -> list[dict]:
     """One key's matches as output-row dicts."""
     order = spec.order_by or ([ts_col] if ts_col else [])
-    rows = pdf.sort_values(order, kind="stable").reset_index(drop=True)
-    recs = rows.to_dict("records")
+    if order:
+        from .cep import _sorted_rows_recs
+
+        _, recs = _sorted_rows_recs(pdf, order)
+    else:
+        recs = pdf.to_dict("records")
     n = len(recs)
     out = []
     start = 0
@@ -884,10 +888,11 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     order = spec.order_by or []
 
     def run_partition_batch(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
-        if not len(pdf):
+        chunks = list(batches)  # may be empty: pinned partition count
+        if not chunks or not sum(len(c) for c in chunks):
             yield pd.DataFrame(columns=out_columns)
             return
+        pdf = pd.concat(chunks, ignore_index=True)
         rows: list[dict] = []
         for _, g in pdf.groupby(part_cols, sort=False):
             rows.extend(_partition_rows(g, spec, ts_col, part_cols))
@@ -895,9 +900,12 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
         # own Arrow batch, and thousands of tiny batches were the cost
         yield pd.DataFrame(rows, columns=out_columns)
 
-    arranged = df.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
-        *[F.col(c) for c in (part_cols + order)]
-    )
+    # explicit count: AQE's byte-size coalescing would collapse this
+    # CPU-bound matcher into one task (see cep._grouped_map)
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    arranged = df.repartition(
+        n_parts, *[F.col(c) for c in part_cols]
+    ).sortWithinPartitions(*[F.col(c) for c in (part_cols + order)])
     return arranged.mapInPandas(run_partition_batch, out_schema)
 
 

@@ -13,6 +13,7 @@ re-expressed on the events table (SURVEY.md §2.6/2.7 applied rows).
 
 from __future__ import annotations
 
+from ._util import ordered_small
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -361,11 +362,12 @@ def cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"anchor_id": int(rows.iloc[b["begin"][0]]["event_id"]),
                 "status": "timeout"}
 
-    return cep.match_pattern_with_timeouts(
+    out = cep.match_pattern_with_timeouts(
         ev, pat, ["user_id"], "ts", ok, timed_out,
         "user_id long, anchor_id long, status string, is_timeout boolean",
         order_cols=["ts", "event_id"],
-    ).orderBy("anchor_id")
+    )
+    return ordered_small(out, "anchor_id")
 
 
 @query(
@@ -464,7 +466,7 @@ def cep_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bottom_value": float(rows.iloc[bindings["down"][-1]]["value"]),
         }
 
-    return cep.match_pattern(
+    out = cep.match_pattern(
         with_dir,
         pat,
         key_cols=["user_id"],
@@ -475,7 +477,8 @@ def cep_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bottom_value double"
         ),
         order_cols=["ts", "event_id"],
-    ).orderBy("user_id", "start_id")
+    )
+    return ordered_small(out, "user_id", "start_id")
 
 
 @query(
@@ -529,7 +532,7 @@ def cep_iterative_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "large_value": round(float(g["value"]), 2),
         }
 
-    return cep.match_pattern(
+    out = cep.match_pattern(
         ev,
         pat,
         key_cols=["user_id"],
@@ -540,7 +543,8 @@ def cep_iterative_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "small_value double, large_value double"
         ),
         order_cols=["ts", "event_id"],
-    ).orderBy("user_id", "small_id")
+    )
+    return ordered_small(out, "user_id", "small_id")
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ other keyed-NFA operator in this engine.
 
 from __future__ import annotations
 
+from ._util import ordered_small
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -135,7 +136,7 @@ def match_recognize_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) MR
         """,
     )
-    return out.orderBy("symbol", "start_tmstp")
+    return ordered_small(out, "symbol", "start_tmstp")
 
 
 @query(
@@ -210,7 +211,7 @@ def match_recognize_rise_fall(spark: SparkSession, sf_dir: str) -> DataFrame:
          ) MR
         """,
     )
-    return out.orderBy("symbol", "start_price", "top_price", "end_price")
+    return ordered_small(out, "symbol", "start_price", "top_price", "end_price")
 
 
 @query(
@@ -273,7 +274,7 @@ def match_recognize_sum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) MR
         """,
     )
-    return out.orderBy("symbol", "start_time", "sum_price")
+    return ordered_small(out, "symbol", "start_time", "sum_price")
 
 
 @query(
@@ -438,11 +439,15 @@ def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
-    return mr.select(
+    return ordered_small(
+        mr.select(
+            "user_id",
+            "event_id",
+            "mno",
+            "cls",
+            "rn_in_match",
+            F.round("value", 2).alias("value"),
+        ),
         "user_id",
         "event_id",
-        "mno",
-        "cls",
-        "rn_in_match",
-        F.round("value", 2).alias("value"),
-    ).orderBy("user_id", "event_id")
+    )

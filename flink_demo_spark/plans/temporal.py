@@ -10,6 +10,7 @@ engines compare at µs.
 
 from __future__ import annotations
 
+from ._util import ordered_small
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -450,7 +451,7 @@ def kafka_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("topic", topic)
         .load()
     )
-    return (
+    out = (
         back.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -466,5 +467,5 @@ def kafka_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             "sum_value",
         )
-        .orderBy("window_start", "event_type")
     )
+    return ordered_small(out, "window_start", "event_type")

@@ -32,7 +32,9 @@ from .kafka_wire import (
 class KafkaTestBroker:
     def __init__(self, num_partitions: int = 3) -> None:
         self.num_partitions = num_partitions
-        # topic -> pid -> list[(key, value)]; offsets are list indexes
+        # topic -> pid -> list[(key, value, wire_tail)]; offsets are
+        # list indexes; wire_tail is the message's encoded bytes minus
+        # the 8-byte offset, stamped per fetch
         self.log: dict[str, dict[int, list]] = {}
         self._lock = threading.Lock()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -145,9 +147,16 @@ class KafkaTestBroker:
                 pid = r.i32()
                 mset = r.take(r.i32())
                 msgs = decode_message_set(mset)  # CRC-verifies
+                # store the re-encoded wire bytes once at append time so
+                # fetch responses are offset-stamp + slice, not a CRC
+                # re-encode per message per fetch
+                entries = [
+                    (k, v, encode_message_set([(k, v)])[8:])
+                    for _, k, v in msgs
+                ]
                 with self._lock:
                     base = len(plog[pid])
-                    plog[pid].extend((k, v) for _, k, v in msgs)
+                    plog[pid].extend(entries)
                 presps.append(struct.pack(">ihq", pid, 0, base))
             out_topics.append(
                 _str(topic) + struct.pack(">i", len(presps)) + b"".join(presps)
@@ -197,14 +206,14 @@ class KafkaTestBroker:
                 # the cut may land mid-message (the client drops the
                 # trailing partial and, for a pinned range, retries
                 # with a doubled max_bytes; see fetch_range)
-                mset = b""
-                for off, (k, v) in entries:
-                    one = encode_message_set([(k, v)])
-                    one = struct.pack(">q", off) + one[8:]  # real offset
-                    mset += one
-                    if len(mset) >= max_bytes:
+                parts = []
+                size = 0
+                for off, (_k, _v, tail) in entries:
+                    parts.append(struct.pack(">q", off) + tail)
+                    size += 8 + len(tail)
+                    if size >= max_bytes:
                         break
-                mset = mset[:max_bytes]
+                mset = b"".join(parts)[:max_bytes]
                 presps.append(
                     struct.pack(">ihq", pid, 0, hw) + _bytes(mset)
                 )

@@ -974,7 +974,10 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
     finalizes only when a buffered row (or an expired WITHIN horizon)
     definitively ends it, exactly Flink's behavior of discarding the
     partial at end-of-stream rather than emitting early (golden
-    ``TableSQLFunc2.scala:75-84``).
+    ``TableSQLFunc2.scala:75-84``). ALL ROWS PER MATCH is supported
+    (beyond the reference's own ONE-ROW usage): the per-row RUNNING
+    rows of a match are final by the time the match is decided, and
+    MATCH_NUMBER() continuity persists in the state tuple.
 
     Assumes micro-batches arrive in event-time order per key (true
     for the file-replay sources and ``availableNow``) — the same
@@ -987,16 +990,27 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
     import pickle
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import BinaryType, StructField, StructType
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     spec = parse_match_recognize(sql)
-    if spec.all_rows:
-        raise NotImplementedError(
-            "ALL ROWS PER MATCH is batch-only (per-row emission from "
-            "group state would re-emit on every buffer growth)"
-        )
     schema_map = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    out_fields = [(c, schema_map[c]) for c in spec.partition_by]
+    if spec.all_rows:
+        # ALL ROWS PER MATCH streams cleanly from keyed state because a
+        # match only EMITS once its outcome is decided — at that point
+        # every consumed row and its RUNNING prefix are final, so the
+        # per-row rows go out exactly once (no re-emission on buffer
+        # growth). MATCH_NUMBER() continuity across micro-batches rides
+        # in the state tuple.
+        out_fields = [
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ]
+    else:
+        out_fields = [(c, schema_map[c]) for c in spec.partition_by]
     for ast, alias in spec.measures:
         t = _infer_type(ast, schema_map)
         out_fields.append((alias, "bigint" if t in _INT_TYPES else t))
@@ -1005,12 +1019,16 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
     ts_col = spec.order_by[0] if spec.order_by else None
     order = spec.order_by or ([ts_col] if ts_col else [])
     part_cols = list(spec.partition_by)
-    state_schema = StructType([StructField("buf", BinaryType())])
+    state_schema = StructType(
+        [StructField("buf", BinaryType()), StructField("match_no", LongType())]
+    )
 
     def fn(key, pdfs, state: GroupState):
-        buf: list[dict] = (
-            pickle.loads(state.get[0]) if state.exists else []
-        )
+        if state.exists:
+            raw, match_no = state.get
+            buf: list[dict] = pickle.loads(raw)
+        else:
+            buf, match_no = [], 0
         new = [pdf for pdf in pdfs if len(pdf)]
         if new:
             batch = pd.concat(new, ignore_index=True).sort_values(
@@ -1020,6 +1038,10 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
         matches, keep_from = _run_stream_increment(buf, spec, ts_col)
         rows_out = []
         for _anchor, _end, bindings in matches:
+            match_no += 1
+            if spec.all_rows:
+                _emit_all_rows(buf, bindings, spec, match_no, rows_out)
+                continue
             ctx = _Ctx(
                 buf, bindings, sorted(i for b in bindings.values() for i in b)
             )
@@ -1027,7 +1049,7 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
             for ast, alias in spec.measures:
                 rec[alias] = _eval(ast, ctx)
             rows_out.append(rec)
-        state.update((pickle.dumps(buf[keep_from:]),))
+        state.update((pickle.dumps(buf[keep_from:]), match_no))
         if rows_out:
             yield pd.DataFrame(rows_out, columns=out_columns)
         else:

@@ -451,3 +451,95 @@ def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
     )
+
+
+@query(
+    "streaming_match_recognize_all_rows",
+    # gaps-and-islands of value>=50 purchase runs, each CLOSED by the
+    # first sub-threshold row (the required LOW keeps every emitted
+    # match decidable mid-stream; a trailing open run stays pending,
+    # exactly the streaming semantics, and is excluded here too)
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), base AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS hi
+      FROM pur
+    ), ups AS (
+      SELECT *, rn - row_number() OVER (
+               PARTITION BY user_id ORDER BY rn) AS grp
+      FROM base WHERE hi = 1
+    ), isl AS (
+      SELECT user_id, grp, min(rn) AS s_rn, max(rn) AS e_rn
+      FROM ups GROUP BY user_id, grp
+    ), closed AS (
+      SELECT i.user_id, i.s_rn, i.e_rn,
+             CAST(row_number() OVER (
+               PARTITION BY i.user_id ORDER BY i.s_rn) AS BIGINT) AS mno
+      FROM isl i
+      WHERE EXISTS (SELECT 1 FROM base b
+                    WHERE b.user_id = i.user_id AND b.rn = i.e_rn + 1)
+    )
+    SELECT b.user_id, b.event_id, c.mno,
+           CASE WHEN b.rn <= c.e_rn THEN 'HIGH' ELSE 'LOW' END AS cls,
+           CAST(b.rn - c.s_rn + 1 AS BIGINT) AS rn_in_match,
+           round(b.value, 2) AS value
+    FROM closed c
+    JOIN base b ON b.user_id = c.user_id
+               AND b.rn BETWEEN c.s_rn AND c.e_rn + 1
+    ORDER BY b.user_id, b.event_id
+    """,
+    doc=(
+        "streaming ALL ROWS PER MATCH (round-4 gap closed; beyond the "
+        "reference's ONE-ROW usage): every row of each high-value "
+        "purchase run and its closing low row, emitted from keyed "
+        "group state the moment the closing row decides the match, "
+        "with per-row RUNNING COUNT, MATCH_NUMBER() continuity across "
+        "micro-batches and CLASSIFIER()."
+    ),
+)
+def streaming_match_recognize_all_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.match_recognize import streaming_match_recognize
+    from ..sources.streams import events_stream
+    from ..streaming.runner import run_available_now
+
+    ticker = (
+        events_stream(spark, sf_dir, watermark=None)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", "event_id")
+    )
+    out = streaming_match_recognize(
+        ticker,
+        """
+        SELECT * FROM T MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS mno,
+                   CLASSIFIER() AS cls,
+                   COUNT(value) AS rn_in_match
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (HIGH+ LOW)
+          DEFINE HIGH AS HIGH.value >= 50,
+                 LOW AS LOW.value < 50
+        )
+        """,
+    )
+    return ordered_small(
+        run_available_now(out, output_mode="append").select(
+            "user_id",
+            "event_id",
+            "mno",
+            "cls",
+            "rn_in_match",
+            F.round("value", 2).alias("value"),
+        ),
+        "user_id",
+        "event_id",
+    )

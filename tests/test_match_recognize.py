@@ -433,20 +433,65 @@ def test_all_rows_per_match_final_vs_running(spark):
     assert [r.total_sum for r in out] == [94] * 5 + [96] * 5
 
 
-def test_all_rows_per_match_streaming_raises(spark):
+def test_all_rows_per_match_streaming_equals_batch(spark):
+    """ALL ROWS PER MATCH through the keyed-state streaming twin on
+    random micro-batch splits must equal the batch result — per-row
+    RUNNING measures, CLASSIFIER(), and MATCH_NUMBER() continuity
+    across micro-batches (round-4 NotImplementedError gap; beyond the
+    reference's own ONE-ROW usage)."""
+    import random
+
     from flink_demo_spark.operators.match_recognize import (
         streaming_match_recognize,
     )
 
-    with pytest.raises(NotImplementedError, match="batch-only"):
-        streaming_match_recognize(
-            _ticker(spark, ACME_V),
-            """SELECT * FROM T MATCH_RECOGNIZE (
-               PARTITION BY symbol ORDER BY ctime
-               MEASURES COUNT(price) AS n
-               ALL ROWS PER MATCH PATTERN (A B)
-               DEFINE B AS B.price > 0)""",
+    sql = """
+        SELECT * FROM Ticker MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ctime
+          MEASURES MATCH_NUMBER() AS mno,
+                   CLASSIFIER() AS cls,
+                   RUNNING COUNT(price) AS rn_in_match,
+                   SUM(price) AS running_sum,
+                   FINAL SUM(price) AS total_sum
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.price < 20,
+                 UP AS UP.price >= 20
         )
+        """
+    batch_df = _ticker(spark, ACME_V)
+    expected = sorted(map(tuple, match_recognize(batch_df, sql).collect()))
+    assert len(expected) == 10  # two 5-row matches
+
+    rows = [
+        (sym, _t(ts), price, tax, i)
+        for i, (sym, ts, price, tax) in enumerate(ACME_V)
+    ]
+    schema = "symbol string, ctime timestamp, price bigint, tax bigint, rid bigint"
+    rng = random.Random(23)
+    for trial in range(2):
+        cuts = sorted(rng.sample(range(1, len(rows)), 3))
+        batches, prev = [], 0
+        for c in [*cuts, len(rows)]:
+            batches.append(rows[prev:c])
+            prev = c
+        from tests.test_streaming import _mem_stream_batches
+        from flink_demo_spark.streaming.runner import run_available_now
+
+        got = sorted(
+            map(
+                tuple,
+                run_available_now(
+                    streaming_match_recognize(
+                        _mem_stream_batches(spark, batches, schema), sql
+                    ),
+                    output_mode="append",
+                ).collect(),
+            )
+        )
+        assert got == expected, (trial, cuts)
 
 
 def test_parse_rejects_empty_matchable_pattern(spark):

@@ -109,16 +109,31 @@ EXPECT = {
         absent=["CartesianProduct", "SortMergeJoin"],
         max_exchanges=2,
     ),
-    # NFA operators: one key shuffle into mapInPandas, nothing else
+    # NFA operators: one key shuffle into mapInPandas, nothing else.
+    # REPARTITION_BY_NUM pins the EXPLICIT partition count — without it
+    # AQE's byte-size coalescing collapses the CPU-bound NFA stage to
+    # ONE task (measured 8x at sf0.1); no rangepartitioning pins the
+    # final sort to ordered_small (a global orderBy's range sampling
+    # would execute the whole pandas stage twice)
     "cep_iterative_threshold": dict(
-        contains=["MapInPandas"],
-        absent=["CartesianProduct", "SortMergeJoin"],
+        contains=["MapInPandas", "REPARTITION_BY_NUM"],
+        absent=["CartesianProduct", "SortMergeJoin", "rangepartitioning"],
         max_exchanges=3,
     ),
     "match_recognize_all_rows": dict(
-        contains=["MapInPandas"],
-        absent=["CartesianProduct", "SortMergeJoin"],
+        contains=["MapInPandas", "REPARTITION_BY_NUM"],
+        absent=["CartesianProduct", "SortMergeJoin", "rangepartitioning"],
         max_exchanges=3,
+    ),
+    "cep_order_timeout": dict(
+        contains=["MapInPandas", "REPARTITION_BY_NUM"],
+        absent=["CartesianProduct", "SortMergeJoin", "rangepartitioning"],
+        max_exchanges=2,
+    ),
+    "match_recognize_sum_budget": dict(
+        contains=["MapInPandas", "REPARTITION_BY_NUM"],
+        absent=["CartesianProduct", "SortMergeJoin", "rangepartitioning"],
+        max_exchanges=2,
     ),
     "q1_pricing_summary": dict(
         pushed=["l_shipdate"], partial_agg=True, max_exchanges=2

@@ -1025,7 +1025,9 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     imgs = multimodal.synthesize_ppm_images(text.fan_out(docs), "doc_id")
-    return multimodal.ppm_features(imgs, "doc_id", "image").orderBy("doc_id")
+    return ordered_small(
+        multimodal.ppm_features(imgs, "doc_id", "image"), "doc_id"
+    )
 
 
 @query(
@@ -1062,7 +1064,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clips = multimodal.synthesize_wav_clips(text.fan_out(docs), "doc_id")
-    return multimodal.wav_features(clips, "doc_id", "audio").orderBy("doc_id")
+    return ordered_small(
+        multimodal.wav_features(clips, "doc_id", "audio"), "doc_id"
+    )
 
 
 @query(
@@ -1102,6 +1106,8 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clips = multimodal.synthesize_y4m_clips(text.fan_out(docs), "doc_id")
-    return multimodal.y4m_frame_stats(clips, "doc_id", "video", every=2).orderBy(
-        "doc_id", "frame_no"
+    return ordered_small(
+        multimodal.y4m_frame_stats(clips, "doc_id", "video", every=2),
+        "doc_id",
+        "frame_no",
     )

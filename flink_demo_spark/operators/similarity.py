@@ -343,8 +343,19 @@ def cosine_pairs(
             }
         )
 
-    out = both.groupBy("bi", "bj").applyInPandas(
-        kernel, "doc1 long, doc2 long, cosine_sim double"
+    # explicit pre-partition on the group keys: the hash exchange then
+    # satisfies applyInPandas' required distribution at OUR partition
+    # count, instead of an AQE byte-coalesced one — byte-size
+    # coalescing folds every CPU-bound O((n/B)^2) block-pair kernel
+    # into one task and voids the per-task memory contract above
+    n_parts = min(
+        nb * (nb + 1) // 2,
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    out = (
+        both.repartition(n_parts, "bi", "bj")
+        .groupBy("bi", "bj")
+        .applyInPandas(kernel, "doc1 long, doc2 long, cosine_sim double")
     )
     return out.select(
         "doc1", "doc2", F.round("cosine_sim", round_to).alias("cosine_sim")

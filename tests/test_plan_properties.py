@@ -125,6 +125,12 @@ EXPECT = {
         absent=["CartesianProduct", "SortMergeJoin", "rangepartitioning"],
         max_exchanges=3,
     ),
+    # block-pair dgemm kernel: the exchange feeding the CPU-bound
+    # applyInPandas kernel must carry OUR explicit partition count
+    "dedup_embedding_cosine": dict(
+        contains=["FlatMapGroupsInPandas", "REPARTITION_BY_NUM"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+    ),
     "cep_order_timeout": dict(
         contains=["MapInPandas", "REPARTITION_BY_NUM"],
         absent=["CartesianProduct", "SortMergeJoin", "rangepartitioning"],

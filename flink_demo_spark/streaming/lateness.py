@@ -102,8 +102,10 @@ def allowed_lateness_tumbling_count(
         out: list[tuple[int, int, int, int]] = []
         if rows:
             batch = pd.concat(rows, ignore_index=True).sort_values(seq_col)
-            for ts in batch[ts_col].astype("int64"):
-                ts = int(ts)
+            # the loop is semantically per-event (each late element
+            # re-fires with its own refined count, in arrival order);
+            # tolist() at least keeps native ints out of numpy boxing
+            for ts in batch[ts_col].astype("int64").tolist():
                 if flush_ts_ms is not None and ts >= flush_ts_ms:
                     # end-of-stream watermark: fire remaining windows
                     for s in sorted(wins):

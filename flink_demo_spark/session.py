@@ -31,6 +31,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # AQE coalesces post-shuffle stages by BYTE size, but this engine's
+    # post-shuffle CPU-per-byte is high (shingle/pair generation, regex
+    # scoring, pandas kernels), so the 1m default floor folds hot
+    # stages into 1-3 tasks at test scale. A low floor keeps them
+    # parallel (-10-20% on the dedup family); at 100 TB partitions sit
+    # far above any floor, so this is free on a real cluster. The
+    # truly CPU-bound pandas exchanges additionally pin an explicit
+    # partition count (REPARTITION_BY_NUM, plan-asserted) — see
+    # operators/cep.py::_grouped_map.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
 }
 
 

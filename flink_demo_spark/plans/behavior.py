@@ -657,3 +657,153 @@ def retention_weekly_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "cep_skip_to_last_pairs",
+    # skip_to_last re-anchors each match at its LAST bound event, so
+    # times(2) over purchases walks the overlapping consecutive-pair
+    # chain — the lag self-join is the exact relational twin
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.event_id AS first_id, b.event_id AS second_id
+    FROM pur a JOIN pur b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    ORDER BY a.user_id, first_id
+    """,
+    doc=(
+        "AFTER MATCH SKIP TO LAST on the events fixture (reference "
+        "CEPDemo.scala skipToLast:949, golden-pinned in "
+        "test_cep_skip_to_first_and_last_goldens): times(2) with "
+        "relaxed loop contiguity over the purchase sub-stream, "
+        "re-anchored at the last bound event -> the sliding "
+        "consecutive-pair chain per user."
+    ),
+)
+def cep_skip_to_last_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    pat = (
+        cep.Pattern.begin("p", lambda r: r["event_type"] == "purchase")
+        .times(2)
+        .relaxed()
+        .skip_to_last("p")
+    )
+
+    def measures(rows, b):
+        return {
+            "first_id": int(rows.iloc[b["p"][0]]["event_id"]),
+            "second_id": int(rows.iloc[b["p"][1]]["event_id"]),
+        }
+
+    out = cep.match_pattern(
+        ev, pat, ["user_id"], "ts", measures,
+        "user_id long, first_id long, second_id long",
+        order_cols=["ts", "event_id"],
+    )
+    return ordered_small(out, "user_id", "first_id")
+
+
+@query(
+    "cep_skip_to_first_prefixes",
+    # the pinned anchor emits EVERY solution: a reluctant relaxed
+    # times_or_more(2) yields each prefix of the purchase chain, so
+    # the j-th emitted row is simply the j-th purchase (j >= 2)
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS n_members,
+           event_id AS last_id
+    FROM pur WHERE rn >= 2
+    ORDER BY user_id, n_members
+    """,
+    doc=(
+        "AFTER MATCH SKIP TO FIRST (reference CEPDemo.scala "
+        "skipToFirst:914): the anchor is pinned at each user's first "
+        "purchase and every solution at that anchor emits — all "
+        "prefixes of the relaxed purchase chain, one row per prefix "
+        "length."
+    ),
+)
+def cep_skip_to_first_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    pat = (
+        cep.Pattern.begin("p", lambda r: r["event_type"] == "purchase")
+        .times_or_more(2)
+        .relaxed()
+        .reluctant()
+        .skip_to_first("p")
+    )
+
+    def measures(rows, b):
+        return {
+            "n_members": int(len(b["p"])),
+            "last_id": int(rows.iloc[b["p"][-1]]["event_id"]),
+        }
+
+    out = cep.match_pattern(
+        ev, pat, ["user_id"], "ts", measures,
+        "user_id long, n_members long, last_id long",
+        order_cols=["ts", "event_id"],
+    )
+    return ordered_small(out, "user_id", "n_members")
+
+
+@query(
+    "cep_no_skip_branches",
+    # NO_SKIP emits every followedByAny branch at every anchor: each
+    # (signup, later purchase within 1 day) pair, exactly the
+    # time-bounded self-join
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+    FROM e s JOIN e p ON p.user_id = s.user_id
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+      AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+      AND p.ts - s.ts <= INTERVAL 1 DAY
+    ORDER BY s.user_id, signup_id, purchase_id
+    """,
+    doc=(
+        "Flink NO_SKIP emission via match_pattern_all (reference "
+        "CEPDemo.scala followedByAny:674-704 'every branch, every "
+        "anchor'): signup followedByAny purchase WITHIN 1 day -> one "
+        "row per (signup, in-horizon later purchase) pair."
+    ),
+)
+def cep_no_skip_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    pat = (
+        cep.Pattern.begin("s", lambda r: r["event_type"] == "signup")
+        .followed_by_any("p", lambda r: r["event_type"] == "purchase")
+        .within_time("1D")
+    )
+
+    def measures(rows, b):
+        return {
+            "signup_id": int(rows.iloc[b["s"][0]]["event_id"]),
+            "purchase_id": int(rows.iloc[b["p"][0]]["event_id"]),
+        }
+
+    out = cep.match_pattern_all(
+        ev, pat, ["user_id"], "ts", measures,
+        "user_id long, signup_id long, purchase_id long",
+        order_cols=["ts", "event_id"],
+    )
+    return ordered_small(out, "user_id", "signup_id", "purchase_id")

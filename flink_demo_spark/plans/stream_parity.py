@@ -756,3 +756,65 @@ def streaming_kafka_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_available_now(agg, output_mode="complete")
     return result.orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_cep_skip_to_last",
+    # same lag self-join oracle as the batch cep_skip_to_last_pairs:
+    # every consecutive purchase pair is < 30 days apart in this
+    # fixture (events span one month), so the streaming WITHIN bound
+    # drops nothing and the in-order replay decides every pair — a
+    # times(2) match cannot extend, so the final pair emits without a
+    # sentinel
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.event_id AS first_id, b.event_id AS second_id
+    FROM pur a JOIN pur b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    ORDER BY a.user_id, first_id
+    """,
+    doc=(
+        "streaming AFTER MATCH SKIP TO LAST (round-5 skip-strategy "
+        "closure, CEPDemo.scala skipToLast:949): the sliding "
+        "consecutive-purchase-pair chain from keyed state, re-anchored "
+        "at each match's last bound event across micro-batches."
+    ),
+)
+def streaming_cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+    from ..sources.streams import events_stream
+    from ..streaming.cep_stream import streaming_match_pattern
+
+    ev = events_stream(spark, sf_dir, watermark=None).where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "ts")
+    pat = (
+        cep.Pattern.begin("p", lambda r: True)
+        .times(2)
+        .relaxed()
+        .skip_to_last("p")
+        .within_time("30D")
+    )
+
+    def measures(rows, b):
+        return {
+            "first_id": int(rows.iloc[b["p"][0]]["event_id"]),
+            "second_id": int(rows.iloc[b["p"][1]]["event_id"]),
+        }
+
+    out = streaming_match_pattern(
+        ev,
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        measures=measures,
+        output_schema="user_id long, first_id long, second_id long",
+        order_cols=["ts", "event_id"],
+    )
+    return run_available_now(out, output_mode="append").orderBy(
+        "user_id", "first_id"
+    )

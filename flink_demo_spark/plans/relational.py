@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import davg, dsum, oavg, osum
+from ._util import davg, dsum, oavg, osum, ordered_small
 from .registry import query
 
 
@@ -1233,3 +1233,54 @@ def scalar_datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (scalar_math_funcs2 merged into scalar_math_funcs above)
+
+
+@query(
+    "join_salted_skew",
+    # the salt must not change the join result — the oracle is the
+    # PLAIN equi-join, which is exactly the operator's contract
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_orderkey
+    """,
+    doc=(
+        "salting for skewed join keys (SURVEY §2.4 partitionCustom / "
+        "skew handling): the large side salts on its full row hash, "
+        "the small side replicates salt times, and the result is "
+        "bit-identical to the plain equi-join — one hot key spreads "
+        "over `salt` reducers instead of one straggler task."
+    ),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    out = skew.salted_join(orders, cust, "o_custkey", salt=8)
+    return ordered_small(out.select("o_orderkey", "c_name"), "o_orderkey")
+
+
+@query(
+    "agg_salted_hot_keys",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "two-phase salted aggregation for ultra-hot grouping keys "
+        "(SURVEY §2.4; 5 event types x 20% of the stream each is the "
+        "worst-case hot-key shape): partial agg on (key, salt) then "
+        "final on key, decimal-exact, equal to the direct group-by."
+    ),
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return skew.salted_agg(ev, "event_type", "value", salt=16).orderBy(
+        "event_type"
+    )

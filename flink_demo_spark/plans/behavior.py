@@ -807,3 +807,71 @@ def cep_no_skip_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
     )
     return ordered_small(out, "user_id", "signup_id", "purchase_id")
+
+
+@query(
+    "iterate_min_label",
+    # the consecutive-pair edges chain ALL of a user's purchases into
+    # one path, so min-label propagation converges to the user's
+    # minimum purchase id — an exact one-window oracle
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id AS v, min(event_id) OVER (PARTITION BY user_id) AS lbl
+    FROM pur ORDER BY v
+    """,
+    doc=(
+        "bulk iteration (reference DataSetFunc.scala:790-808 "
+        "iterate(n)): driver-looped min-label propagation over the "
+        "consecutive-purchase-pair path graph with early convergence "
+        "and periodic localCheckpoint lineage truncation — each round "
+        "is distributed, only loop control sits on the driver."
+    ),
+)
+def iterate_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.iterate import bulk_iterate
+
+    pur = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = pur.select(
+        F.col("event_id").alias("a"),
+        F.lead("event_id").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    edges = nxt.unionByName(
+        nxt.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels0 = pur.select(
+        F.col("event_id").alias("v"), F.col("event_id").alias("lbl")
+    )
+
+    def step(cur: DataFrame, i: int) -> DataFrame:
+        prop = (
+            edges.join(cur, edges.a == cur.v)
+            .select(F.col("b").alias("v"), "lbl")
+        )
+        return (
+            cur.unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+
+    def converged(prev: DataFrame, cur: DataFrame) -> bool:
+        return (
+            prev.agg(F.sum("lbl")).first()[0]
+            == cur.agg(F.sum("lbl")).first()[0]
+        )
+
+    # eager checkpoint EVERY round: the convergence probe is an action,
+    # and un-truncated lineage would recompute all prior rounds per
+    # probe (O(rounds^2) work)
+    out = bulk_iterate(
+        labels0, step, max_iterations=64, converged=converged,
+        checkpoint_every=1,
+    )
+    edges.unpersist()
+    return ordered_small(out, "v")

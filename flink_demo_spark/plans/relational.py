@@ -1284,3 +1284,49 @@ def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.salted_agg(ev, "event_type", "value", salt=16).orderBy(
         "event_type"
     )
+
+
+@query(
+    "cogroup_order_items",
+    # coGroup emits one row per key with BOTH sides' groups, keys
+    # present on either side included — the full-outer aggregated join
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1),
+         l AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1)
+    SELECT coalesce(o.k, l.k) AS k,
+           coalesce(o.n, 0) AS n_orders,
+           coalesce(l.n, 0) AS n_items
+    FROM o FULL JOIN l ON o.k = l.k
+    ORDER BY k
+    """,
+    doc=(
+        "coGroup (reference DataSetFunc.scala:334-477): per-key PAIR "
+        "of row groups processed together via "
+        "groupBy().cogroup().applyInPandas — keys present on either "
+        "side appear once with both groups (possibly empty), the "
+        "semantics a join cannot express without a full-outer + "
+        "aggregate detour."
+    ),
+)
+def cogroup_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.streams_util import cogroup_apply
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+
+    def counts(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        k = l["k"].iloc[0] if len(l) else r["k"].iloc[0]
+        return pd.DataFrame(
+            {"k": [k], "n_orders": [len(l)], "n_items": [len(r)]}
+        )
+
+    out = cogroup_apply(
+        orders, li, ["k"], counts, "k long, n_orders long, n_items long"
+    )
+    return ordered_small(out, "k")

@@ -875,3 +875,105 @@ def iterate_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return ordered_small(out, "v")
+
+
+@query(
+    "geo_grid_cells",
+    # deterministic synthetic coordinates on a 0.01-degree lattice
+    # (identical double arithmetic in both engines: floor, %, *, + —
+    # no libm), NYC bounding-box filter, GeoUtils grid-cell mapping
+    oracle="""
+    WITH r AS (
+      -- all-DOUBLE arithmetic (DuckDB would otherwise fold the
+      -- literals as DECIMAL and floor() on exact values while Spark
+      -- floors IEEE doubles)
+      SELECT event_id,
+             CAST(-74.05 AS DOUBLE)
+               + (CAST(floor(value * 100) AS BIGINT) % 60)
+                 * CAST(0.01 AS DOUBLE) AS lon,
+             CAST(40.5 AS DOUBLE)
+               + (user_id % 55) * CAST(0.01 AS DOUBLE) AS lat
+      FROM events
+    ), nyc AS (
+      SELECT *,
+             CAST(floor((CAST(-73.7 AS DOUBLE) - lon)
+                        / CAST(0.0014 AS DOUBLE)) AS INT)
+               + CAST(floor((CAST(41.0 AS DOUBLE) - lat)
+                            / CAST(0.00125 AS DOUBLE)) AS INT) * 250
+               AS cell
+      FROM r
+      WHERE lon <= -73.7 AND lon >= -74.05 AND lat <= 41.0 AND lat >= 40.5
+    )
+    SELECT cell, count(*) AS n_rides
+    FROM nyc GROUP BY cell ORDER BY cell
+    """,
+    doc=(
+        "GeoUtils parity (reference GeoUtils.java:31-60 + "
+        "RideCleansingSolution.scala:16): NYC bounding-box filter and "
+        "x + y*250 grid-cell id over deterministic synthetic "
+        "coordinates, counted per cell — pure column arithmetic, no "
+        "UDF."
+    ),
+)
+def geo_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo
+
+    ev = _events(spark, sf_dir)
+    lon = (
+        F.lit(-74.05)
+        + (F.floor(F.col("value") * 100).cast("bigint") % 60) * F.lit(0.01)
+    )
+    lat = F.lit(40.5) + (F.col("user_id") % 55) * F.lit(0.01)
+    rides = ev.select(
+        "event_id", lon.alias("lon"), lat.alias("lat")
+    ).where(geo.is_in_nyc(F.col("lon"), F.col("lat")))
+    return (
+        rides.select(geo.grid_cell(F.col("lon"), F.col("lat")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_rides"))
+        .orderBy("cell")
+    )
+
+
+@query(
+    "side_output_channels",
+    # each side output is an independent filtered child of one parent
+    # plan; a row matching several predicates appears in each channel
+    oracle="""
+    SELECT 'purchase' AS channel, event_id FROM events
+      WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'error' AS channel, event_id FROM events
+      WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'big' AS channel, event_id FROM events WHERE value > 300
+    ORDER BY channel, event_id
+    """,
+    doc=(
+        "side outputs via split_stream (reference OutputTag + "
+        "ctx.output, SideOutput.scala:21): one parent plan split into "
+        "named filtered channels, re-tagged and unioned for the "
+        "oracle-comparable shape; overlapping predicates duplicate "
+        "into each channel exactly like multiple ctx.output calls."
+    ),
+)
+def side_output_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.streams_util import split_stream
+
+    ev = _events(spark, sf_dir)
+    outs = split_stream(
+        ev,
+        {
+            "purchase": F.col("event_type") == "purchase",
+            "error": F.col("event_type") == "error",
+            "big": F.col("value") > 300,
+        },
+    )
+    tagged = [
+        df.select(F.lit(name).alias("channel"), "event_id")
+        for name, df in sorted(outs.items())
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("channel", "event_id")

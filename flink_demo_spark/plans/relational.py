@@ -1330,3 +1330,49 @@ def cogroup_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, li, ["k"], counts, "k long, n_orders long, n_items long"
     )
     return ordered_small(out, "k")
+
+
+@query(
+    "join_bucketed_colocated",
+    # co-location must not change the join result: the plain
+    # aggregated equi-join is the oracle; the no-Exchange property is
+    # plan-asserted in tests (test_bucketed_join_no_exchange)
+    oracle="""
+    SELECT o.o_custkey AS custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_spend,
+           min(c.c_name) AS c_name
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_custkey ORDER BY custkey
+    """,
+    doc=(
+        "co-located bucketed join (reference partitionByHash / "
+        "co-located join DataSetFunc.scala:546-617): both sides "
+        "persisted bucketed+sorted on the key, so the join needs no "
+        "exchange at read time — result identical to the plain join."
+    ),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    bo = bucketed_table(spark, orders, "q_bucketed_orders", "o_custkey")
+    bc = bucketed_table(
+        spark,
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        "q_bucketed_customer",
+        "o_custkey",
+    )
+    out = (
+        bo.join(bc, "o_custkey")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+            F.min("c_name").alias("c_name"),
+        )
+    )
+    return ordered_small(out, "custkey")

@@ -977,3 +977,37 @@ def side_output_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out.orderBy("channel", "event_id")
+
+
+@query(
+    "lookup_broadcast_dict",
+    # the broadcast-dict map must equal the equivalent left join to
+    # the dim table it was built from
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name AS region_name
+    FROM events e
+    LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25
+    ORDER BY e.event_id
+    """,
+    doc=(
+        "batch dim lookup through a BROADCAST python dict (the "
+        "reference's cached dim lookup, Async I/O Database.scala "
+        "shape, batch form): the 25-row nation map ships once per "
+        "executor and each Arrow batch is one vectorized Series.map — "
+        "result equals the left join to the dim table."
+    ),
+)
+def lookup_broadcast_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lookup import batch_lookup
+
+    nation = {
+        int(r.n_nationkey): r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", (F.col("user_id") % 25).alias("nk")
+    )
+    out = batch_lookup(ev, "nk", nation, out_col="region_name")
+    return ordered_small(
+        out.select("event_id", "user_id", "region_name"), "event_id"
+    )

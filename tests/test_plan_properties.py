@@ -141,6 +141,25 @@ EXPECT = {
         absent=["CartesianProduct", "SortMergeJoin", "rangepartitioning"],
         max_exchanges=2,
     ),
+    # salting must not introduce a cartesian or a broadcast-defeating
+    # plan; the small side replicates via explode, joined hash-to-hash
+    "join_salted_skew": dict(
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "agg_salted_hot_keys": dict(
+        partial_agg=True,
+        max_exchanges=3,  # (key,salt) agg + key agg + 5-row output sort
+    ),
+    "lookup_broadcast_dict": dict(
+        contains=["MapInPandas"],
+        absent=["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+        max_exchanges=1,  # only the final single-partition sort
+    ),
+    "geo_grid_cells": dict(
+        absent=["MapInPandas", "CartesianProduct"],  # pure column math
+        partial_agg=True,
+        max_exchanges=2,
+    ),
     "q1_pricing_summary": dict(
         pushed=["l_shipdate"], partial_agg=True, max_exchanges=2
     ),

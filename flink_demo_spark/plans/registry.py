@@ -141,6 +141,52 @@ _SAMPLE_PRIORITY = [
     "count_window_agg",
     "interval_join",
     "asof_join_latest_signup",
+    # round-5: the remaining never-driver-checked round-4 names rank
+    # BEFORE the queries added in round 5, so the driver's 50-sample
+    # drains the old backlog first (VERDICT r4 item 1)
+    "conversion_timeout",
+    "window_join",
+    "funnel_stages",
+    "retention_weekly_cohort",
+    "sample_stratified",
+    "text_bigram_topk",
+    "text_repetition_filter",
+    "text_lm_rank_score",
+    "pack_sequences",
+    "json_extract_props",
+    "text_length_histogram",
+    "predicate_suite",
+    "scalar_string_funcs2",
+    "subquery_scalar_correlated",
+    "subquery_in_uncorrelated",
+    "subquery_scalar_global",
+    "sessionize_operator",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+    "q21_waiting_suppliers",
+    # round-5 additions (never checked; after the older backlog)
+    "cep_skip_to_last_pairs",
+    "cep_skip_to_first_prefixes",
+    "cep_no_skip_branches",
+    "iterate_min_label",
+    "geo_grid_cells",
+    "side_output_channels",
+    "lookup_broadcast_dict",
+    "streaming_match_recognize_all_rows",
+    "join_salted_skew",
+    "agg_salted_hot_keys",
+    "cogroup_order_items",
+    "join_bucketed_colocated",
+    "streaming_cep_skip_to_last",
 ]
 
 

@@ -551,3 +551,40 @@ def test_kafka_wire_two_broker_layout_parallelism_and_recovery(spark, tmp_path):
             (0, 0, b"v0a"), (0, 1, b"v0b"), (0, 2, b"v0c"),
             (1, 0, b"v1a"), (1, 1, b"v1b"),
         ]
+
+
+def test_encode_message_set_property_fuzz():
+    """Property fuzz: for random mixes of null/empty/binary keys and
+    values (all sizes straddling the scalar/numpy path cutoff), the
+    batch assembler must stay byte-identical to the scalar packer and
+    decode must round-trip."""
+    import random
+    import struct
+
+    from flink_demo_spark.sources.kafka_wire import (
+        _message,
+        decode_message_set,
+        encode_message_set,
+    )
+
+    rng = random.Random(99)
+
+    def rand_payload():
+        kind = rng.randrange(4)
+        if kind == 0:
+            return None
+        if kind == 1:
+            return b""
+        n = rng.randrange(1, 50) if kind == 2 else rng.randrange(50, 3000)
+        return bytes(rng.randrange(256) for _ in range(n))
+
+    for trial in range(30):
+        n = rng.choice([1, 2, 7, 8, 9, 40])
+        msgs = [(rand_payload(), rand_payload()) for _ in range(n)]
+        scalar = b"".join(
+            struct.pack(">qi", 0, len(m)) + m
+            for m in (_message(k, v) for k, v in msgs)
+        )
+        batch = encode_message_set(msgs)
+        assert batch == scalar, (trial, n)
+        assert [(k, v) for _, k, v in decode_message_set(batch)] == msgs

@@ -1302,3 +1302,43 @@ def test_y4m_decode_golden_and_guards():
         decode_y4m(b"YUV4MPEG2 W4 H5 F25:1 Ip A1:1 C420\nFRAME\n" + b"x" * 60)
     with pytest.raises(ValueError):
         decode_y4m(encode_y4m(frames)[:-3])  # truncated raster
+
+
+def test_sorted_rows_recs_matches_pandas_path():
+    """The numpy lexsort record builder (round-5 fast path) must
+    produce the same sorted records as sort_values + to_dict across
+    dtypes: ints, floats w/ NaN, strings w/ None, ns-timestamps, and
+    duplicate sort keys (stability)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_demo_spark.operators.cep import _sorted_rows_recs
+
+    rng = np.random.RandomState(17)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n).astype("int64"),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10, n) * 86_400_000_000_000
+            ),  # ns epoch, many duplicates
+            "eid": rng.permutation(n).astype("int64"),
+            "val": np.where(rng.rand(n) < 0.1, np.nan, rng.rand(n) * 100),
+            "s": pd.Series(
+                [None if i % 13 == 0 else f"s{i % 7}" for i in range(n)],
+                dtype=object,
+            ),
+        }
+    )
+    rows, recs = _sorted_rows_recs(pdf, ["ts", "eid"])
+    ref = pdf.sort_values(["ts", "eid"], kind="stable").reset_index(drop=True)
+    ref_recs = ref.to_dict("records")
+    assert len(recs) == len(ref_recs) == n
+    for a, b in zip(recs, ref_recs):
+        assert a["k"] == b["k"] and a["eid"] == b["eid"]
+        assert a["ts"] == b["ts"] and type(a["ts"]) is type(b["ts"])
+        assert a["s"] == b["s"]
+        va, vb = a["val"], b["val"]
+        assert (va != va and vb != vb) or va == vb  # NaN-aware
+    # the rows frame is the same permutation
+    assert rows["eid"].tolist() == ref["eid"].tolist()

@@ -1369,3 +1369,72 @@ def test_streaming_match_pattern_watermarked_skip_strategies(spark):
             ).collect()
         }
         assert got == golden, (strategy, got)
+
+
+def test_punctuated_vector_scan_equals_per_event_reference():
+    """Property check of the round-5 vectorized punctuated scan: for
+    random event sequences (out-of-order, duplicate timestamps, state
+    carried across batch splits) the batch-end fire consolidation must
+    equal a literal per-event reference fold."""
+    import random
+
+    import numpy as np
+
+    def reference(batches, window_ms, delay_ms):
+        max_ts, windows, out = None, {}, []
+        for batch in batches:
+            for ts in batch:  # arrival order
+                wm = (max_ts - delay_ms) if max_ts is not None else None
+                start = (ts // window_ms) * window_ms
+                if wm is not None and start + window_ms <= wm:
+                    continue
+                windows[start] = windows.get(start, 0) + 1
+                if max_ts is None or ts > max_ts:
+                    max_ts = ts
+                    new_wm = max_ts - delay_ms
+                    for s in sorted(list(windows)):
+                        if s + window_ms <= new_wm:
+                            out.append((s, windows.pop(s)))
+        return sorted(out), max_ts, dict(windows)
+
+    def vectorized(batches, window_ms, delay_ms):
+        no_seed = np.iinfo(np.int64).min
+        max_ts, windows, out = None, {}, []
+        for batch in batches:
+            if not batch:
+                continue
+            ts = np.asarray(batch, dtype="int64")
+            seed = max_ts if max_ts is not None else no_seed
+            prev_max = np.maximum.accumulate(
+                np.concatenate(([seed], ts))
+            )[:-1]
+            starts = (ts // window_ms) * window_ms
+            keep = (prev_max == no_seed) | (
+                starts + window_ms > prev_max - delay_ms
+            )
+            uniq, cnts = np.unique(starts[keep], return_counts=True)
+            for s, c in zip(uniq.tolist(), cnts.tolist()):
+                windows[s] = windows.get(s, 0) + c
+            batch_max = int(ts.max())
+            if max_ts is None or batch_max > max_ts:
+                max_ts = batch_max
+            new_wm = max_ts - delay_ms
+            for s in sorted(list(windows)):
+                if s + window_ms <= new_wm:
+                    out.append((s, windows.pop(s)))
+        return sorted(out), max_ts, dict(windows)
+
+    rng = random.Random(5)
+    for trial in range(60):
+        n = rng.randrange(1, 120)
+        ts = [rng.randrange(0, 5000) for _ in range(n)]
+        cuts = sorted(rng.sample(range(n), min(3, n - 1))) if n > 1 else []
+        batches, prev = [], 0
+        for c in [*cuts, n]:
+            batches.append(ts[prev:c])
+            prev = c
+        w = rng.choice([100, 250, 500])
+        d = rng.choice([0, 100, 400])
+        assert reference(batches, w, d) == vectorized(batches, w, d), (
+            trial, w, d, batches,
+        )

@@ -860,11 +860,14 @@ def iterate_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lbl").alias("lbl"))
         )
 
+    last_sum: list = [None]
+
     def converged(prev: DataFrame, cur: DataFrame) -> bool:
-        return (
-            prev.agg(F.sum("lbl")).first()[0]
-            == cur.agg(F.sum("lbl")).first()[0]
-        )
+        # one action per round: prev's sum is last round's cached value
+        s = cur.agg(F.sum("lbl")).first()[0]
+        done = last_sum[0] == s
+        last_sum[0] = s
+        return done
 
     # eager checkpoint EVERY round: the convergence probe is an action,
     # and un-truncated lineage would recompute all prior rounds per

@@ -850,12 +850,22 @@ def iterate_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def step(cur: DataFrame, i: int) -> DataFrame:
+        # neighbor-min propagation PLUS pointer jumping (lbl(lbl(v))):
+        # path halving turns the O(diameter) neighbor walk into
+        # O(log n) rounds — the same trick large-star/small-star uses
         prop = (
             edges.join(cur, edges.a == cur.v)
             .select(F.col("b").alias("v"), "lbl")
         )
+        lut = cur.select(
+            F.col("v").alias("__lv"), F.col("lbl").alias("__ll")
+        )
+        jumped = (
+            cur.join(lut, cur.lbl == F.col("__lv"), "left")
+            .select("v", F.coalesce("__ll", "lbl").alias("lbl"))
+        )
         return (
-            cur.unionByName(prop)
+            jumped.unionByName(prop)
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
         )

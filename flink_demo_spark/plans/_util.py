@@ -47,6 +47,13 @@ def ordered_small(df, *cols):
     executes the child plan a second time — ruinous when the child is
     an expensive pandas-UDF stage. A single-partition hash exchange +
     in-partition sort yields the identical total order with exactly
-    one child execution. Only for outputs known to be driver-small
-    (pair lists, top-k, per-group summaries)."""
+    one child execution.
+
+    ONLY for outputs with a bounded, data-independent cardinality
+    (top-k, fixed group counts). Registry queries need NO final sort
+    at all: both the driver's value hash and the local oracle compare
+    are order-insensitive, and a single-partition funnel on a
+    table-proportional result is a straggler/OOM at scale — so plans/
+    returns results unsorted and this helper is reserved for
+    presentation surfaces (demos, golden dumps) with small outputs."""
     return df.repartition(1).sortWithinPartitions(*cols)

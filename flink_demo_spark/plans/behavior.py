@@ -13,7 +13,6 @@ re-expressed on the events table (SURVEY.md §2.6/2.7 applied rows).
 
 from __future__ import annotations
 
-from ._util import ordered_small
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -367,7 +366,7 @@ def cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, anchor_id long, status string, is_timeout boolean",
         order_cols=["ts", "event_id"],
     )
-    return ordered_small(out, "anchor_id")
+    return out
 
 
 @query(
@@ -478,7 +477,7 @@ def cep_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         order_cols=["ts", "event_id"],
     )
-    return ordered_small(out, "user_id", "start_id")
+    return out
 
 
 @query(
@@ -544,7 +543,7 @@ def cep_iterative_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         order_cols=["ts", "event_id"],
     )
-    return ordered_small(out, "user_id", "small_id")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -706,7 +705,7 @@ def cep_skip_to_last_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, first_id long, second_id long",
         order_cols=["ts", "event_id"],
     )
-    return ordered_small(out, "user_id", "first_id")
+    return out
 
 
 @query(
@@ -758,7 +757,7 @@ def cep_skip_to_first_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_members long, last_id long",
         order_cols=["ts", "event_id"],
     )
-    return ordered_small(out, "user_id", "n_members")
+    return out
 
 
 @query(
@@ -806,7 +805,7 @@ def cep_no_skip_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, signup_id long, purchase_id long",
         order_cols=["ts", "event_id"],
     )
-    return ordered_small(out, "user_id", "signup_id", "purchase_id")
+    return out
 
 
 @query(
@@ -887,7 +886,7 @@ def iterate_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_every=1,
     )
     edges.unpersist()
-    return ordered_small(out, "v")
+    return out
 
 
 @query(
@@ -1021,6 +1020,4 @@ def lookup_broadcast_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", (F.col("user_id") % 25).alias("nk")
     )
     out = batch_lookup(ev, "nk", nation, out_col="region_name")
-    return ordered_small(
-        out.select("event_id", "user_id", "region_name"), "event_id"
-    )
+    return out.select("event_id", "user_id", "region_name")

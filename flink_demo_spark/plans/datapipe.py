@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup, similarity, text
-from ._util import ordered_small
 from .registry import query
 
 _SW = ", ".join(f"'{s}'" for s in text.STOPWORDS)
@@ -325,11 +324,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    return ordered_small(
-        dedup.jaccard_pairs(
-            docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
-        ),
-        "doc1", "doc2",
+    return dedup.jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
     )
 
 
@@ -346,11 +342,8 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    return ordered_small(
-        dedup.minhash_lsh_pairs(
-            docs, "text", "doc_id", num_hashes=16, bands=4, k=3, verify_threshold=0.3
-        ),
-        "doc1", "doc2",
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, k=3, verify_threshold=0.3
     )
 
 
@@ -414,10 +407,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    return ordered_small(
-        dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=4),
-        "doc1", "doc2",
-    )
+    return dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
 
 
 @query(
@@ -538,9 +528,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ordered_small(
-        similarity.cosine_pairs(emb, "vec_id", "embedding", 0.4), "doc1", "doc2"
-    )
+    return similarity.cosine_pairs(emb, "vec_id", "embedding", 0.4)
 
 
 @query(
@@ -1025,9 +1013,7 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     imgs = multimodal.synthesize_ppm_images(text.fan_out(docs), "doc_id")
-    return ordered_small(
-        multimodal.ppm_features(imgs, "doc_id", "image"), "doc_id"
-    )
+    return multimodal.ppm_features(imgs, "doc_id", "image")
 
 
 @query(
@@ -1064,9 +1050,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clips = multimodal.synthesize_wav_clips(text.fan_out(docs), "doc_id")
-    return ordered_small(
-        multimodal.wav_features(clips, "doc_id", "audio"), "doc_id"
-    )
+    return multimodal.wav_features(clips, "doc_id", "audio")
 
 
 @query(
@@ -1106,8 +1090,4 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clips = multimodal.synthesize_y4m_clips(text.fan_out(docs), "doc_id")
-    return ordered_small(
-        multimodal.y4m_frame_stats(clips, "doc_id", "video", every=2),
-        "doc_id",
-        "frame_no",
-    )
+    return multimodal.y4m_frame_stats(clips, "doc_id", "video", every=2)

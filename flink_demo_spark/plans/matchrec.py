@@ -21,7 +21,6 @@ other keyed-NFA operator in this engine.
 
 from __future__ import annotations
 
-from ._util import ordered_small
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -136,7 +135,7 @@ def match_recognize_v_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) MR
         """,
     )
-    return ordered_small(out, "symbol", "start_tmstp")
+    return out
 
 
 @query(
@@ -211,7 +210,7 @@ def match_recognize_rise_fall(spark: SparkSession, sf_dir: str) -> DataFrame:
          ) MR
         """,
     )
-    return ordered_small(out, "symbol", "start_price", "top_price", "end_price")
+    return out
 
 
 @query(
@@ -274,7 +273,7 @@ def match_recognize_sum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) MR
         """,
     )
-    return ordered_small(out, "symbol", "start_time", "sum_price")
+    return out
 
 
 @query(
@@ -413,6 +412,14 @@ def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
+    # pin the key exchange BEFORE the lag-window: the window and the
+    # matcher both need hashpartitioning(user_id), so this is the ONE
+    # shuffle of the query — and making it an explicit
+    # REPARTITION_BY_NUM (not ENSURE_REQUIREMENTS) stops AQE's
+    # byte-size coalescing from collapsing the CPU-bound window+NFA
+    # stage to a handful of tasks (measured 8x on cep at sf0.1)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ev = ev.repartition(n_parts, "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_dir = ev.select(
         "user_id",
@@ -439,18 +446,14 @@ def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
-    return ordered_small(
-        mr.select(
+    return mr.select(
             "user_id",
             "event_id",
             "mno",
             "cls",
             "rn_in_match",
             F.round("value", 2).alias("value"),
-        ),
-        "user_id",
-        "event_id",
-    )
+        )
 
 
 @query(
@@ -531,15 +534,11 @@ def streaming_match_recognize_all_rows(
         )
         """,
     )
-    return ordered_small(
-        run_available_now(out, output_mode="append").select(
+    return run_available_now(out, output_mode="append").select(
             "user_id",
             "event_id",
             "mno",
             "cls",
             "rn_in_match",
             F.round("value", 2).alias("value"),
-        ),
-        "user_id",
-        "event_id",
-    )
+        )

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import multimodal
-from ._util import ordered_small
 from .registry import query
 
 
@@ -141,9 +140,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     feats = multimodal.extract_features(docs, "doc_id", "payload")
-    return ordered_small(
-        feats.select("doc_id", "n_bytes", "digest"), "doc_id"
-    )
+    return feats.select("doc_id", "n_bytes", "digest")
 
 
 @query(
@@ -176,11 +173,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return ordered_small(
-        multimodal.frame_sample(docs, "doc_id", "payload", n_frames=4),
-        "doc_id",
-        "frame_no",
-    )
+    return multimodal.frame_sample(docs, "doc_id", "payload", n_frames=4)
 
 
 # (scalar_string_funcs3 merged into scalar_string_funcs2 above)

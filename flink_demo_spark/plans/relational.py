@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import davg, dsum, oavg, osum, ordered_small
+from ._util import davg, dsum, oavg, osum
 from .registry import query
 
 
@@ -1260,7 +1260,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "c_name"
     )
     out = skew.salted_join(orders, cust, "o_custkey", salt=8)
-    return ordered_small(out.select("o_orderkey", "c_name"), "o_orderkey")
+    return out.select("o_orderkey", "c_name")
 
 
 @query(
@@ -1329,7 +1329,7 @@ def cogroup_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cogroup_apply(
         orders, li, ["k"], counts, "k long, n_orders long, n_items long"
     )
-    return ordered_small(out, "k")
+    return out
 
 
 @query(
@@ -1375,4 +1375,4 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_name").alias("c_name"),
         )
     )
-    return ordered_small(out, "custkey")
+    return out

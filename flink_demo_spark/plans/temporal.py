@@ -10,7 +10,6 @@ engines compare at µs.
 
 from __future__ import annotations
 
-from ._util import ordered_small
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -468,4 +467,4 @@ def kafka_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return ordered_small(out, "window_start", "event_type")
+    return out

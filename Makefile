@@ -1,0 +1,25 @@
+## Repeatable checks. `make parity-sf001` is the per-round gate the
+## verification driver mirrors: every oracle-backed registry query vs
+## its DuckDB oracle at sf0.01 (the driver's scale factor).
+
+SF001 ?= /root/testdata/sf0.01
+
+.PHONY: test parity parity-sf001 plans bench
+
+# full local suite (sf0.001 oracles + goldens + e2e)
+test:
+	python -m pytest tests/ -q
+
+# oracle parity only, default sf0.001
+parity:
+	python -m pytest tests/test_oracle_parity.py -q
+
+# the driver-scale parity gate: run before ending a round
+parity-sf001:
+	TEST_SF_DIR=$(SF001) python -m pytest tests/test_oracle_parity.py -q
+
+plans:
+	python tools/dump_plans.py
+
+bench:
+	python bench.py

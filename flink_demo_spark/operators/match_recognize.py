@@ -986,6 +986,16 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
     Without WITHIN, a pattern that never resolves buffers its key's
     rows indefinitely (as does Flink's NFA state) — give long-running
     patterns a WITHIN horizon.
+
+    Checkpoint compatibility: the state schema is
+    ``(buf: binary, match_no: long)`` — ``match_no`` was added for
+    MATCH_NUMBER() continuity, widening the earlier single-field
+    ``(buf: binary)`` layout. Spark validates state-store schemas at
+    restore, so a checkpoint written by the old layout cannot be
+    resumed by this version (nor vice versa): restart such a query
+    with a NEW checkpoint directory. This mirrors Flink's behavior on
+    incompatible operator-state migrations (savepoint restore fails
+    rather than misreads).
     """
     import pickle
 

@@ -48,7 +48,7 @@ def over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        
     )
 
 
@@ -79,7 +79,7 @@ def over_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        
     )
 
 
@@ -112,7 +112,7 @@ def over_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("seq"),
             F.rank().over(w2).cast("long").alias("status_rank"),
         )
-        .orderBy("o_custkey", "seq")
+        
     )
 
 
@@ -160,7 +160,7 @@ def dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("user_id", "event_id", "ts", "event_type")
-        .orderBy("user_id")
+        
     )
 
 
@@ -263,4 +263,4 @@ def over_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         ).alias("sum_distinct_cents"),
-    ).orderBy("user_id", "event_id")
+    )

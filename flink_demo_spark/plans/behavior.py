@@ -66,7 +66,7 @@ def hotitems_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_window.withColumn("rk", F.row_number().over(rk))
         .where(F.col("rk") <= 3)
         .select("window_start", "rk", "user_id", "n_views")
-        .orderBy("window_start", "rk")
+        
     )
 
 
@@ -96,7 +96,7 @@ def pv_uv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("uv"),
         )
         .select(F.col("w.start").alias("window_start"), "pv", "uv")
-        .orderBy("window_start")
+        
     )
 
 
@@ -116,7 +116,7 @@ def uv_approx_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"))
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("uv_approx"))
         .select(F.col("w.start").alias("window_start"), "uv_approx")
-        .orderBy("window_start")
+        
     )
 
 
@@ -144,7 +144,7 @@ def click_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_clicks"))
         .where(F.col("n_clicks") >= 3)
-        .orderBy("user_id", "day")
+        
     )
 
 
@@ -195,7 +195,7 @@ def fraud_small_then_large(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_id").alias("small_id"),
             F.col("event_id").alias("large_id"),
         )
-        .orderBy("user_id", "small_id")
+        
     )
 
 
@@ -240,7 +240,7 @@ def conversion_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .select("signup_id", "user_id", "signup_ts")
-        .orderBy("signup_id")
+        
     )
 
 
@@ -284,7 +284,7 @@ def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("window_start") == F.col("c_window")),
         )
         .select("window_start", "user_id", "view_id", "click_id")
-        .orderBy("view_id", "click_id")
+        
     )
 
 
@@ -943,7 +943,7 @@ def geo_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         rides.select(geo.grid_cell(F.col("lon"), F.col("lat")).alias("cell"))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_rides"))
-        .orderBy("cell")
+        
     )
 
 
@@ -988,7 +988,7 @@ def side_output_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tagged[0]
     for t in tagged[1:]:
         out = out.unionByName(t)
-    return out.orderBy("channel", "event_id")
+    return out
 
 
 @query(

@@ -90,7 +90,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -130,7 +130,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "lang", bucket.alias("bucket"))
         .where(bucket < rate)
-        .orderBy("doc_id")
+        
     )
 
 
@@ -369,7 +369,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("keep"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -439,7 +439,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scan.join(hits, "doc_id", "left")
         .select("doc_id", n_hits, (F.coalesce("n_hits", F.lit(0)) >= 1).alias("contaminated"))
-        .orderBy("doc_id")
+        
     )
 
 
@@ -509,7 +509,7 @@ def text_lm_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         score.alias("mean_rank_bp"),
         (score > 170000).alias("flag_rare_heavy"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -577,7 +577,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.alias("pack_id"),
         (F.col("start_offset") % 512).alias("pack_offset"),
         (pack != end_pack).alias("straddles"),
-    ).orderBy("lang", "doc_id")
+    )
 
 
 @query(
@@ -641,7 +641,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
         .select("doc_id", "c.*")
-        .orderBy("doc_id", "chunk_id")
+        
     )
 
 
@@ -698,5 +698,5 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= 3)
         .select("doc_id", "rk", "tok", "score")
-        .orderBy("doc_id", "rk")
+        
     )

@@ -148,7 +148,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter("toks", lambda t: F.array_contains(sw, F.lower(t)))
         ).alias("n_stopwords"),
         "n_chars",
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -202,7 +202,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (3000 * d) div n"
             " + (2000 * least(n, 10 * sw)) div n AS BIGINT)"
         ).alias("quality_bp"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -237,7 +237,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.round(score, 4).alias("en_score"),
         F.when(score >= 0.05, "en").otherwise("other").alias("predicted"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -255,9 +255,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", text.fingerprint("text").alias("fp")).orderBy(
-        "doc_id"
-    )
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
 
 
 @query(
@@ -279,7 +277,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    return dedup.exact_duplicates(docs, "text", "doc_id").orderBy("fp")
+    return dedup.exact_duplicates(docs, "text", "doc_id")
 
 
 @query(
@@ -385,7 +383,7 @@ _SIMHASH_SIG_CTES = """
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    return dedup.simhash(docs, "text", "doc_id").orderBy("doc_id")
+    return dedup.simhash(docs, "text", "doc_id")
 
 
 @query(
@@ -462,7 +460,7 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .select("doc_id", "s.*")
-        .orderBy("doc_id")
+        
     )
 
 
@@ -496,9 +494,7 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    return text.winnow_fingerprints(docs, "text", "doc_id", k=3, window=4).orderBy(
-        "doc_id"
-    )
+    return text.winnow_fingerprints(docs, "text", "doc_id", k=3, window=4)
 
 
 @query(
@@ -564,7 +560,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_lsh(
         emb, LSH_PLANES, "vec_id", "embedding", 0.4
-    ).orderBy("doc1", "doc2")
+    )
 
 
 @query(
@@ -900,7 +896,7 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("doc_id")
-        .orderBy("doc_id")
+        
     )
 
 
@@ -965,7 +961,7 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(mm))
         .select("vec_id", text.bind(ev, stats).alias("s"))
         .select("vec_id", "s.*")
-        .orderBy("vec_id")
+        
     )
 
 

@@ -51,7 +51,7 @@ def predicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~((F.col("p_size") > 25) | (F.col("p_retailprice") < 500.0))).alias(
             "neither"
         ),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -115,7 +115,7 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("source", "c").alias("c_pos"),
         F.initcap("lang").alias("capped"),
         F.overlay("source", F.lit("XX"), F.lit(2), F.lit(2)).alias("overlaid"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(

@@ -360,7 +360,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_price"
             ),
         )
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -381,7 +381,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right")
         .groupBy("n_name")
         .agg(F.count("s_suppkey").alias("n_suppliers"))
-        .orderBy("n_name")
+        
     )
 
 
@@ -416,7 +416,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
-        .orderBy("k")
+        
     )
 
 
@@ -436,7 +436,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -455,7 +455,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -491,7 +491,7 @@ def join_inner_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nation.join(F.broadcast(region), "r_regionkey")
         .select("n_name", "r_name")
-        .orderBy("n_name")
+        
     )
 
 
@@ -522,7 +522,7 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_totalprice") > 400000)
         .select(F.col("o_custkey").alias("k"))
     )
-    return a.union(b).distinct().orderBy("k")
+    return a.union(b).distinct()
 
 
 @query(
@@ -543,7 +543,7 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.where(F.col("o_orderpriority") == "5-LOW").select(
         F.col("o_custkey").alias("k")
     )
-    return a.unionAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+    return a.unionAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(
@@ -558,7 +558,7 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    return a.subtract(b).orderBy("k")
+    return a.subtract(b)
 
 
 @query(
@@ -581,7 +581,7 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderstatus") == "O")
         .select(F.col("o_custkey").alias("k"))
     )
-    return a.intersect(b).orderBy("k")
+    return a.intersect(b)
 
 
 @query(
@@ -641,7 +641,7 @@ def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("p_name", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "word")
+        
     )
 
 
@@ -699,7 +699,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("right(p_type, 3)").alias("right3"),
             F.ascii("p_brand").alias("first_ascii"),
         )
-        .orderBy("p_partkey")
+        
     )
 
 
@@ -781,7 +781,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.radians("l_quantity"), 6).alias("rad_q"),
         F.bin(F.col("l_orderkey").cast("long")).alias("bin_key"),
         F.hex(F.col("l_orderkey").cast("long")).alias("hex_key"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @query(
@@ -817,7 +817,7 @@ def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("days_since"),
         F.expr("o_orderdate + INTERVAL 30 DAY").alias("plus30"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -850,7 +850,7 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
         .otherwise(0)
         .alias("is_rush"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -906,7 +906,7 @@ def posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
         )
-        .orderBy("p_partkey", "pos")
+        
     )
 
 
@@ -1079,7 +1079,7 @@ def predicate_between_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size")
         .between(F.least(F.lit(10), F.lit(30)), F.greatest(F.lit(10), F.lit(30)))
         .alias("symmetric"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -1184,7 +1184,7 @@ def zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("o_orderkey")
     return o.select(
         (F.row_number().over(w) - 1).cast("long").alias("idx"), "o_orderkey"
-    ).orderBy("idx")
+    )
 
 
 @query(
@@ -1229,7 +1229,7 @@ def scalar_datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("ts").alias("wk"),
         F.dayofyear("ts").alias("doy"),
         F.unix_timestamp("ts").alias("unix_s"),
-    ).orderBy("event_id")
+    )
 
 
 # (scalar_math_funcs2 merged into scalar_math_funcs above)

@@ -140,5 +140,5 @@ def count_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
             ).alias("sum_value"),
         )
-        .orderBy("user_id", "window_no")
+        
     )

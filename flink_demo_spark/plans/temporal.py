@@ -54,7 +54,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("window_start", "event_type")
+        
     )
 
 
@@ -85,7 +85,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
-        .orderBy("window_start")
+        
     )
 
 
@@ -131,7 +131,7 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "session_start")
+        
     )
 
 
@@ -198,7 +198,7 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_ts") <= F.col("p_ts")),
         )
         .select("purchase_id", "click_id", "user_id")
-        .orderBy("purchase_id", "click_id")
+        
     )
 
 
@@ -238,7 +238,7 @@ def asof_join_latest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_time="ts",
         payload_cols=["signup_id"],
     )
-    return joined.select("purchase_id", "user_id", "signup_id").orderBy("purchase_id")
+    return joined.select("purchase_id", "user_id", "signup_id")
 
 
 @query(
@@ -287,7 +287,7 @@ def pattern_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_id").alias("first_error_id"),
             F.col("event_id").alias("second_error_id"),
         )
-        .orderBy("user_id", "first_error_id")
+        
     )
 
 
@@ -320,7 +320,7 @@ def sessionize_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("session_id").cast("long").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        
     )
 
 
@@ -381,7 +381,7 @@ def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "session_start")
+        
     )
 
 

@@ -200,9 +200,33 @@ class TwoPhaseCommitSink:
             # only the marker is missing. Finish the second half — drop
             # any re-staged copy and write the marker — instead of
             # renaming onto a non-empty dir (OSError crash loop).
+            # Guard: only trust dst as the published copy if it is a
+            # COMPLETE file set (_SUCCESS present). A dst that exists
+            # for any other reason (manual restore, torn copy) without
+            # _SUCCESS must not silently win over the staged replay.
+            import logging
             import shutil
 
-            shutil.rmtree(src, ignore_errors=True)
+            if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+                if not os.path.exists(src):
+                    raise RuntimeError(
+                        f"commit({batch_id}): committed/epoch={batch_id} "
+                        "exists but is incomplete (no _SUCCESS) and "
+                        "nothing is staged to replace it — manual "
+                        "intervention required"
+                    )
+                shutil.rmtree(dst)
+                os.rename(src, dst)
+            else:
+                logging.getLogger(__name__).warning(
+                    "commit(%s): committed/epoch=%s already published "
+                    "(_SUCCESS present) — finishing torn commit by "
+                    "dropping the re-staged copy and writing the "
+                    "ledger marker",
+                    batch_id,
+                    batch_id,
+                )
+                shutil.rmtree(src, ignore_errors=True)
         else:
             if not os.path.exists(src):
                 raise RuntimeError(f"commit({batch_id}): nothing staged")

@@ -504,9 +504,16 @@ def kafka_wire_sink(bootstrap: tuple[str, int], topic: str):
         leaders = {pid: (host, port) for pid, host, port in parts}
 
         def send_batches(batches):
+            import os
+
             import numpy as np
             import pandas as pd
 
+            # null-key rotation offset carried ACROSS Arrow batches:
+            # restarting at partition 0 per pdf skews many-small-batch
+            # workloads toward low-numbered partitions. Seed per task
+            # so concurrent tasks don't all start at 0 either.
+            null_rr = os.getpid() % n
             for pdf in batches:
                 cnt = len(pdf)
                 if cnt == 0:
@@ -532,7 +539,11 @@ def kafka_wire_sink(bootstrap: tuple[str, int], topic: str):
                     pids[nonnull] = (hashed.astype(np.int64) & 0x7FFFFFFF) % n
                 n_null = cnt - int(nonnull.sum())
                 if n_null:
-                    pids[~nonnull] = np.arange(n_null, dtype=np.int64) % n
+                    pids[~nonnull] = (
+                        np.arange(null_rr, null_rr + n_null, dtype=np.int64)
+                        % n
+                    )
+                    null_rr = (null_rr + n_null) % n
                 by_leader: dict[tuple[str, int], dict[int, list]] = defaultdict(dict)
                 for pid in np.unique(pids):
                     sel = np.flatnonzero(pids == pid)

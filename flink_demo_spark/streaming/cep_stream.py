@@ -236,6 +236,7 @@ def streaming_match_pattern(
     measures,
     output_schema,
     order_cols: list[str] | None = None,
+    flush_ts=None,
 ):
     """General streaming twin of ``operators.cep.match_pattern`` —
     Flink's ``CEP.pattern(stream)`` as the reference uses it
@@ -261,6 +262,17 @@ def streaming_match_pattern(
     replay / availableNow) — the same contract as
     ``streaming_match_recognize``. Iterative (row, ctx) conditions
     work unchanged (same NFA).
+
+    End-of-stream: an availableNow run that simply stops delivers no
+    final watermark, so matches whose horizon never expires would stay
+    buffered (Flink's bounded jobs flush with a final +inf watermark).
+    ``flush_ts`` is the same hook ``lateness.py`` uses: rows with
+    ``ts >= flush_ts`` act as end-of-stream markers for their key —
+    they are NOT buffered as events, and their arrival finalizes every
+    pending decision (all skip_to_first anchor solutions emit, pending
+    matches emit, dead anchors drop) regardless of the WITHIN horizon.
+    The watermarked twin plus a horizon-advancing row remains the
+    correct path for out-of-order input.
     """
     import pickle
 
@@ -294,10 +306,16 @@ def streaming_match_pattern(
     def fn(key: tuple, pdfs, state: GroupState):
         recs: list[dict] = pickle.loads(state.get[0]) if state.exists else []
         new = [pdf for pdf in pdfs if len(pdf)]
+        eos = False
         if new:
             batch = pd.concat(new, ignore_index=True).sort_values(
                 order, kind="stable"
             )
+            if flush_ts is not None:
+                marker = batch[ts_col] >= flush_ts
+                if marker.any():
+                    eos = True
+                    batch = batch[~marker]
             recs.extend(batch.to_dict("records"))
         out_rows: list[dict] = []
         max_ts = recs[-1][ts_col] if recs else None
@@ -306,7 +324,9 @@ def streaming_match_pattern(
             # only materialized for measures() on an actual emission
             m = _match_from(None, 0, pattern, ts_col, recs)
             t0 = recs[0][ts_col]
-            expired = max_ts is not None and (max_ts - t0) > within
+            expired = eos or (
+                max_ts is not None and (max_ts - t0) > within
+            )
             if m is None:
                 if expired or _anchor_failure_is_final(pattern, len(recs)):
                     recs = recs[1:]  # anchor dead for good

@@ -472,6 +472,40 @@ def test_kafka_wire_sink_rotates_null_keys(spark):
         assert all(n == 2 for n in per_pid.values()), per_pid
 
 
+def test_kafka_wire_sink_null_key_rotation_carries_across_batches(spark):
+    """The rotation offset must carry ACROSS Arrow batches: a task
+    seeing many small batches would otherwise restart at the same
+    partition per batch and skew every null-keyed record onto it."""
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.sources.kafka_broker import KafkaTestBroker
+    from flink_demo_spark.sources.kafka_wire import fetch_all, kafka_wire_sink
+
+    df = (
+        spark.range(9)
+        .select(
+            F.lit(None).cast("binary").alias("key"),
+            F.col("id").cast("string").cast("binary").alias("value"),
+        )
+        .coalesce(1)
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        with KafkaTestBroker(num_partitions=3) as b:
+            # 9 single-row Arrow batches -> without the carried offset
+            # every record lands on ONE partition
+            kafka_wire_sink((b.host, b.port), "nulls_rr")(df, batch_id=0)
+            per_pid = {
+                pid: len(fetch_all((b.host, b.port), "nulls_rr", pid))
+                for pid in range(3)
+            }
+        assert sum(per_pid.values()) == 9
+        assert all(n == 3 for n in per_pid.values()), per_pid
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_kafka_wire_two_broker_layout_parallelism_and_recovery(spark, tmp_path):
     """Topic leadership split across TWO live brokers: the data source
     plans one Spark task per Kafka partition, each task fetches from

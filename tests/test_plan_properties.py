@@ -49,9 +49,9 @@ EXPECT = {
         contains=["WindowGroupLimit"], absent=["CartesianProduct"], max_exchanges=2
     ),
     "hotitems_topn": dict(
-        contains=["WindowGroupLimit"], partial_agg=True, max_exchanges=3
+        contains=["WindowGroupLimit"], partial_agg=True, max_exchanges=2
     ),
-    "pv_uv_hourly": dict(partial_agg=True, max_exchanges=3),
+    "pv_uv_hourly": dict(partial_agg=True, max_exchanges=2),
     # shingle groupBy + pair groupBy only — registry results carry NO
     # final sort (driver hash and local oracle compare are both
     # order-insensitive; a presentation sort would funnel the
@@ -64,10 +64,10 @@ EXPECT = {
     "dedup_minhash_lsh": dict(
         contains=["BroadcastHashJoin"], absent=["CartesianProduct"], partial_agg=True
     ),
-    # pure map + output sort: chunking must not shuffle before the sort
+    # pure map: chunking shuffles only for the scan fan-out
     "chunk_documents": dict(
         absent=["SortMergeJoin", "CartesianProduct", "HashAggregate"],
-        max_exchanges=2,  # fan-out repartition + final sort only
+        max_exchanges=1,
     ),
     # the vocabulary (df) side must broadcast — a sort-merge join here
     # would reshuffle the corpus-sized tf table on the token key
@@ -81,7 +81,7 @@ EXPECT = {
     "embedding_int8_quant": dict(
         contains=["BroadcastNestedLoopJoin"],  # 1-row cross join
         absent=["SortMergeJoin", "SortAggregate"],
-        max_exchanges=2,  # scalar-agg single partition + output sort
+        max_exchanges=1,  # scalar-agg single partition only
     ),
     # synthesize->decode mapInPandas stages must FUSE (no exchange
     # between them): payloads stream through one python worker pass
@@ -157,7 +157,7 @@ EXPECT = {
     "geo_grid_cells": dict(
         absent=["MapInPandas", "CartesianProduct"],  # pure column math
         partial_agg=True,
-        max_exchanges=2,
+        max_exchanges=1,
     ),
     "q1_pricing_summary": dict(
         pushed=["l_shipdate"], partial_agg=True, max_exchanges=2
@@ -183,18 +183,18 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=1,
     ),
-    "count_window_agg": dict(partial_agg=True, max_exchanges=2),
-    "window_tumbling_hourly": dict(partial_agg=True, max_exchanges=2),
-    "window_session": dict(partial_agg=True, max_exchanges=2),
+    "count_window_agg": dict(partial_agg=True, max_exchanges=1),
+    "window_tumbling_hourly": dict(partial_agg=True, max_exchanges=1),
+    "window_session": dict(partial_agg=True, max_exchanges=1),
     "interval_join": dict(
         contains=["BroadcastHashJoin"],
         absent=["CartesianProduct", "BroadcastNestedLoopJoin"],
-        max_exchanges=1,
+        max_exchanges=0,  # broadcast join, no shuffle at all
     ),
     "asof_join_latest_signup": dict(
         # union + last_value over one shuffle — no join operator at all
         absent=["Join"],
-        max_exchanges=2,
+        max_exchanges=1,
     ),
     # --- TPC-H-style suite (plans/tpch.py): dims must broadcast, the
     # fact tables shuffle at most on groupBy keys + the output sort ---
@@ -278,7 +278,7 @@ EXPECT = {
     "text_repetition_filter": dict(
         absent=["CartesianProduct", "SortMergeJoin"],
         partial_agg=True,
-        max_exchanges=5,
+        max_exchanges=3,
     ),
     # the benchmark n-gram set must broadcast; the corpus side only
     # shuffles for its own distinct/groupBy, never for the join
@@ -286,7 +286,7 @@ EXPECT = {
         contains=["BroadcastHashJoin"],
         absent=["CartesianProduct", "SortMergeJoin"],
         partial_agg=True,
-        max_exchanges=7,
+        max_exchanges=4,
     ),
     # ranked vocab broadcasts to the token stream; corpus side only
     # shuffles for its own aggs (vocab count, per-doc sum)
@@ -294,7 +294,7 @@ EXPECT = {
         contains=["BroadcastHashJoin"],
         absent=["CartesianProduct", "SortMergeJoin"],
         partial_agg=True,
-        max_exchanges=6,
+        max_exchanges=4,
     ),
     "q21_waiting_suppliers": dict(
         contains=["BroadcastHashJoin", "Window"],

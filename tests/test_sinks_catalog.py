@@ -692,6 +692,37 @@ def test_two_phase_commit_crash_between_rename_and_ledger(spark):
     assert _committed_rows(spark, root) == [(1, "a"), (2, "b")]
 
 
+def test_two_phase_commit_incomplete_dst_replaced_by_staged(spark):
+    """A committed/epoch=N dir WITHOUT _SUCCESS (torn copy, manual
+    restore gone wrong) is NOT trusted as the published epoch: the
+    staged replay replaces it instead of being silently discarded."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_demo_spark.sinks import TwoPhaseCommitSink
+
+    root = tempfile.mkdtemp(prefix="sink_2pc_torn_dst_")
+    sink = TwoPhaseCommitSink(root)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink.precommit(b0, 0)
+    # simulate a torn dst: copy staged files but strip _SUCCESS
+    src = os.path.join(root, "staging", "epoch=0")
+    dst = os.path.join(root, "committed", "epoch=0")
+    shutil.copytree(src, dst)
+    os.remove(os.path.join(dst, "_SUCCESS"))
+    # also drop one data file so trusting dst would lose rows
+    for f in os.listdir(dst):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(dst, f))
+            break
+
+    sink.commit(0)
+    assert sink.is_committed(0)
+    assert os.path.exists(os.path.join(dst, "_SUCCESS"))
+    assert _committed_rows(spark, root) == [(1, "a"), (2, "b")]
+
+
 def test_compact_partition_flip_is_atomic_and_crash_safe(spark):
     """The compaction flip must never expose a mixed old+new file set:
     the replacement dir is exchanged in, and a crash-leftover staging

@@ -1310,6 +1310,79 @@ def test_streaming_match_pattern_skip_to_first_and_last_equal_batch(spark):
         assert got == golden, (strategy, got)
 
 
+def test_streaming_match_pattern_flush_ts_end_of_stream(spark):
+    """flush_ts drains fully-decided matches when the stream simply
+    ends with NO horizon-expiring trailing row: the marker row sits
+    INSIDE every anchor's WITHIN horizon, so without the flush hook
+    the skip_to_first solutions (and the still-extendable tail match)
+    would be silently withheld at end of stream."""
+    import random
+
+    from flink_demo_spark.operators import cep
+    from flink_demo_spark.streaming.cep_stream import streaming_match_pattern
+
+    t0 = dt.datetime(1970, 1, 1)
+    seq = [
+        ("sensor_1", 92, 20), ("sensor_1", 93, 21), ("sensor_1", 94, 22),
+        ("sensor_2", 92, 22), ("sensor_1", 96, 22), ("sensor_2", 99, 24),
+    ]
+    rows = [
+        (1, sid, t0 + dt.timedelta(seconds=s), v, i)
+        for i, (sid, s, v) in enumerate(seq)
+    ]
+    # marker at s=100: within the 30s horizon of every anchor (>= 92)
+    flush_at = t0 + dt.timedelta(seconds=100)
+    marker = (1, "flush", flush_at, 0, len(seq))
+    schema = "k long, id string, ts timestamp, vc long, event_id long"
+
+    def pat(strategy):
+        p = cep.Pattern.begin("first", lambda r: r["id"] == "sensor_1")
+        p = p.times_or_more(2).relaxed().reluctant().within_time("30s")
+        return getattr(p, strategy)("first")
+
+    def measures(rows_df, b):
+        return {
+            "members": ",".join(
+                str(int(rows_df.iloc[i]["ts"].timestamp())) for i in b["first"]
+            )
+        }
+
+    out_schema = "k long, members string"
+    rng = random.Random(7)
+    rows_sorted = sorted(rows, key=lambda r: (r[2], r[4]))
+    for strategy, golden in {
+        "skip_to_first": {"92,93", "92,93,94", "92,93,94,96"},
+        "skip_to_last": {"92,93", "93,94", "94,96"},
+    }.items():
+        batch_out = {
+            r.members
+            for r in cep.match_pattern(
+                spark.createDataFrame(rows, schema), pat(strategy),
+                ["k"], "ts", measures, out_schema,
+                order_cols=["ts", "event_id"],
+            ).collect()
+        }
+        assert batch_out == golden
+        cuts = sorted(rng.sample(range(1, len(rows_sorted)), 2))
+        batches, prev = [], 0
+        for c in [*cuts, len(rows_sorted)]:
+            batches.append(rows_sorted[prev:c])
+            prev = c
+        batches.append([marker])  # final micro-batch: flush marker only
+        got = {
+            r.members
+            for r in run_available_now(
+                streaming_match_pattern(
+                    _mem_stream_batches(spark, batches, schema),
+                    pat(strategy), ["k"], "ts", measures, out_schema,
+                    order_cols=["ts", "event_id"], flush_ts=flush_at,
+                ),
+                output_mode="append",
+            ).collect()
+        }
+        assert got == golden, (strategy, got)
+
+
 def test_streaming_match_pattern_watermarked_skip_strategies(spark):
     """skip_to_first / skip_to_last through the watermark-driven twin
     with OUT-OF-ORDER micro-batches: same goldens once the watermark

@@ -58,7 +58,12 @@ def main() -> None:
 
     # streaming throughput: full events replay through watermark +
     # tumbling window agg to a memory sink (reference generators cap at
-    # ~500 ev/s/source, BASELINE.md; this measures the engine's ceiling)
+    # ~500 ev/s/source, BASELINE.md; this measures the engine's ceiling).
+    # Methodology (round 6): best-of-THREE replays — the replay figure
+    # swings with host load more than the batch queries (the r5 "-24%"
+    # was VM variance, confirmed by a controlled A/B), and the input
+    # partition layout is pinned by the session's fixed
+    # maxPartitionBytes/shuffle.partitions so reps differ only by load.
     stream_eps = None
     try:
         from flink_demo_spark.catalog import load_table
@@ -67,7 +72,7 @@ def main() -> None:
         from flink_demo_spark.streaming.windows import tumbling_agg
 
         n_events = load_table(spark, SF_DIR, "events").count()
-        for _ in range(2):  # best-of-2, same rationale as the queries
+        for _ in range(3):
             t0 = time.perf_counter()
             run_available_now(
                 tumbling_agg(events_stream(spark, SF_DIR)), output_mode="complete"

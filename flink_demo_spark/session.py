@@ -31,16 +31,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
-    # AQE coalesces post-shuffle stages by BYTE size, but this engine's
-    # post-shuffle CPU-per-byte is high (shingle/pair generation, regex
-    # scoring, pandas kernels), so the 1m default floor folds hot
-    # stages into 1-3 tasks at test scale. A low floor keeps them
-    # parallel (-10-20% on the dedup family); at 100 TB partitions sit
-    # far above any floor, so this is free on a real cluster. The
-    # truly CPU-bound pandas exchanges additionally pin an explicit
-    # partition count (REPARTITION_BY_NUM, plan-asserted) — see
-    # operators/cep.py::_grouped_map.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # AQE coalesce floor: round 5 lowered minPartitionSize to 64k to
+    # keep CPU-heavy post-shuffle stages parallel at test scale, but a
+    # round-6 controlled A/B (3-4 reps, warmed, alternating order, at
+    # sf0.1) showed the 64k floor is a small consistent LOSS now
+    # (dedup_minhash -4%, interval_join -6%, streaming replay -5%):
+    # the truly CPU-bound pandas exchanges pin an explicit partition
+    # count (REPARTITION_BY_NUM, plan-asserted — operators/cep.py::
+    # _grouped_map), which makes the floor redundant where it helped
+    # and pure small-partition overhead everywhere else. Default (1m)
+    # restored; the r5 bench regression beyond this delta was VM
+    # variance.
 }
 
 

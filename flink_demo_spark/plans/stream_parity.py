@@ -818,3 +818,69 @@ def streaming_cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append").orderBy(
         "user_id", "first_id"
     )
+
+
+@query(
+    "streaming_cep_no_skip",
+    # batch cep_no_skip_branches oracle (the time-bounded self-join),
+    # restricted to DECIDED anchors: a NO_SKIP anchor's solution set
+    # is final only once its 1-day horizon expired, and on an
+    # availableNow replay with no final watermark the horizon closes
+    # against the USER's last buffered event — the per-user max-ts
+    # join mirrors that decision rule exactly (strict >, matching the
+    # engine's strict horizon-expiry check)
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), m AS (
+      SELECT user_id, max(ts) AS mx FROM e GROUP BY user_id
+    )
+    SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+    FROM e s
+    JOIN e p ON p.user_id = s.user_id
+    JOIN m ON m.user_id = s.user_id
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+      AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+      AND p.ts - s.ts <= INTERVAL 1 DAY
+      AND m.mx - s.ts > INTERVAL 1 DAY
+    ORDER BY s.user_id, signup_id, purchase_id
+    """,
+    doc=(
+        "streaming NO_SKIP / followedByAny (round-6 closure of the "
+        "last streaming-vs-batch CEP asymmetry; reference "
+        "CEPDemo.scala followedByAny:674-704): every anchor emits "
+        "every branch from keyed state, anchors never consume, and an "
+        "anchor's solution set emits once its WITHIN horizon expires "
+        "against the key's buffered max event time."
+    ),
+)
+def streaming_cep_no_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+    from ..streaming.cep_stream import streaming_match_pattern_all
+
+    ev = events_stream(spark, sf_dir, watermark=None).where(
+        F.col("event_type").isin("signup", "purchase")
+    ).select("user_id", "event_id", "event_type", "ts")
+    pat = (
+        cep.Pattern.begin("s", lambda r: r["event_type"] == "signup")
+        .followed_by_any("p", lambda r: r["event_type"] == "purchase")
+        .within_time("1D")
+    )
+
+    def measures(rows, b):
+        return {
+            "signup_id": int(rows.iloc[b["s"][0]]["event_id"]),
+            "purchase_id": int(rows.iloc[b["p"][0]]["event_id"]),
+        }
+
+    out = streaming_match_pattern_all(
+        ev,
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        measures=measures,
+        output_schema="user_id long, signup_id long, purchase_id long",
+        order_cols=["ts", "event_id"],
+    )
+    return run_available_now(out, output_mode="append")

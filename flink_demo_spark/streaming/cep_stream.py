@@ -383,6 +383,99 @@ def streaming_match_pattern(
     )
 
 
+def streaming_match_pattern_all(
+    events: DataFrame,
+    pattern,
+    key_cols: list[str],
+    ts_col: str,
+    measures,
+    output_schema,
+    order_cols: list[str] | None = None,
+    flush_ts=None,
+):
+    """Streaming twin of ``operators.cep.match_pattern_all`` — Flink's
+    NO_SKIP default strategy over a live stream (reference
+    followedByAny golden ``CEPDemo.scala:674-704``): EVERY anchor
+    emits EVERY solution (all followedByAny branches, all
+    allowCombinations subsets, all non-greedy repeat counts), and
+    anchors never consume rows — the next anchor starts one row later
+    regardless of what matched.
+
+    Decidability: an anchor's full solution set is final exactly when
+    its WITHIN horizon has expired (every row that could participate
+    has arrived under the in-order contract) — the same rule the
+    ``skip_to_first`` pinned-anchor uses in
+    :func:`streaming_match_pattern`. Horizons expire in buffer order
+    (t0 is monotone), so the loop walks decided anchors off the front
+    and leaves the rest buffered. Requires ``pattern.within``;
+    ``flush_ts`` is the same end-of-stream hook (a marker row at/past
+    it finalizes every buffered anchor for its key). Assumes in-order
+    micro-batches per key (file replay / availableNow); use the
+    watermarked twin for out-of-order feeds.
+    """
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..operators.cep import _iter_matches_from, _schema_fields
+
+    if pattern.within is None:
+        raise ValueError("streaming_match_pattern_all requires pattern.within")
+    out_columns = [f.name for f in _schema_fields(output_schema)]
+    order = order_cols or [ts_col]
+    state_schema = StructType([StructField("buf", BinaryType())])
+    within = pattern.within
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        recs: list[dict] = pickle.loads(state.get[0]) if state.exists else []
+        new = [pdf for pdf in pdfs if len(pdf)]
+        eos = False
+        if new:
+            batch = pd.concat(new, ignore_index=True).sort_values(
+                order, kind="stable"
+            )
+            if flush_ts is not None:
+                marker = batch[ts_col] >= flush_ts
+                if marker.any():
+                    eos = True
+                    batch = batch[~marker]
+            recs.extend(batch.to_dict("records"))
+        out_rows: list[dict] = []
+        max_ts = recs[-1][ts_col] if recs else None
+        frame = None  # materialized once, only if something emits
+        start = 0
+        while start < len(recs):
+            t0 = recs[start][ts_col]
+            if not (eos or (max_ts - t0) > within):
+                break  # this anchor (and all later ones) still open
+            for _end, bindings in _iter_matches_from(
+                None, start, pattern, ts_col, recs
+            ):
+                if frame is None:
+                    frame = pd.DataFrame(recs)
+                rec = measures(frame, bindings)
+                for k, v in zip(key_cols, key):
+                    rec.setdefault(k, v)
+                out_rows.append(rec)
+            start += 1  # NO_SKIP: anchors never consume
+        if start:
+            recs = recs[start:]
+        state.update((pickle.dumps(recs),))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_columns)
+        else:
+            yield pd.DataFrame(columns=out_columns)
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_match_pattern_watermarked(
     events: DataFrame,
     pattern,
@@ -492,6 +585,91 @@ def streaming_match_pattern_watermarked(
         state.update((pickle.dumps(recs),))
         if recs and wm_ms > 0:
             # wake when the watermark passes the oldest open horizon
+            first_due = int(
+                (pd.Timestamp(recs[0][ts_col]) + within).value // 1_000_000
+            )
+            state.setTimeoutTimestamp(max(first_due, wm_ms + 1))
+        yield (
+            pd.DataFrame(out_rows, columns=out_columns)
+            if out_rows
+            else pd.DataFrame(columns=out_columns)
+        )
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_match_pattern_all_watermarked(
+    events: DataFrame,
+    pattern,
+    key_cols: list[str],
+    ts_col: str,
+    measures,
+    output_schema,
+    order_cols: list[str] | None = None,
+):
+    """Out-of-order NO_SKIP: :func:`streaming_match_pattern_all`
+    behind a watermark (the reference's followedByAny job runs on a
+    watermarked stream like every CEPDemo pattern). An anchor emits
+    its full solution set once its WITHIN horizon is entirely behind
+    the watermark and never consumes rows; rows at or below the
+    watermark are dropped late on intake; an event-time timer re-fires
+    keys whose oldest open horizon the watermark has passed. Requires
+    ``withWatermark`` upstream and ``pattern.within``."""
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..operators.cep import _iter_matches_from, _schema_fields
+
+    if pattern.within is None:
+        raise ValueError(
+            "streaming_match_pattern_all_watermarked requires pattern.within"
+        )
+    out_columns = [f.name for f in _schema_fields(output_schema)]
+    order = order_cols or [ts_col]
+    state_schema = StructType([StructField("buf", BinaryType())])
+    within = pattern.within
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        recs: list[dict] = pickle.loads(state.get[0]) if state.exists else []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = pd.Timestamp(wm_ms, unit="ms") if wm_ms > 0 else None
+        if not state.hasTimedOut:
+            new = [pdf for pdf in pdfs if len(pdf)]
+            if new:
+                batch = pd.concat(new, ignore_index=True)
+                if wm is not None:
+                    batch = batch[batch[ts_col] > wm]  # late: dropped
+                recs.extend(batch.to_dict("records"))
+        recs.sort(key=lambda r: tuple(r[c] for c in order))
+        out_rows: list[dict] = []
+        frame = None
+        start = 0
+        while start < len(recs):
+            t0 = recs[start][ts_col]
+            if wm is None or pd.Timestamp(t0) + within > wm:
+                break  # horizon still open: rows may yet arrive
+            for _end, bindings in _iter_matches_from(
+                None, start, pattern, ts_col, recs
+            ):
+                if frame is None:
+                    frame = pd.DataFrame(recs)
+                rec = measures(frame, bindings)
+                for k, v in zip(key_cols, key):
+                    rec.setdefault(k, v)
+                out_rows.append(rec)
+            start += 1  # NO_SKIP: anchors never consume
+        if start:
+            recs = recs[start:]
+        state.update((pickle.dumps(recs),))
+        if recs and wm_ms > 0:
             first_due = int(
                 (pd.Timestamp(recs[0][ts_col]) + within).value // 1_000_000
             )

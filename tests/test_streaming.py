@@ -1383,6 +1383,110 @@ def test_streaming_match_pattern_flush_ts_end_of_stream(spark):
         assert got == golden, (strategy, got)
 
 
+def test_streaming_match_pattern_all_no_skip_equals_batch(spark):
+    """Flink's NO_SKIP default (CEPDemo.scala followedByAny:674-704 —
+    every anchor, every branch) through BOTH streaming twins: the
+    in-order twin on random micro-batch splits (flush marker drains
+    the tail) and the watermarked twin on OUT-OF-ORDER splits, each
+    equal to batch match_pattern_all."""
+    import random
+
+    from flink_demo_spark.operators import cep
+    from flink_demo_spark.streaming.cep_stream import (
+        streaming_match_pattern_all,
+        streaming_match_pattern_all_watermarked,
+    )
+
+    t0 = dt.datetime(1970, 1, 2)
+    seq = [
+        ("sensor_1", 92, 20), ("sensor_2", 93, 21), ("sensor_1", 94, 22),
+        ("sensor_2", 95, 23), ("sensor_1", 96, 24), ("sensor_2", 99, 25),
+        ("sensor_1", 118, 26), ("sensor_2", 121, 27),
+    ]
+    rows = [
+        (1, sid, t0 + dt.timedelta(seconds=s), v, i)
+        for i, (sid, s, v) in enumerate(seq)
+    ]
+    schema = "k long, id string, ts timestamp, vc long, event_id long"
+
+    pat = (
+        cep.Pattern.begin("s", lambda r: r["id"] == "sensor_1")
+        .followed_by_any("p", lambda r: r["id"] == "sensor_2")
+        .within_time("30s")
+    )
+
+    def measures(rows_df, b):
+        return {
+            "s_id": int(rows_df.iloc[b["s"][0]]["event_id"]),
+            "p_id": int(rows_df.iloc[b["p"][0]]["event_id"]),
+        }
+
+    out_schema = "k long, s_id long, p_id long"
+    golden = {
+        (r.s_id, r.p_id)
+        for r in cep.match_pattern_all(
+            spark.createDataFrame(rows, schema), pat, ["k"], "ts",
+            measures, out_schema, order_cols=["ts", "event_id"],
+        ).collect()
+    }
+    # sanity: overlapping anchors with multiple branches each
+    assert golden == {(0, 1), (0, 3), (0, 5), (0, 7), (2, 3), (2, 5),
+                      (2, 7), (4, 5), (4, 7), (6, 7)}, golden
+
+    rng = random.Random(13)
+    rows_sorted = sorted(rows, key=lambda r: (r[2], r[4]))
+
+    # in-order twin: random splits + flush marker (inside any horizon)
+    flush_at = t0 + dt.timedelta(seconds=125)
+    marker = (1, "flush", flush_at, 0, len(seq))
+    cuts = sorted(rng.sample(range(1, len(rows_sorted)), 3))
+    batches, prev = [], 0
+    for c in [*cuts, len(rows_sorted)]:
+        batches.append(rows_sorted[prev:c])
+        prev = c
+    batches.append([marker])
+    got = {
+        (r.s_id, r.p_id)
+        for r in run_available_now(
+            streaming_match_pattern_all(
+                _mem_stream_batches(spark, batches, schema),
+                pat, ["k"], "ts", measures, out_schema,
+                order_cols=["ts", "event_id"], flush_ts=flush_at,
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    assert got == golden, got
+
+    # watermarked twin: OUT-OF-ORDER batches; a trailing far-future row
+    # pushes the watermark past every horizon (bounded-job final wm)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    mid = len(shuffled) // 2
+    wm_batches = [
+        shuffled[:mid],
+        shuffled[mid:],
+        [(1, "eof", t0 + dt.timedelta(seconds=500), 0, 99)],
+    ]
+    # 60s delay: mid-stream wm stays below every shuffled row (92..121
+    # vs wm <= 121-60), so nothing drops late; the 500s tail still
+    # closes every horizon (wm = 440 > 121+30)
+    stream = _mem_stream_batches(spark, wm_batches, schema).withWatermark(
+        "ts", "60 seconds"
+    )
+    got_wm = {
+        (r.s_id, r.p_id)
+        for r in run_available_now(
+            streaming_match_pattern_all_watermarked(
+                stream, pat, ["k"], "ts", measures, out_schema,
+                order_cols=["ts", "event_id"],
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    assert got_wm == golden, got_wm
+
+
 def test_streaming_match_pattern_watermarked_skip_strategies(spark):
     """skip_to_first / skip_to_last through the watermark-driven twin
     with OUT-OF-ORDER micro-batches: same goldens once the watermark

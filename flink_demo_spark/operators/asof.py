@@ -90,3 +90,141 @@ def asof_join(
     if how == "inner":
         out = out.dropna(subset=[payload_cols[0]])
     return out
+
+
+# ---------------------------------------------------------------------------
+# FOR SYSTEM_TIME AS OF — SQL front-end
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TEMPORAL_JOIN_RE = _re.compile(
+    r"""
+    SELECT\s+(?P<select>.*?)\s+
+    FROM\s+(?P<probe>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<palias>\w+)\s+
+    (?P<left>LEFT\s+)?JOIN\s+(?P<build>[A-Za-z_][\w.]*)\s+
+    FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<talias>\w+)\s*\.\s*(?P<tcol>\w+)\s+
+    (?:AS\s+)?(?P<balias>\w+)\s+
+    ON\s+(?P<on>.+?)\s*;?\s*$
+    """,
+    _re.I | _re.S | _re.X,
+)
+
+_ON_EQ_RE = _re.compile(r"^\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*$")
+
+
+def temporal_join_sql(spark, sql: str, build_time: str | None = None):
+    """Thin SQL front-end lowering Flink's event-time temporal join —
+    ``<probe> [LEFT] JOIN <versioned> FOR SYSTEM_TIME AS OF
+    <probe>.<rowtime> AS <alias> ON <key equality>`` (reference
+    ``QueryTest.scala:777-846`` temporalJoin and
+    ``TemporalJoinTest.scala:74-124`` temporalTableJoin run this text
+    verbatim) — onto :func:`asof_join`'s union/last_value plan (one
+    shuffle, no Join operator).
+
+    Tables resolve through the session catalog (temp views), the
+    MATCH_RECOGNIZE front-end's convention. Supported surface = what
+    the reference queries use: a single temporal join, one key
+    equality in ON, and a select list of column references /
+    arithmetic with optional ``AS`` aliases. ``build_time`` defaults
+    to the probe's AS-OF time column name when the versioned table has
+    it (both reference tables call it ``rowtime``). LEFT JOIN keeps
+    probe rows with no version yet (NULL rates — the reference golden
+    includes them); plain JOIN drops them.
+    """
+    from pyspark.sql import functions as F
+
+    m = _TEMPORAL_JOIN_RE.search(sql.strip())
+    if m is None:
+        raise ValueError(
+            "not a SELECT ... FROM p [LEFT] JOIN b FOR SYSTEM_TIME "
+            "AS OF p.<t> AS r ON ... query"
+        )
+    palias, balias = m.group("palias"), m.group("balias")
+    if m.group("talias").lower() != palias.lower():
+        raise ValueError(
+            "FOR SYSTEM_TIME AS OF must reference the probe alias "
+            f"({palias}), got {m.group('talias')}"
+        )
+    on = _ON_EQ_RE.match(m.group("on"))
+    if on is None:
+        raise ValueError(
+            f"unsupported ON clause (need one key equality): {m.group('on')}"
+        )
+    a1, c1, a2, c2 = on.groups()
+    side = {a1.lower(): c1, a2.lower(): c2}
+    if set(side) != {palias.lower(), balias.lower()}:
+        raise ValueError(f"ON must equate probe and build keys: {m.group('on')}")
+    p_key, b_key = side[palias.lower()], side[balias.lower()]
+
+    probe = spark.table(m.group("probe"))
+    build = spark.table(m.group("build"))
+    tcol = m.group("tcol")
+    bt = build_time or (tcol if tcol in build.columns else None)
+    if bt is None:
+        raise ValueError(
+            f"cannot infer the versioned table's time column (no {tcol!r} "
+            f"in {m.group('build')}); pass build_time="
+        )
+
+    # alias-qualify both sides so select rewriting is collision-free;
+    # the build key takes the probe key's qualified name (asof_join
+    # joins on a shared column name)
+    key_q = f"{palias}__{p_key}"
+    probe_q = probe.select(
+        *[F.col(c).alias(key_q if c == p_key else f"{palias}__{c}") for c in probe.columns]
+    )
+    build_q = build.select(
+        *[F.col(c).alias(key_q if c == b_key else f"{balias}__{c}") for c in build.columns]
+    )
+    payload = [c for c in build_q.columns if c != key_q]
+    joined = asof_join(
+        probe_q,
+        build_q,
+        on=key_q,
+        probe_time=f"{palias}__{tcol}",
+        build_time=f"{balias}__{bt}",
+        payload_cols=payload,
+        how="left" if m.group("left") else "inner",
+    )
+
+    def rewrite(expr: str) -> str:
+        expr = _re.sub(
+            rf"\b{palias}\s*\.\s*(\w+)",
+            lambda mm: key_q if mm.group(1) == p_key else f"{palias}__{mm.group(1)}",
+            expr,
+            flags=_re.I,
+        )
+        return _re.sub(
+            rf"\b{balias}\s*\.\s*(\w+)",
+            lambda mm: key_q if mm.group(1) == b_key else f"{balias}__{mm.group(1)}",
+            expr,
+            flags=_re.I,
+        )
+
+    # split the select list on top-level commas
+    items, depth, cur = [], 0, []
+    for ch in m.group("select"):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+
+    cols = []
+    for item in items:
+        item = item.strip()
+        alias_m = _re.search(r"\s+AS\s+(\w+)\s*$", item, _re.I)
+        if alias_m:
+            body, name = item[: alias_m.start()], alias_m.group(1)
+        else:
+            body = item
+            ref = _re.match(r"^\s*\w+\s*\.\s*(\w+)\s*$", item)
+            name = ref.group(1) if ref else item.strip()
+        cols.append(F.expr(rewrite(body)).alias(name))
+    return joined.select(*cols)

@@ -468,3 +468,69 @@ def kafka_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "temporal_join_system_time_sql",
+    # DuckDB's native ASOF LEFT JOIN is the oracle for Flink's
+    # FOR SYSTEM_TIME AS OF; rate versions are aggregated unique per
+    # (currency, rowtime) so the latest-version pick is tie-free in
+    # both engines
+    oracle="""
+    WITH o AS (
+      SELECT event_id AS order_id,
+             'C' || CAST(user_id % 7 AS VARCHAR) AS currency,
+             event_id % 97 AS amount,
+             CAST(ts AS TIMESTAMP) AS rowtime
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT 'C' || CAST(user_id % 7 AS VARCHAR) AS currency,
+             CAST(ts AS TIMESTAMP) AS rowtime,
+             max(event_id) % 50 + 1 AS rate
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2
+    )
+    SELECT o.order_id, o.currency, o.amount, r.rate,
+           o.amount * r.rate AS converted,
+           r.rowtime AS r_time
+    FROM o ASOF LEFT JOIN r
+      ON o.currency = r.currency AND o.rowtime >= r.rowtime
+    ORDER BY order_id
+    """,
+    doc=(
+        "FOR SYSTEM_TIME AS OF SQL front-end (reference "
+        "QueryTest.scala:777-846 temporalJoin, "
+        "TemporalJoinTest.scala:74-124 — their query text runs "
+        "verbatim, see test_temporal_join_sql_reference_text_verbatim):"
+        " the LEFT temporal join lowered onto the union+last_value "
+        "single-shuffle asof plan, carrying the matched version's own "
+        "rowtime. Oracle = DuckDB native ASOF LEFT JOIN."
+    ),
+)
+def temporal_join_system_time_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import temporal_join_sql
+
+    ev = _events(spark, sf_dir)
+    currency = F.concat(F.lit("C"), (F.col("user_id") % 7).cast("string"))
+    ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("order_id"),
+        currency.alias("currency"),
+        (F.col("event_id") % 97).alias("amount"),
+        F.col("ts").alias("rowtime"),
+    ).createOrReplaceTempView("temporal_orders_v")
+    ev.where(F.col("event_type") == "click").groupBy(
+        currency.alias("currency"), F.col("ts").alias("rowtime")
+    ).agg((F.max("event_id") % 50 + 1).alias("rate")).createOrReplaceTempView(
+        "temporal_rates_v"
+    )
+    return temporal_join_sql(
+        spark,
+        """
+        SELECT o.order_id, o.currency, o.amount, r.rate,
+               o.amount * r.rate AS converted,
+               r.rowtime AS r_time
+        FROM temporal_orders_v o
+        LEFT JOIN temporal_rates_v FOR SYSTEM_TIME AS OF o.rowtime AS r
+        ON o.currency = r.currency
+        """,
+    )

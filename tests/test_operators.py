@@ -564,6 +564,79 @@ def test_asof_join_reference_golden_rates(spark):
     }
 
 
+def test_temporal_join_sql_reference_text_verbatim(spark):
+    """The reference's FOR SYSTEM_TIME AS OF query text
+    (QueryTest.scala:802-846 / TemporalJoinTest.scala:108-122) runs
+    VERBATIM through the SQL front-end against the rates golden —
+    including the LEFT JOIN null row for an order before any rate
+    version exists, and both o_time/r_time version columns."""
+    from flink_demo_spark.operators.asof import temporal_join_sql
+
+    t = lambda s: dt.datetime(2021, 5, 11, 12, 0, s)
+    spark.createDataFrame(
+        [
+            (7, "Franc", t(3)),  # no Franc version ever -> NULL rate
+            (2, "Euro", t(2)),
+            (1, "US Dollar", t(2)),
+            (50, "Yen", t(4)),
+            (3, "Euro", t(5)),
+        ],
+        "amount long, currency string, rowtime timestamp",
+    ).createOrReplaceTempView("Orders")
+    spark.createDataFrame(
+        [
+            ("US Dollar", 102, t(1)),
+            ("Euro", 114, t(1)),
+            ("Yen", 1, t(1)),
+            ("Euro", 116, t(5)),
+            ("Euro", 119, t(7)),
+        ],
+        "currency string, rate long, rowtime timestamp",
+    ).createOrReplaceTempView("RatesHistory")
+
+    out = temporal_join_sql(
+        spark,
+        # QueryTest.scala:831-843, byte-for-byte modulo margin pipes
+        """
+        SELECT
+         o.currency
+         ,o.amount
+         ,r.rate
+         ,o.amount * r.rate as yen_amount
+         ,o.rowtime as o_time
+         ,r.rowtime as r_time
+        FROM Orders o
+        LEFT JOIN RatesHistory FOR SYSTEM_TIME AS OF o.rowtime as r
+        ON o.currency = r.currency
+        """,
+    )
+    assert out.columns == [
+        "currency", "amount", "rate", "yen_amount", "o_time", "r_time"
+    ]
+    got = {
+        (r.currency, r.amount, r.rate, r.yen_amount, r.o_time, r.r_time)
+        for r in out.collect()
+    }
+    assert got == {
+        ("Franc", 7, None, None, t(3), None),
+        ("Euro", 2, 114, 228, t(2), t(1)),
+        ("US Dollar", 1, 102, 102, t(2), t(1)),
+        ("Yen", 50, 1, 50, t(4), t(1)),
+        ("Euro", 3, 116, 348, t(5), t(5)),
+    }
+    # plain (inner) JOIN drops the version-less probe row
+    inner = temporal_join_sql(
+        spark,
+        """
+        SELECT o.currency, o.amount, r.rate
+        FROM Orders o
+        JOIN RatesHistory FOR SYSTEM_TIME AS OF o.rowtime AS r
+        ON o.currency = r.currency
+        """,
+    )
+    assert {r.currency for r in inner.collect()} == {"Euro", "US Dollar", "Yen"}
+
+
 def test_match_recognize_ticker_golden(spark):
     """Reference MATCH_RECOGNIZE golden (QueryTest.scala:942-1026;
     expected match recorded at TableSQLFunc.scala:1561-1567): ACME

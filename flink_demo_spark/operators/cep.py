@@ -647,6 +647,24 @@ def _anchor_failure_is_final(pattern: Pattern, n_avail: int) -> bool:
     return n_avail >= need
 
 
+def _anchor_dead_now(pattern: Pattern, recs: list[dict], at: int = 0) -> bool:
+    """Streaming fail-fast: the buffer's front row can NEVER anchor a
+    match — the begin step is mandatory (not optional/negated/group,
+    min_times >= 1), anchored at the front row, and its predicate
+    rejects it. A begin predicate sees only the row and an empty
+    partial (iterative ctx has nothing bound yet), so a rejection is
+    permanent and the row can drop immediately instead of lingering
+    until its WITHIN horizon expires — at scale this keeps per-key
+    state proportional to live partials, not to `within` × event
+    rate. Safe for every skip strategy (a dead anchor emits nothing
+    under any of them, and `_partial_bindings` returns None for it so
+    no timeout fires either)."""
+    s0 = pattern.steps[0]
+    if s0.negated or s0.optional or s0.group is not None or s0.min_times < 1:
+        return False
+    return not _invoke(s0.predicate, recs[at], recs, {}, s0.name)
+
+
 def _match_can_extend(pattern: Pattern, bindings: dict) -> bool:
     """Could a future in-order row change this preferred match?
     Used by the streaming twin to decide whether a match ending at the

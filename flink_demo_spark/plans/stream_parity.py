@@ -884,3 +884,114 @@ def streaming_cep_no_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
     )
     return run_available_now(out, output_mode="append")
+
+
+@query(
+    "streaming_cep_order_timeout",
+    # batch cep_order_timeout oracle (next-purchase walk) restricted
+    # to DECIDED anchors: the in-order replay ends with no final
+    # watermark, so a pending timeout (no purchase within 7 days yet,
+    # and the user's last seen event is still inside the anchor's
+    # horizon) blocks that user's walk at the first such anchor —
+    # everything before it emits, everything at/after it is withheld.
+    # Successes decide the moment their purchase arrives (a bound
+    # single follow step cannot extend); timeouts decide when any
+    # user event lands strictly beyond the anchor's horizon.
+    oracle="""
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS rn
+      FROM events
+    ), nb AS MATERIALIZED (
+      SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np_rn
+      FROM base
+    ), sig AS MATERIALIZED (
+      SELECT n.user_id, n.event_id, n.rn, n.np_rn, n.ts AS s_ts,
+             (n.np_rn IS NOT NULL
+              AND p.ts <= n.ts + INTERVAL 7 DAY) AS np_ok
+      FROM nb n
+      LEFT JOIN base p ON p.user_id = n.user_id AND p.rn = n.np_rn
+      WHERE n.event_type = 'signup'
+    ), succ AS MATERIALIZED (
+      SELECT user_id, rn, np_rn FROM sig WHERE np_ok
+    ), walk(user_id, s_rn, np_rn) AS (
+      SELECT user_id, rn, np_rn FROM succ s1
+      WHERE rn = (SELECT min(rn) FROM succ s2 WHERE s2.user_id = s1.user_id)
+      UNION ALL
+      SELECT s.user_id, s.rn, s.np_rn
+      FROM walk w JOIN succ s ON s.user_id = w.user_id
+      WHERE s.rn = (SELECT min(rn) FROM succ s2
+                    WHERE s2.user_id = w.user_id AND s2.rn > w.np_rn)
+    ), anch AS MATERIALIZED (
+      SELECT g.* FROM sig g
+      WHERE NOT EXISTS (
+        SELECT 1 FROM walk c
+        WHERE c.user_id = g.user_id AND g.rn > c.s_rn AND g.rn <= c.np_rn
+      )
+    ), mm AS (
+      SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS mx
+      FROM events GROUP BY user_id
+    ), und AS (
+      SELECT a.user_id, min(a.rn) AS first_und
+      FROM anch a JOIN mm ON mm.user_id = a.user_id
+      WHERE NOT a.np_ok AND mm.mx - a.s_ts <= INTERVAL 7 DAY
+      GROUP BY a.user_id
+    )
+    SELECT a.user_id, a.event_id AS anchor_id,
+           CASE WHEN a.np_ok THEN 'success' ELSE 'timeout' END AS status,
+           NOT a.np_ok AS is_timeout
+    FROM anch a
+    LEFT JOIN und u ON u.user_id = a.user_id
+    WHERE u.first_und IS NULL OR a.rn < u.first_und
+    ORDER BY anchor_id
+    """,
+    doc=(
+        "streaming CEP timeout side-output (reference OrderPay.scala "
+        "streaming job, PatternFlatTimeoutFunction via "
+        "TimeoutMatchByCep.scala:10-19): signup followedBy purchase "
+        "WITHIN 7 days from keyed state — completed pairs emit "
+        "is_timeout=false the moment the purchase arrives, expired "
+        "partials emit the anchoring signup with is_timeout=true once "
+        "a user event passes the horizon; rows that can never anchor "
+        "drop immediately (state stays proportional to live partials)."
+    ),
+)
+def streaming_cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cep
+    from ..streaming.cep_stream import streaming_match_pattern
+
+    ev = events_stream(spark, sf_dir, watermark=None).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    pat = (
+        cep.Pattern.begin("begin", lambda r: r["event_type"] == "signup")
+        .followed_by("follow", lambda r: r["event_type"] == "purchase")
+        .within_time("7D")
+    )
+
+    def ok(rows, b):
+        return {"anchor_id": int(rows.iloc[b["begin"][0]]["event_id"]),
+                "status": "success"}
+
+    def timed_out(rows, b):
+        return {"anchor_id": int(rows.iloc[b["begin"][0]]["event_id"]),
+                "status": "timeout"}
+
+    out = streaming_match_pattern(
+        ev,
+        pat,
+        key_cols=["user_id"],
+        ts_col="ts",
+        measures=ok,
+        output_schema=(
+            "user_id long, anchor_id long, status string, "
+            "is_timeout boolean"
+        ),
+        order_cols=["ts", "event_id"],
+        timeout_measures=timed_out,
+    )
+    return run_available_now(out, output_mode="append")

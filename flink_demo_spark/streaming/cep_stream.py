@@ -237,6 +237,7 @@ def streaming_match_pattern(
     output_schema,
     order_cols: list[str] | None = None,
     flush_ts=None,
+    timeout_measures=None,
 ):
     """General streaming twin of ``operators.cep.match_pattern`` —
     Flink's ``CEP.pattern(stream)`` as the reference uses it
@@ -273,6 +274,18 @@ def streaming_match_pattern(
     matches emit, dead anchors drop) regardless of the WITHIN horizon.
     The watermarked twin plus a horizon-advancing row remains the
     correct path for out-of-order input.
+
+    ``timeout_measures`` enables the timeout side-output (streaming
+    twin of ``match_pattern_with_timeouts`` — Flink's
+    ``PatternFlatTimeoutFunction``, reference TimeoutMatchByCep.scala:
+    10-19 / OrderPay.scala:31-53): an anchor that BEGAN a partial but
+    whose horizon expires incomplete emits a ``timeout_measures`` row
+    with ``is_timeout=true``; matches emit with ``is_timeout=false``.
+    Same strategy surface as batch (skip_past_last_event /
+    skip_to_next). Rows that can never anchor (begin predicate
+    rejects) drop immediately instead of waiting out their horizon —
+    per-key state stays proportional to live partials, not to
+    ``within`` × event rate.
     """
     import pickle
 
@@ -280,16 +293,23 @@ def streaming_match_pattern(
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     from ..operators.cep import (
+        _anchor_dead_now,
         _anchor_failure_is_final,
         _iter_matches_from,
         _match_can_extend,
         _match_from,
+        _partial_bindings,
         _schema_fields,
     )
 
     if pattern.within is None:
         raise ValueError("streaming_match_pattern requires pattern.within")
     after = pattern.after_match
+    if timeout_measures is not None and isinstance(after, tuple):
+        raise ValueError(
+            "timeout side-output supports skip_past_last_event / "
+            "skip_to_next (the batch operator's surface)"
+        )
     if not (
         after in ("skip_past_last_event", "skip_to_next")
         or (
@@ -320,6 +340,9 @@ def streaming_match_pattern(
         out_rows: list[dict] = []
         max_ts = recs[-1][ts_col] if recs else None
         while recs:
+            if _anchor_dead_now(pattern, recs):
+                recs = recs[1:]  # can never anchor: drop immediately
+                continue
             # the matcher runs on recs directly; the pandas frame is
             # only materialized for measures() on an actual emission
             m = _match_from(None, 0, pattern, ts_col, recs)
@@ -329,6 +352,18 @@ def streaming_match_pattern(
             )
             if m is None:
                 if expired or _anchor_failure_is_final(pattern, len(recs)):
+                    if timeout_measures is not None:
+                        partial = _partial_bindings(
+                            None, 0, pattern, ts_col, recs
+                        )
+                        if partial:
+                            rec = timeout_measures(
+                                pd.DataFrame(recs), partial
+                            )
+                            rec["is_timeout"] = True
+                            for k, v in zip(key_cols, key):
+                                rec.setdefault(k, v)
+                            out_rows.append(rec)
                     recs = recs[1:]  # anchor dead for good
                     continue
                 break  # pending: a future row may still complete it
@@ -356,6 +391,8 @@ def streaming_match_pattern(
             ):
                 break  # a future in-horizon row could extend the match
             rec = measures(pd.DataFrame(recs), bindings)
+            if timeout_measures is not None:
+                rec["is_timeout"] = False
             for k, v in zip(key_cols, key):
                 rec.setdefault(k, v)
             out_rows.append(rec)
@@ -418,7 +455,11 @@ def streaming_match_pattern_all(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    from ..operators.cep import _iter_matches_from, _schema_fields
+    from ..operators.cep import (
+        _anchor_dead_now,
+        _iter_matches_from,
+        _schema_fields,
+    )
 
     if pattern.within is None:
         raise ValueError("streaming_match_pattern_all requires pattern.within")
@@ -446,6 +487,9 @@ def streaming_match_pattern_all(
         frame = None  # materialized once, only if something emits
         start = 0
         while start < len(recs):
+            if _anchor_dead_now(pattern, recs, start):
+                start += 1  # can never anchor: no need to wait it out
+                continue
             t0 = recs[start][ts_col]
             if not (eos or (max_ts - t0) > within):
                 break  # this anchor (and all later ones) still open
@@ -513,7 +557,12 @@ def streaming_match_pattern_watermarked(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    from ..operators.cep import _iter_matches_from, _match_from, _schema_fields
+    from ..operators.cep import (
+        _anchor_dead_now,
+        _iter_matches_from,
+        _match_from,
+        _schema_fields,
+    )
 
     if pattern.within is None:
         raise ValueError(
@@ -548,6 +597,17 @@ def streaming_match_pattern_watermarked(
         out_rows: list[dict] = []
         while recs:
             t0 = recs[0][ts_col]
+            # fail-fast once the front row is behind the watermark: no
+            # future row can sort before it (late rows drop on intake),
+            # so a begin-predicate rejection is permanent WITHOUT
+            # waiting out the full horizon
+            if (
+                wm is not None
+                and pd.Timestamp(t0) <= wm
+                and _anchor_dead_now(pattern, recs)
+            ):
+                recs = recs[1:]
+                continue
             if wm is None or pd.Timestamp(t0) + within > wm:
                 break  # horizon still open: rows may yet arrive
             m = _match_from(None, 0, pattern, ts_col, recs)
@@ -626,7 +686,11 @@ def streaming_match_pattern_all_watermarked(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    from ..operators.cep import _iter_matches_from, _schema_fields
+    from ..operators.cep import (
+        _anchor_dead_now,
+        _iter_matches_from,
+        _schema_fields,
+    )
 
     if pattern.within is None:
         raise ValueError(
@@ -654,6 +718,13 @@ def streaming_match_pattern_all_watermarked(
         start = 0
         while start < len(recs):
             t0 = recs[start][ts_col]
+            if (
+                wm is not None
+                and pd.Timestamp(t0) <= wm
+                and _anchor_dead_now(pattern, recs, start)
+            ):
+                start += 1  # behind the wm and can never anchor
+                continue
             if wm is None or pd.Timestamp(t0) + within > wm:
                 break  # horizon still open: rows may yet arrive
             for _end, bindings in _iter_matches_from(

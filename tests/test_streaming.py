@@ -1487,6 +1487,84 @@ def test_streaming_match_pattern_all_no_skip_equals_batch(spark):
     assert got_wm == golden, got_wm
 
 
+def test_streaming_match_pattern_timeout_side_output_equals_batch(spark):
+    """The timeout side-output (Flink PatternFlatTimeoutFunction,
+    OrderPay.scala) through the streaming twin on random micro-batch
+    splits equals batch match_pattern_with_timeouts: completed
+    signup->purchase pairs emit is_timeout=false, expired partials
+    emit the anchoring signup with is_timeout=true."""
+    import random
+
+    from flink_demo_spark.operators import cep
+    from flink_demo_spark.streaming.cep_stream import streaming_match_pattern
+
+    t0 = dt.datetime(1970, 1, 2)
+    seq = [
+        (1, "signup", 10), (1, "click", 12), (1, "purchase", 20),
+        (1, "signup", 50), (1, "click", 55),              # times out (95-50>30)
+        (1, "signup", 90), (1, "purchase", 95),
+        (2, "signup", 10),                                 # times out
+        (2, "click", 30), (2, "purchase", 60),             # beyond horizon
+        (3, "purchase", 5), (3, "signup", 8), (3, "purchase", 20),
+    ]
+    rows = [
+        (k, et, t0 + dt.timedelta(seconds=s), i)
+        for i, (k, et, s) in enumerate(seq)
+    ]
+    schema = "k long, event_type string, ts timestamp, event_id long"
+    pat = (
+        cep.Pattern.begin("begin", lambda r: r["event_type"] == "signup")
+        .followed_by("follow", lambda r: r["event_type"] == "purchase")
+        .within_time("30s")
+    )
+
+    def ok(rows_df, b):
+        return {"anchor_id": int(rows_df.iloc[b["begin"][0]]["event_id"]),
+                "status": "success"}
+
+    def timed_out(rows_df, b):
+        return {"anchor_id": int(rows_df.iloc[b["begin"][0]]["event_id"]),
+                "status": "timeout"}
+
+    out_schema = "k long, anchor_id long, status string, is_timeout boolean"
+    golden = {
+        (r.k, r.anchor_id, r.status, r.is_timeout)
+        for r in cep.match_pattern_with_timeouts(
+            spark.createDataFrame(rows, schema), pat, ["k"], "ts",
+            ok, timed_out, out_schema, order_cols=["ts", "event_id"],
+        ).collect()
+    }
+    assert golden == {
+        (1, 0, "success", False), (1, 3, "timeout", True),
+        (1, 5, "success", False), (2, 7, "timeout", True),
+        (3, 11, "success", False),
+    }, golden
+
+    rng = random.Random(17)
+    rows_sorted = sorted(rows, key=lambda r: (r[2], r[3]))
+    flush_at = t0 + dt.timedelta(seconds=200)
+    markers = [(k, "flush", flush_at, 100 + k) for k in (1, 2, 3)]
+    cuts = sorted(rng.sample(range(1, len(rows_sorted)), 4))
+    batches, prev = [], 0
+    for c in [*cuts, len(rows_sorted)]:
+        batches.append(rows_sorted[prev:c])
+        prev = c
+    batches.append(markers)
+    got = {
+        (r.k, r.anchor_id, r.status, r.is_timeout)
+        for r in run_available_now(
+            streaming_match_pattern(
+                _mem_stream_batches(spark, batches, schema),
+                pat, ["k"], "ts", ok, out_schema,
+                order_cols=["ts", "event_id"], flush_ts=flush_at,
+                timeout_measures=timed_out,
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    assert got == golden, got
+
+
 def test_streaming_match_pattern_watermarked_skip_strategies(spark):
     """skip_to_first / skip_to_last through the watermark-driven twin
     with OUT-OF-ORDER micro-batches: same goldens once the watermark

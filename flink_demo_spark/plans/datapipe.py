@@ -1087,3 +1087,144 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clips = multimodal.synthesize_y4m_clips(text.fan_out(docs), "doc_id")
     return multimodal.y4m_frame_stats(clips, "doc_id", "video", every=2)
+
+
+@query(
+    "text_pii_redact",
+    # deterministic synthetic PII appended from doc_id (the corpus is
+    # synthetic prose with no real PII — same synthesize->transform
+    # pattern as the multimodal decode queries), then regex redaction;
+    # identical simple regexes run in both engines
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.org or +1-202-555-0'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+             txt, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(
+             txt, '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(
+             txt, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+             AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+             txt,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>',
+             'g')) AS redacted_digest
+    FROM synth
+    ORDER BY doc_id
+    """,
+    doc=(
+        "PII scrubbing for training corpora (beyond-reference LLM "
+        "pipeline surface): email / NANP phone / IPv4 detection counts "
+        "+ regex redaction to typed placeholders, as single-pass JVM "
+        "column expressions (no UDF); digest of the redacted text is "
+        "oracle-exact."
+    ),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1-202-555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" from 192.168."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    email = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    phone = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    ipv4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    staged = docs.select("doc_id", txt.alias("txt"))
+    return staged.select(
+        "doc_id",
+        F.regexp_count("txt", F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count("txt", F.lit(phone)).cast("int").alias("n_phones"),
+        F.regexp_count("txt", F.lit(ipv4)).cast("int").alias("n_ips"),
+        F.md5(
+            F.encode(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace("txt", email, "<EMAIL>"),
+                        phone,
+                        "<PHONE>",
+                    ),
+                    ipv4,
+                    "<IP>",
+                ),
+                "UTF-8",
+            )
+        ).alias("redacted_digest"),
+    )
+
+
+@query(
+    "url_canonicalize_dedup",
+    # deterministic synthetic URLs from doc_id; canonicalization
+    # rebuilds from whitelisted parts (lowercased host, path, the id
+    # query param — tracking params and fragments dropped), then an
+    # exact-dedup groupBy on the canonical form
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://WWW.ExAmple' || CAST(doc_id % 13 AS VARCHAR)
+               || '.com:443/path/' || CAST(doc_id % 40 AS VARCHAR)
+               || '?utm_source=s' || CAST(doc_id % 5 AS VARCHAR)
+               || '&id=' || CAST(doc_id % 11 AS VARCHAR)
+               || '&utm_campaign=x&ref=r' || CAST(doc_id % 3 AS VARCHAR)
+               || '#frag' AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             'https://' || lower(regexp_extract(url, '^https?://([^/:]+)', 1))
+               || regexp_extract(url, '://[^/]+(/[^?#]*)', 1)
+               || '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1)
+               AS canonical
+      FROM u
+    )
+    SELECT canonical, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM c GROUP BY canonical
+    ORDER BY canonical
+    """,
+    doc=(
+        "URL canonicalization + dedup for web corpora (beyond-"
+        "reference LLM pipeline surface): lowercase host, strip "
+        "default port / tracking params / fragment by rebuilding from "
+        "whitelisted parts, then exact-dedup on the canonical form — "
+        "one groupBy shuffle, all else JVM column expressions."
+    ),
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    url = F.concat(
+        F.lit("https://WWW.ExAmple"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".com:443/path/"), (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=s"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&id="), (F.col("doc_id") % 11).cast("string"),
+        F.lit("&utm_campaign=x&ref=r"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("#frag"),
+    )
+    staged = docs.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract("url", r"^https?://([^/:]+)", 1)),
+        F.regexp_extract("url", r"://[^/]+(/[^?#]*)", 1),
+        F.lit("?id="),
+        F.regexp_extract("url", r"[?&]id=([0-9]+)", 1),
+    )
+    return (
+        staged.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

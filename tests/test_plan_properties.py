@@ -196,6 +196,14 @@ EXPECT = {
         absent=["Join"],
         max_exchanges=1,
     ),
+    # FOR SYSTEM_TIME AS OF front-end lowers to the same no-Join asof
+    # plan: rate-version dedup agg + the union/last_value key shuffle
+    "temporal_join_system_time_sql": dict(
+        contains=["Window"],
+        absent=["Join", "rangepartitioning"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
     # --- TPC-H-style suite (plans/tpch.py): dims must broadcast, the
     # fact tables shuffle at most on groupBy keys + the output sort ---
     "q4_order_priority": dict(

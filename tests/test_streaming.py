@@ -250,6 +250,84 @@ def test_checkpoint_recovery_exactly_once(spark):
     assert second == [1, 2, 3, 4, 5], "b1 must not be reprocessed, b2 must be"
 
 
+def test_streaming_cep_state_survives_checkpoint_restart(spark):
+    """The NFA's pickled keyed state must survive a checkpointed
+    restart: a partial match begun before the stop completes after the
+    restart, and a timeout decided only by post-restart rows emits —
+    final output equals batch match_pattern_with_timeouts."""
+    import tempfile
+
+    from flink_demo_spark.operators import cep
+    from flink_demo_spark.streaming.cep_stream import streaming_match_pattern
+
+    t0 = dt.datetime(1970, 1, 2)
+    seq_b1 = [
+        (1, "signup", 10, 0),    # completes at 40 (post-restart)
+        (2, "signup", 12, 1),    # times out at 50 (post-restart row)
+        (1, "click", 15, 2),
+    ]
+    seq_b2 = [
+        (1, "purchase", 40, 3),
+        (2, "click", 50, 4),     # expires user 2's anchor (50-12>30)
+        (2, "signup", 55, 5),    # stays pending: horizon never expires
+    ]
+    schema = "k long, event_type string, ts timestamp, event_id long"
+    pat = (
+        cep.Pattern.begin("begin", lambda r: r["event_type"] == "signup")
+        .followed_by("follow", lambda r: r["event_type"] == "purchase")
+        .within_time("30s")
+    )
+
+    def ok(rows_df, b):
+        return {"anchor_id": int(rows_df.iloc[b["begin"][0]]["event_id"]),
+                "status": "success"}
+
+    def timed_out(rows_df, b):
+        return {"anchor_id": int(rows_df.iloc[b["begin"][0]]["event_id"]),
+                "status": "timeout"}
+
+    out_schema = "k long, anchor_id long, status string, is_timeout boolean"
+    src = tempfile.mkdtemp(prefix="cep_ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="cep_ckpt_state_")
+    out_dir = tempfile.mkdtemp(prefix="cep_ckpt_out_") + "/data"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(
+            [(k, et, t0 + dt.timedelta(seconds=s), i) for k, et, s, i in rows],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = (
+            streaming_match_pattern(
+                stream, pat, ["k"], "ts", ok, out_schema,
+                order_cols=["ts", "event_id"], timeout_measures=timed_out,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_batch(seq_b1, "b1")
+    run_once()
+    write_batch(seq_b2, "b2")
+    run_once()  # restart from checkpoint: state restored, b1 not re-read
+
+    got = {
+        (r.k, r.anchor_id, r.status, r.is_timeout)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (1, 0, "success", False),   # partial from b1 completed by b2
+        (2, 1, "timeout", True),    # decided by a post-restart row
+    }, got
+
+
 def test_late_data_dropped_past_watermark(spark):
     """Reference allowedLateness/late side-output (WatermarkDemo.scala:
     207-299): Spark drops rows later than the watermark in append mode

@@ -228,6 +228,104 @@ def buffered_consecutive_pattern_stream(
     )
 
 
+def drain_in_order(
+    recs: list[dict],
+    pattern,
+    ts_col: str,
+    key_cols: list[str],
+    key: tuple,
+    measures,
+    timeout_measures=None,
+    eos: bool = False,
+):
+    """The in-order incremental NFA decision step: walk decided
+    anchors off the front of a key's buffered rows, emitting every
+    decision, and return ``(out_rows, remaining_recs)``.
+
+    Pure python (no Spark): shared by the
+    ``streaming_match_pattern`` applyInPandasWithState closure and
+    the split-fuzz harness in ``tests/``, so thousands of random
+    micro-batch splits can be driven against the batch operators
+    without a streaming query per split. ``eos=True`` finalizes every
+    pending decision (the flush_ts / end-of-stream path)."""
+    from ..operators.cep import (
+        _anchor_dead_now,
+        _anchor_failure_is_final,
+        _iter_matches_from,
+        _match_can_extend,
+        _match_from,
+        _partial_bindings,
+    )
+
+    within = pattern.within
+    after = pattern.after_match
+    out_rows: list[dict] = []
+    max_ts = recs[-1][ts_col] if recs else None
+    while recs:
+        if _anchor_dead_now(pattern, recs):
+            recs = recs[1:]  # can never anchor: drop immediately
+            continue
+        # the matcher runs on recs directly; the pandas frame is
+        # only materialized for measures() on an actual emission
+        m = _match_from(None, 0, pattern, ts_col, recs)
+        t0 = recs[0][ts_col]
+        expired = eos or (
+            max_ts is not None and (max_ts - t0) > within
+        )
+        if m is None:
+            if expired or _anchor_failure_is_final(pattern, len(recs)):
+                if timeout_measures is not None:
+                    partial = _partial_bindings(
+                        None, 0, pattern, ts_col, recs
+                    )
+                    if partial:
+                        rec = timeout_measures(pd.DataFrame(recs), partial)
+                        rec["is_timeout"] = True
+                        for k, v in zip(key_cols, key):
+                            rec.setdefault(k, v)
+                        out_rows.append(rec)
+                recs = recs[1:]  # anchor dead for good
+                continue
+            break  # pending: a future row may still complete it
+        end, bindings = m
+        if isinstance(after, tuple) and after[0] == "skip_to_first":
+            if not expired:
+                break  # more solutions may land inside the horizon
+            max_end = end
+            for e2, b2 in _iter_matches_from(None, 0, pattern, ts_col, recs):
+                rec = measures(pd.DataFrame(recs), b2)
+                for k, v in zip(key_cols, key):
+                    rec.setdefault(k, v)
+                out_rows.append(rec)
+                max_end = max(max_end, e2)
+            idxs = bindings.get(after[1]) or []
+            first_idx = min(idxs) if idxs else 0
+            recs = recs[first_idx if first_idx > 0 else max_end:]
+            continue
+        if (
+            end == len(recs)
+            and not expired
+            and _match_can_extend(pattern, bindings)
+        ):
+            break  # a future in-horizon row could extend the match
+        rec = measures(pd.DataFrame(recs), bindings)
+        if timeout_measures is not None:
+            rec["is_timeout"] = False
+        for k, v in zip(key_cols, key):
+            rec.setdefault(k, v)
+        out_rows.append(rec)
+        if isinstance(after, tuple):  # skip_to_last
+            idxs = bindings.get(after[1]) or []
+            last_idx = max(idxs) if idxs else 0
+            drop = last_idx if last_idx > 0 else end
+        elif after == "skip_to_next":
+            drop = 1
+        else:
+            drop = end
+        recs = recs[drop:]
+    return out_rows, recs
+
+
 def streaming_match_pattern(
     events: DataFrame,
     pattern,
@@ -292,15 +390,7 @@ def streaming_match_pattern(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    from ..operators.cep import (
-        _anchor_dead_now,
-        _anchor_failure_is_final,
-        _iter_matches_from,
-        _match_can_extend,
-        _match_from,
-        _partial_bindings,
-        _schema_fields,
-    )
+    from ..operators.cep import _schema_fields
 
     if pattern.within is None:
         raise ValueError("streaming_match_pattern requires pattern.within")
@@ -321,7 +411,6 @@ def streaming_match_pattern(
     out_columns = [f.name for f in _schema_fields(output_schema)]
     order = order_cols or [ts_col]
     state_schema = StructType([StructField("buf", BinaryType())])
-    within = pattern.within
 
     def fn(key: tuple, pdfs, state: GroupState):
         recs: list[dict] = pickle.loads(state.get[0]) if state.exists else []
@@ -337,74 +426,10 @@ def streaming_match_pattern(
                     eos = True
                     batch = batch[~marker]
             recs.extend(batch.to_dict("records"))
-        out_rows: list[dict] = []
-        max_ts = recs[-1][ts_col] if recs else None
-        while recs:
-            if _anchor_dead_now(pattern, recs):
-                recs = recs[1:]  # can never anchor: drop immediately
-                continue
-            # the matcher runs on recs directly; the pandas frame is
-            # only materialized for measures() on an actual emission
-            m = _match_from(None, 0, pattern, ts_col, recs)
-            t0 = recs[0][ts_col]
-            expired = eos or (
-                max_ts is not None and (max_ts - t0) > within
-            )
-            if m is None:
-                if expired or _anchor_failure_is_final(pattern, len(recs)):
-                    if timeout_measures is not None:
-                        partial = _partial_bindings(
-                            None, 0, pattern, ts_col, recs
-                        )
-                        if partial:
-                            rec = timeout_measures(
-                                pd.DataFrame(recs), partial
-                            )
-                            rec["is_timeout"] = True
-                            for k, v in zip(key_cols, key):
-                                rec.setdefault(k, v)
-                            out_rows.append(rec)
-                    recs = recs[1:]  # anchor dead for good
-                    continue
-                break  # pending: a future row may still complete it
-            end, bindings = m
-            if isinstance(after, tuple) and after[0] == "skip_to_first":
-                if not expired:
-                    break  # more solutions may land inside the horizon
-                max_end = end
-                for e2, b2 in _iter_matches_from(
-                    None, 0, pattern, ts_col, recs
-                ):
-                    rec = measures(pd.DataFrame(recs), b2)
-                    for k, v in zip(key_cols, key):
-                        rec.setdefault(k, v)
-                    out_rows.append(rec)
-                    max_end = max(max_end, e2)
-                idxs = bindings.get(after[1]) or []
-                first_idx = min(idxs) if idxs else 0
-                recs = recs[first_idx if first_idx > 0 else max_end :]
-                continue
-            if (
-                end == len(recs)
-                and not expired
-                and _match_can_extend(pattern, bindings)
-            ):
-                break  # a future in-horizon row could extend the match
-            rec = measures(pd.DataFrame(recs), bindings)
-            if timeout_measures is not None:
-                rec["is_timeout"] = False
-            for k, v in zip(key_cols, key):
-                rec.setdefault(k, v)
-            out_rows.append(rec)
-            if isinstance(after, tuple):  # skip_to_last
-                idxs = bindings.get(after[1]) or []
-                last_idx = max(idxs) if idxs else 0
-                drop = last_idx if last_idx > 0 else end
-            elif after == "skip_to_next":
-                drop = 1
-            else:
-                drop = end
-            recs = recs[drop:]
+        out_rows, recs = drain_in_order(
+            recs, pattern, ts_col, key_cols, key, measures,
+            timeout_measures=timeout_measures, eos=eos,
+        )
         state.update((pickle.dumps(recs),))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_columns)
@@ -418,6 +443,46 @@ def streaming_match_pattern(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def drain_all_in_order(
+    recs: list[dict],
+    pattern,
+    ts_col: str,
+    key_cols: list[str],
+    key: tuple,
+    measures,
+    eos: bool = False,
+):
+    """NO_SKIP incremental decision step (see :func:`drain_in_order`):
+    every decided anchor emits its full solution set and never
+    consumes rows. Pure python — shared by the streaming closure and
+    the split-fuzz harness."""
+    from ..operators.cep import _anchor_dead_now, _iter_matches_from
+
+    within = pattern.within
+    out_rows: list[dict] = []
+    max_ts = recs[-1][ts_col] if recs else None
+    frame = None  # materialized once, only if something emits
+    start = 0
+    while start < len(recs):
+        if _anchor_dead_now(pattern, recs, start):
+            start += 1  # can never anchor: no need to wait it out
+            continue
+        t0 = recs[start][ts_col]
+        if not (eos or (max_ts - t0) > within):
+            break  # this anchor (and all later ones) still open
+        for _end, bindings in _iter_matches_from(
+            None, start, pattern, ts_col, recs
+        ):
+            if frame is None:
+                frame = pd.DataFrame(recs)
+            rec = measures(frame, bindings)
+            for k, v in zip(key_cols, key):
+                rec.setdefault(k, v)
+            out_rows.append(rec)
+        start += 1  # NO_SKIP: anchors never consume
+    return out_rows, recs[start:] if start else recs
 
 
 def streaming_match_pattern_all(
@@ -455,18 +520,13 @@ def streaming_match_pattern_all(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    from ..operators.cep import (
-        _anchor_dead_now,
-        _iter_matches_from,
-        _schema_fields,
-    )
+    from ..operators.cep import _schema_fields
 
     if pattern.within is None:
         raise ValueError("streaming_match_pattern_all requires pattern.within")
     out_columns = [f.name for f in _schema_fields(output_schema)]
     order = order_cols or [ts_col]
     state_schema = StructType([StructField("buf", BinaryType())])
-    within = pattern.within
 
     def fn(key: tuple, pdfs, state: GroupState):
         recs: list[dict] = pickle.loads(state.get[0]) if state.exists else []
@@ -482,29 +542,9 @@ def streaming_match_pattern_all(
                     eos = True
                     batch = batch[~marker]
             recs.extend(batch.to_dict("records"))
-        out_rows: list[dict] = []
-        max_ts = recs[-1][ts_col] if recs else None
-        frame = None  # materialized once, only if something emits
-        start = 0
-        while start < len(recs):
-            if _anchor_dead_now(pattern, recs, start):
-                start += 1  # can never anchor: no need to wait it out
-                continue
-            t0 = recs[start][ts_col]
-            if not (eos or (max_ts - t0) > within):
-                break  # this anchor (and all later ones) still open
-            for _end, bindings in _iter_matches_from(
-                None, start, pattern, ts_col, recs
-            ):
-                if frame is None:
-                    frame = pd.DataFrame(recs)
-                rec = measures(frame, bindings)
-                for k, v in zip(key_cols, key):
-                    rec.setdefault(k, v)
-                out_rows.append(rec)
-            start += 1  # NO_SKIP: anchors never consume
-        if start:
-            recs = recs[start:]
+        out_rows, recs = drain_all_in_order(
+            recs, pattern, ts_col, key_cols, key, measures, eos=eos
+        )
         state.update((pickle.dumps(recs),))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_columns)

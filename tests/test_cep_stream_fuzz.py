@@ -1,0 +1,199 @@
+"""Split-fuzz for the streaming NFA decision step.
+
+``drain_in_order`` / ``drain_all_in_order`` are the pure-python
+incremental cores the applyInPandasWithState closures call, so the
+micro-batch split space can be fuzzed WITHOUT a streaming query per
+split: each pattern gets ONE Spark batch golden, then dozens of random
+splits replay through the drain functions (chunk -> drain -> final
+eos=True call, exactly the flush_ts path) and must reproduce it.
+Covers all four single-match skip strategies, the NO_SKIP twin, and
+the timeout side-output.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from collections import Counter
+
+import pytest
+
+from flink_demo_spark.operators import cep
+from flink_demo_spark.streaming.cep_stream import (
+    drain_all_in_order,
+    drain_in_order,
+)
+
+SCHEMA = "k long, event_type string, ts timestamp, event_id long"
+OUT_ONE = "k long, a_id long, b_last long"
+OUT_TO = "k long, a_id long, b_last long, is_timeout boolean"
+
+
+def _measures(rows_df, b):
+    bound = sorted(i for idxs in b.values() for i in idxs)
+    return {
+        "a_id": int(rows_df.iloc[bound[0]]["event_id"]),
+        "b_last": int(rows_df.iloc[bound[-1]]["event_id"]),
+    }
+
+
+def _gen_rows(rng, n_keys=4, lo=8, hi=14):
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for k in range(1, n_keys + 1):
+        t = t0
+        for _ in range(rng.randrange(lo, hi)):
+            t += dt.timedelta(seconds=rng.randrange(1, 4))
+            rows.append((k, rng.choice(["a", "a", "b", "c"]), t, eid))
+            eid += 1
+    return rows
+
+
+def _patterns():
+    def p_next():
+        return (
+            cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+            .next("y", lambda r: r["event_type"] == "a")
+            .within_time("3s")
+        )
+
+    def p_followed():
+        return (
+            cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+            .followed_by("y", lambda r: r["event_type"] == "b")
+            .within_time("4s")
+        )
+
+    def p_skip_next():
+        return p_followed().skip_to_next()
+
+    def p_first():
+        p = cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+        p = p.times_or_more(2).relaxed().reluctant().within_time("5s")
+        return p.skip_to_first("x")
+
+    def p_last():
+        p = cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+        p = p.times_or_more(2).relaxed().reluctant().within_time("5s")
+        return p.skip_to_last("x")
+
+    return {
+        "next_consecutive": p_next,
+        "followed_by": p_followed,
+        "skip_to_next": p_skip_next,
+        "skip_to_first": p_first,
+        "skip_to_last": p_last,
+    }
+
+
+def _drive(rows_sorted, pattern_fn, drain, n_splits, rng, **drain_kw):
+    """Replay random splits through the pure drain core; return the
+    list of per-split output multisets."""
+    recs_all = [
+        {"k": k, "event_type": et, "ts": ts, "event_id": eid}
+        for k, et, ts, eid in rows_sorted
+    ]
+    results = []
+    for _ in range(n_splits):
+        n_cuts = rng.randrange(1, min(6, len(recs_all) - 1))
+        cuts = sorted(rng.sample(range(1, len(recs_all)), n_cuts))
+        chunks, prev = [], 0
+        for c in [*cuts, len(recs_all)]:
+            chunks.append(recs_all[prev:c])
+            prev = c
+        state: dict[int, list] = {}
+        out: list[dict] = []
+        for chunk in chunks:
+            by_key: dict[int, list] = {}
+            for r in chunk:
+                by_key.setdefault(r["k"], []).append(r)
+            for k, rows_k in by_key.items():
+                recs = state.get(k, []) + rows_k
+                rows_out, recs = drain(
+                    recs, pattern_fn(), "ts", ["k"], (k,), _measures,
+                    **drain_kw,
+                )
+                out.extend(rows_out)
+                state[k] = recs
+        for k, recs in state.items():  # end-of-stream flush
+            rows_out, _ = drain(
+                recs, pattern_fn(), "ts", ["k"], (k,), _measures,
+                eos=True, **drain_kw,
+            )
+            out.extend(rows_out)
+        results.append(Counter(tuple(sorted(r.items())) for r in out))
+    return results
+
+
+@pytest.mark.parametrize("pname", sorted(_patterns()))
+def test_drain_in_order_split_fuzz_equals_batch(spark, pname):
+    rng = random.Random(hash(pname) % 10_000)
+    rows = _gen_rows(rng)
+    rows_sorted = sorted(rows, key=lambda r: (r[2], r[3]))
+    pattern_fn = _patterns()[pname]
+    golden = Counter(
+        tuple(sorted(r.asDict().items()))
+        for r in cep.match_pattern(
+            spark.createDataFrame(rows, SCHEMA), pattern_fn(),
+            ["k"], "ts", _measures, OUT_ONE, order_cols=["ts", "event_id"],
+        ).collect()
+    )
+    for i, got in enumerate(
+        _drive(rows_sorted, pattern_fn, drain_in_order, 25, rng)
+    ):
+        assert got == golden, (pname, i, got, golden)
+
+
+def test_drain_in_order_timeout_split_fuzz_equals_batch(spark):
+    rng = random.Random(99)
+    rows = _gen_rows(rng)
+    rows_sorted = sorted(rows, key=lambda r: (r[2], r[3]))
+    pattern_fn = _patterns()["followed_by"]
+
+    def timed_out(rows_df, b):
+        bound = sorted(i for idxs in b.values() for i in idxs)
+        return {
+            "a_id": int(rows_df.iloc[bound[0]]["event_id"]),
+            "b_last": int(rows_df.iloc[bound[-1]]["event_id"]),
+        }
+
+    golden = Counter(
+        tuple(sorted(r.asDict().items()))
+        for r in cep.match_pattern_with_timeouts(
+            spark.createDataFrame(rows, SCHEMA), pattern_fn(),
+            ["k"], "ts", _measures, timed_out, OUT_TO,
+            order_cols=["ts", "event_id"],
+        ).collect()
+    )
+    for i, got in enumerate(
+        _drive(
+            rows_sorted, pattern_fn, drain_in_order, 25, rng,
+            timeout_measures=timed_out,
+        )
+    ):
+        assert got == golden, (i, got, golden)
+
+
+def test_drain_all_in_order_split_fuzz_equals_batch(spark):
+    rng = random.Random(4242)
+    rows = _gen_rows(rng)
+    rows_sorted = sorted(rows, key=lambda r: (r[2], r[3]))
+
+    def pattern_fn():
+        return (
+            cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+            .followed_by_any("y", lambda r: r["event_type"] == "b")
+            .within_time("5s")
+        )
+
+    golden = Counter(
+        tuple(sorted(r.asDict().items()))
+        for r in cep.match_pattern_all(
+            spark.createDataFrame(rows, SCHEMA), pattern_fn(),
+            ["k"], "ts", _measures, OUT_ONE, order_cols=["ts", "event_id"],
+        ).collect()
+    )
+    for i, got in enumerate(
+        _drive(rows_sorted, pattern_fn, drain_all_in_order, 25, rng)
+    ):
+        assert got == golden, (i, got, golden)

@@ -560,6 +560,79 @@ def streaming_match_pattern_all(
     )
 
 
+def drain_watermarked(
+    recs: list[dict],
+    pattern,
+    ts_col: str,
+    key_cols: list[str],
+    key: tuple,
+    measures,
+    wm,
+):
+    """Watermark-driven incremental NFA step (see
+    :func:`drain_in_order`): decide every anchor whose WITHIN horizon
+    is entirely behind ``wm`` (a ``pd.Timestamp`` or None), fail-fast
+    rows behind the watermark that can never anchor. Pure python —
+    shared by ``streaming_match_pattern_watermarked`` and the
+    out-of-order split-fuzz harness. ``recs`` must already be sorted
+    and late-filtered by the caller."""
+    from ..operators.cep import (
+        _anchor_dead_now,
+        _iter_matches_from,
+        _match_from,
+    )
+
+    within = pattern.within
+    after = pattern.after_match
+    out_rows: list[dict] = []
+    while recs:
+        t0 = recs[0][ts_col]
+        # fail-fast once the front row is behind the watermark: no
+        # future row can sort before it (late rows drop on intake),
+        # so a begin-predicate rejection is permanent WITHOUT
+        # waiting out the full horizon
+        if (
+            wm is not None
+            and pd.Timestamp(t0) <= wm
+            and _anchor_dead_now(pattern, recs)
+        ):
+            recs = recs[1:]
+            continue
+        if wm is None or pd.Timestamp(t0) + within > wm:
+            break  # horizon still open: rows may yet arrive
+        m = _match_from(None, 0, pattern, ts_col, recs)
+        if m is None:
+            recs = recs[1:]
+            continue
+        end, bindings = m
+        if isinstance(after, tuple) and after[0] == "skip_to_first":
+            max_end = end
+            for e2, b2 in _iter_matches_from(None, 0, pattern, ts_col, recs):
+                rec = measures(pd.DataFrame(recs), b2)
+                for k, v in zip(key_cols, key):
+                    rec.setdefault(k, v)
+                out_rows.append(rec)
+                max_end = max(max_end, e2)
+            idxs = bindings.get(after[1]) or []
+            first_idx = min(idxs) if idxs else 0
+            recs = recs[first_idx if first_idx > 0 else max_end:]
+            continue
+        rec = measures(pd.DataFrame(recs), bindings)
+        for k, v in zip(key_cols, key):
+            rec.setdefault(k, v)
+        out_rows.append(rec)
+        if isinstance(after, tuple):  # skip_to_last
+            idxs = bindings.get(after[1]) or []
+            last_idx = max(idxs) if idxs else 0
+            drop = last_idx if last_idx > 0 else end
+        elif after == "skip_to_next":
+            drop = 1
+        else:
+            drop = end
+        recs = recs[drop:]
+    return out_rows, recs
+
+
 def streaming_match_pattern_watermarked(
     events: DataFrame,
     pattern,
@@ -597,12 +670,7 @@ def streaming_match_pattern_watermarked(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    from ..operators.cep import (
-        _anchor_dead_now,
-        _iter_matches_from,
-        _match_from,
-        _schema_fields,
-    )
+    from ..operators.cep import _schema_fields
 
     if pattern.within is None:
         raise ValueError(
@@ -634,54 +702,9 @@ def streaming_match_pattern_watermarked(
                     batch = batch[batch[ts_col] > wm]  # late: dropped
                 recs.extend(batch.to_dict("records"))
         recs.sort(key=lambda r: tuple(r[c] for c in order))
-        out_rows: list[dict] = []
-        while recs:
-            t0 = recs[0][ts_col]
-            # fail-fast once the front row is behind the watermark: no
-            # future row can sort before it (late rows drop on intake),
-            # so a begin-predicate rejection is permanent WITHOUT
-            # waiting out the full horizon
-            if (
-                wm is not None
-                and pd.Timestamp(t0) <= wm
-                and _anchor_dead_now(pattern, recs)
-            ):
-                recs = recs[1:]
-                continue
-            if wm is None or pd.Timestamp(t0) + within > wm:
-                break  # horizon still open: rows may yet arrive
-            m = _match_from(None, 0, pattern, ts_col, recs)
-            if m is None:
-                recs = recs[1:]
-                continue
-            end, bindings = m
-            if isinstance(after, tuple) and after[0] == "skip_to_first":
-                max_end = end
-                for e2, b2 in _iter_matches_from(
-                    None, 0, pattern, ts_col, recs
-                ):
-                    rec = measures(pd.DataFrame(recs), b2)
-                    for k, v in zip(key_cols, key):
-                        rec.setdefault(k, v)
-                    out_rows.append(rec)
-                    max_end = max(max_end, e2)
-                idxs = bindings.get(after[1]) or []
-                first_idx = min(idxs) if idxs else 0
-                recs = recs[first_idx if first_idx > 0 else max_end :]
-                continue
-            rec = measures(pd.DataFrame(recs), bindings)
-            for k, v in zip(key_cols, key):
-                rec.setdefault(k, v)
-            out_rows.append(rec)
-            if isinstance(after, tuple):  # skip_to_last
-                idxs = bindings.get(after[1]) or []
-                last_idx = max(idxs) if idxs else 0
-                drop = last_idx if last_idx > 0 else end
-            elif after == "skip_to_next":
-                drop = 1
-            else:
-                drop = end
-            recs = recs[drop:]
+        out_rows, recs = drain_watermarked(
+            recs, pattern, ts_col, key_cols, key, measures, wm
+        )
         state.update((pickle.dumps(recs),))
         if recs and wm_ms > 0:
             # wake when the watermark passes the oldest open horizon

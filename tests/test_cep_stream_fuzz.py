@@ -22,6 +22,7 @@ from flink_demo_spark.operators import cep
 from flink_demo_spark.streaming.cep_stream import (
     drain_all_in_order,
     drain_in_order,
+    drain_watermarked,
 )
 
 SCHEMA = "k long, event_type string, ts timestamp, event_id long"
@@ -197,3 +198,78 @@ def test_drain_all_in_order_split_fuzz_equals_batch(spark):
         _drive(rows_sorted, pattern_fn, drain_all_in_order, 25, rng)
     ):
         assert got == golden, (i, got, golden)
+
+
+@pytest.mark.parametrize("pname", sorted(_patterns()))
+def test_drain_watermarked_out_of_order_fuzz(pname):
+    """Out-of-order fuzz for the watermark-driven drain, no Spark at
+    all: shuffle the rows into random micro-batches, simulate the
+    operator's intake exactly (watermark = max seen ts - delay,
+    applied at the NEXT batch; rows at/below the watermark dropped
+    late), drain per chunk, then a final +inf watermark (the bounded
+    job's closing flush). The reference is ``drain_in_order`` over the
+    SURVIVING rows in one eos pass — itself proven equal to the batch
+    operator by the split-fuzz above, so equality here closes the
+    chain watermarked == in-order == batch."""
+    import pandas as pd
+
+    rng = random.Random(31_000 + hash(pname) % 1000)
+    for trial in range(20):
+        rows = _gen_rows(rng, n_keys=3, lo=6, hi=12)
+        recs_all = [
+            {"k": k, "event_type": et, "ts": ts, "event_id": eid}
+            for k, et, ts, eid in rows
+        ]
+        rng.shuffle(recs_all)
+        n_cuts = rng.randrange(1, min(5, len(recs_all) - 1))
+        cuts = sorted(rng.sample(range(1, len(recs_all)), n_cuts))
+        chunks, prev = [], 0
+        for c in [*cuts, len(recs_all)]:
+            chunks.append(recs_all[prev:c])
+            prev = c
+        delay = dt.timedelta(seconds=rng.randrange(2, 6))
+
+        pattern_fn = _patterns()[pname]
+        state: dict[int, list] = {}
+        survivors: dict[int, list] = {}
+        out: list[dict] = []
+        wm = None  # watermark advances at batch END, applies to next
+        max_seen = None
+        for chunk in chunks:
+            by_key: dict[int, list] = {}
+            for r in chunk:
+                if wm is not None and r["ts"] <= wm:
+                    continue  # late: dropped on intake
+                by_key.setdefault(r["k"], []).append(r)
+                survivors.setdefault(r["k"], []).append(r)
+                max_seen = r["ts"] if max_seen is None else max(max_seen, r["ts"])
+            wm_ts = pd.Timestamp(wm) if wm is not None else None
+            for k in set(state) | set(by_key):
+                recs = sorted(
+                    state.get(k, []) + by_key.get(k, []),
+                    key=lambda r: (r["ts"], r["event_id"]),
+                )
+                rows_out, recs = drain_watermarked(
+                    recs, pattern_fn(), "ts", ["k"], (k,), _measures, wm_ts
+                )
+                out.extend(rows_out)
+                state[k] = recs
+            if max_seen is not None:
+                wm = max_seen - delay
+        final_wm = pd.Timestamp(dt.datetime(2100, 1, 1))
+        for k, recs in state.items():
+            rows_out, _ = drain_watermarked(
+                recs, pattern_fn(), "ts", ["k"], (k,), _measures, final_wm
+            )
+            out.extend(rows_out)
+        got = Counter(tuple(sorted(r.items())) for r in out)
+
+        expected: list[dict] = []
+        for k, rows_k in survivors.items():
+            rows_out, _ = drain_in_order(
+                sorted(rows_k, key=lambda r: (r["ts"], r["event_id"])),
+                pattern_fn(), "ts", ["k"], (k,), _measures, eos=True,
+            )
+            expected.extend(rows_out)
+        want = Counter(tuple(sorted(r.items())) for r in expected)
+        assert got == want, (pname, trial, got, want)

@@ -690,6 +690,49 @@ def _match_can_extend(pattern: Pattern, bindings: dict) -> bool:
     return False
 
 
+def _match_future_sensitive(pattern: Pattern, bindings: dict, end: int, n: int) -> bool:
+    """Streaming early-emit guard: could a row arriving AFTER the
+    current ``n``-row buffer change the preferred match (anchored at
+    the front, ending at ``end``)?
+
+    The old rule — "a non-consumed row follows the match end, so the
+    NFA already rejected the extension" — is only sound when the next
+    expected consumption is positionally pinned ('next' contiguity /
+    consecutive loop repeats). A greedy RELAXED or COMBINATIONS loop
+    with quota left skips non-matching rows, so a later row can extend
+    the match across the gap (found by the round-6 split-fuzz:
+    ``a+ relaxed until c`` emitted [17] early and re-anchored at [20]
+    where batch binds [17,20]); likewise an unbound trailing optional
+    or negated step with skip contiguity can still bind / invalidate.
+    Such matches stay pending until their WITHIN horizon expires."""
+    steps = pattern.steps
+    if end >= n:
+        return _match_can_extend(pattern, bindings)
+    last_bound = -1
+    for i, s in enumerate(steps):
+        if bindings.get(s.name):
+            last_bound = i
+    if last_bound < 0:
+        return True
+    s = steps[last_bound]
+    if s.group is not None:
+        return True
+    took = len(bindings.get(s.name, ()))
+    if (
+        s.greedy
+        and s.loop in ("relaxed", "combinations")
+        and (s.max_times is None or took < s.max_times)
+    ):
+        return True  # a later row can extend across the gap
+    for t in steps[last_bound + 1:]:
+        if t.contiguity == "next":
+            continue  # decided by the already-buffered next row
+        # completed match => t is optional/negated/group; with skip
+        # contiguity a future row could bind or invalidate it
+        return True
+    return False
+
+
 def _sorted_rows_recs(
     group: pd.DataFrame, order_cols: list[str]
 ) -> tuple[pd.DataFrame, list[dict]]:

@@ -252,8 +252,8 @@ def drain_in_order(
         _anchor_dead_now,
         _anchor_failure_is_final,
         _iter_matches_from,
-        _match_can_extend,
         _match_from,
+        _match_future_sensitive,
         _partial_bindings,
     )
 
@@ -302,12 +302,10 @@ def drain_in_order(
             first_idx = min(idxs) if idxs else 0
             recs = recs[first_idx if first_idx > 0 else max_end:]
             continue
-        if (
-            end == len(recs)
-            and not expired
-            and _match_can_extend(pattern, bindings)
+        if not expired and _match_future_sensitive(
+            pattern, bindings, end, len(recs)
         ):
-            break  # a future in-horizon row could extend the match
+            break  # a future in-horizon row could change the match
         rec = measures(pd.DataFrame(recs), bindings)
         if timeout_measures is not None:
             rec["is_timeout"] = False
@@ -342,11 +340,15 @@ def streaming_match_pattern(
     (``CEPDemo.scala:301-341`` patternSelectFunction over a live
     stream; applied: ``OrderPay.scala:31-53``,
     ``LoginFail.scala:78-86``): per key, rows buffer in group
-    state and a match emits the moment its outcome is DECIDED —
-    either a non-consumed row follows the match end (the NFA already
-    saw and rejected it as an extension), or the anchor's WITHIN
-    horizon has expired so no future in-order row can extend it.
-    A failed anchor is discarded only once its horizon expires.
+    state and a match emits the moment its outcome is DECIDED — no
+    future in-order row can change the preferred match
+    (``_match_future_sensitive``: positionally-pinned expectations
+    decide on the already-buffered next row; greedy
+    relaxed/combinations loop tails and skip-contiguity
+    optional/negated tails wait for the horizon, since a later row
+    can bind across a gap), or the anchor's WITHIN horizon has
+    expired. A failed anchor is discarded only once its horizon
+    expires.
 
     Requires ``pattern.within`` (unbounded patterns would buffer
     forever, exactly like Flink NFA state) and supports ALL after-match

@@ -78,12 +78,47 @@ def _patterns():
         p = p.times_or_more(2).relaxed().reluctant().within_time("5s")
         return p.skip_to_last("x")
 
+    def p_not_next():
+        return (
+            cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+            .followed_by("y", lambda r: r["event_type"] == "b")
+            .not_next("z", lambda r: r["event_type"] == "c")
+            .within_time("4s")
+        )
+
+    def p_optional_mid():
+        return (
+            cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+            .next("o", lambda r: r["event_type"] == "c")
+            .optional()
+            .followed_by("y", lambda r: r["event_type"] == "b")
+            .within_time("4s")
+        )
+
+    def p_greedy_tail():
+        return (
+            cep.Pattern.begin("x", lambda r: r["event_type"] == "b")
+            .followed_by("y", lambda r: r["event_type"] == "a")
+            .one_or_more()
+            .relaxed()
+            .within_time("5s")
+        )
+
+    def p_until():
+        p = cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+        p = p.one_or_more().relaxed()
+        return p.until(lambda r: r["event_type"] == "c").within_time("5s")
+
     return {
         "next_consecutive": p_next,
         "followed_by": p_followed,
         "skip_to_next": p_skip_next,
         "skip_to_first": p_first,
         "skip_to_last": p_last,
+        "not_next_tail": p_not_next,
+        "optional_mid": p_optional_mid,
+        "greedy_tail": p_greedy_tail,
+        "until_stop": p_until,
     }
 
 

@@ -308,3 +308,105 @@ def test_drain_watermarked_out_of_order_fuzz(pname):
             expected.extend(rows_out)
         want = Counter(tuple(sorted(r.items())) for r in expected)
         assert got == want, (pname, trial, got, want)
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE streaming increment: split-invariance fuzz
+# ---------------------------------------------------------------------------
+
+_MR_SQLS = {
+    "up_runs": """
+        SELECT * FROM T MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts, event_id
+          MEASURES COUNT(price) AS n
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (UP+)
+          DEFINE UP AS UP.dir = 1
+        )""",
+    "v_shape": """
+        SELECT * FROM T MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts, event_id
+          MEASURES COUNT(price) AS n
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (STRT DOWN+ UP)
+          DEFINE DOWN AS DOWN.dir = 0, UP AS UP.dir = 1
+        )""",
+    "bounded_b": """
+        SELECT * FROM T MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts, event_id
+          MEASURES COUNT(price) AS n
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A{2,4})
+          DEFINE A AS A.dir = 1
+        )""",
+}
+
+
+@pytest.mark.parametrize("sname", sorted(_MR_SQLS))
+def test_match_recognize_stream_increment_split_invariance(sname):
+    """``_run_stream_increment`` must be micro-batch-split invariant:
+    for any split of an in-order row sequence, driving the increment
+    chunk by chunk (buffer -> run -> truncate at keep_from) emits
+    exactly the matches of one single-shot run over the full
+    sequence, with identical bound event_ids — the pending tail is
+    withheld identically in both. Pure python, no Spark."""
+    from flink_demo_spark.operators.match_recognize import (
+        _run_stream_increment,
+        parse_match_recognize,
+    )
+
+    spec = parse_match_recognize(_MR_SQLS[sname])
+    rng = random.Random(52_000 + hash(sname) % 1000)
+    t0 = dt.datetime(2024, 1, 1)
+    for trial in range(30):
+        recs_all = []
+        eid = 0
+        for k in (1, 2):
+            t = t0
+            for _ in range(rng.randrange(8, 16)):
+                t += dt.timedelta(seconds=rng.randrange(1, 4))
+                recs_all.append(
+                    {
+                        "k": k,
+                        "ts": t,
+                        "event_id": eid,
+                        "price": float(rng.randrange(1, 9)),
+                        "dir": rng.randrange(0, 2),
+                    }
+                )
+                eid += 1
+
+        def ids(recs, matches):
+            return [
+                tuple(
+                    (var, tuple(recs[i]["event_id"] for i in idxs))
+                    for var, idxs in sorted(b.items())
+                )
+                for _a, _e, b in matches
+            ]
+
+        # single-shot reference per key
+        want: list = []
+        for k in (1, 2):
+            rows_k = [r for r in recs_all if r["k"] == k]
+            matches, _keep = _run_stream_increment(rows_k, spec, "ts")
+            want.extend(ids(rows_k, matches))
+
+        n_cuts = rng.randrange(1, 6)
+        cuts = sorted(rng.sample(range(1, len(recs_all)), n_cuts))
+        chunks, prev = [], 0
+        for c in [*cuts, len(recs_all)]:
+            chunks.append(recs_all[prev:c])
+            prev = c
+        state: dict[int, list] = {}
+        got: list = []
+        for chunk in chunks:
+            by_key: dict[int, list] = {}
+            for r in chunk:
+                by_key.setdefault(r["k"], []).append(r)
+            for k, rows_k in by_key.items():
+                buf = state.get(k, []) + rows_k
+                matches, keep = _run_stream_increment(buf, spec, "ts")
+                got.extend(ids(buf, matches))
+                state[k] = buf[keep:]
+        assert Counter(got) == Counter(want), (sname, trial, got, want)

@@ -637,6 +637,56 @@ def test_temporal_join_sql_reference_text_verbatim(spark):
     assert {r.currency for r in inner.collect()} == {"Euro", "US Dollar", "Yen"}
 
 
+def test_temporal_join_sql_parser_variants(spark):
+    """Formatting variants the regex front-end must accept: swapped ON
+    sides, missing AS keywords, case-mixed keywords, trailing
+    semicolon — and clear errors for unsupported shapes."""
+    import pytest as _pytest
+
+    from flink_demo_spark.operators.asof import temporal_join_sql
+
+    t = lambda s: dt.datetime(2021, 5, 11, 12, 0, s)
+    spark.createDataFrame(
+        [(2, "Euro", t(2))], "amount long, currency string, rowtime timestamp"
+    ).createOrReplaceTempView("Orders")
+    spark.createDataFrame(
+        [("Euro", 114, t(1))],
+        "currency string, rate long, rowtime timestamp",
+    ).createOrReplaceTempView("RatesHistory")
+
+    variants = [
+        # swapped ON operand order + no AS anywhere
+        """select o.amount, r.rate from Orders o
+           join RatesHistory for system_time as of o.rowtime r
+           on r.currency = o.currency""",
+        # explicit AS + trailing semicolon + extra whitespace
+        """SELECT  o.amount , r.rate
+           FROM Orders AS o
+           LEFT JOIN RatesHistory FOR SYSTEM_TIME AS OF o . rowtime AS r
+           ON  o.currency=r.currency ;""",
+    ]
+    for sql in variants:
+        got = {(r.amount, r.rate) for r in temporal_join_sql(spark, sql).collect()}
+        assert got == {(2, 114)}, sql
+
+    with _pytest.raises(ValueError, match="probe alias"):
+        temporal_join_sql(
+            spark,
+            """SELECT o.amount FROM Orders o
+               JOIN RatesHistory FOR SYSTEM_TIME AS OF r.rowtime AS r
+               ON o.currency = r.currency""",
+        )
+    with _pytest.raises(ValueError, match="ON"):
+        temporal_join_sql(
+            spark,
+            """SELECT o.amount FROM Orders o
+               JOIN RatesHistory FOR SYSTEM_TIME AS OF o.rowtime AS r
+               ON o.currency = r.currency AND o.amount > 1""",
+        )
+    with _pytest.raises(ValueError, match="not a SELECT"):
+        temporal_join_sql(spark, "SELECT 1")
+
+
 def test_match_recognize_ticker_golden(spark):
     """Reference MATCH_RECOGNIZE golden (QueryTest.scala:942-1026;
     expected match recorded at TableSQLFunc.scala:1561-1567): ACME

@@ -261,30 +261,42 @@ def drain_in_order(
     after = pattern.after_match
     out_rows: list[dict] = []
     max_ts = recs[-1][ts_col] if recs else None
-    while recs:
-        if _anchor_dead_now(pattern, recs):
-            recs = recs[1:]  # can never anchor: drop immediately
+    n = len(recs)
+    head = 0  # consumed prefix: an index bump, not an O(n) list slice
+    frame = None  # materialized lazily ONCE per drain (recs is stable)
+
+    def emit(measure_fn, bindings, flag):
+        nonlocal frame
+        if frame is None:
+            frame = pd.DataFrame(recs)
+        rec = measure_fn(frame, bindings)
+        if flag is not None:
+            rec["is_timeout"] = flag
+        for k, v in zip(key_cols, key):
+            rec.setdefault(k, v)
+        out_rows.append(rec)
+
+    # NOTE: the matcher anchors at the absolute index `head`; all
+    # bindings/end indices it returns are absolute into `recs`, so
+    # measures() sees the same frame regardless of consumed prefix
+    while head < n:
+        if _anchor_dead_now(pattern, recs, head):
+            head += 1  # can never anchor: drop immediately
             continue
-        # the matcher runs on recs directly; the pandas frame is
-        # only materialized for measures() on an actual emission
-        m = _match_from(None, 0, pattern, ts_col, recs)
-        t0 = recs[0][ts_col]
+        m = _match_from(None, head, pattern, ts_col, recs)
+        t0 = recs[head][ts_col]
         expired = eos or (
             max_ts is not None and (max_ts - t0) > within
         )
         if m is None:
-            if expired or _anchor_failure_is_final(pattern, len(recs)):
+            if expired or _anchor_failure_is_final(pattern, n - head):
                 if timeout_measures is not None:
                     partial = _partial_bindings(
-                        None, 0, pattern, ts_col, recs
+                        None, head, pattern, ts_col, recs
                     )
                     if partial:
-                        rec = timeout_measures(pd.DataFrame(recs), partial)
-                        rec["is_timeout"] = True
-                        for k, v in zip(key_cols, key):
-                            rec.setdefault(k, v)
-                        out_rows.append(rec)
-                recs = recs[1:]  # anchor dead for good
+                        emit(timeout_measures, partial, True)
+                head += 1  # anchor dead for good
                 continue
             break  # pending: a future row may still complete it
         end, bindings = m
@@ -292,36 +304,29 @@ def drain_in_order(
             if not expired:
                 break  # more solutions may land inside the horizon
             max_end = end
-            for e2, b2 in _iter_matches_from(None, 0, pattern, ts_col, recs):
-                rec = measures(pd.DataFrame(recs), b2)
-                for k, v in zip(key_cols, key):
-                    rec.setdefault(k, v)
-                out_rows.append(rec)
+            for e2, b2 in _iter_matches_from(
+                None, head, pattern, ts_col, recs
+            ):
+                emit(measures, b2, None)
                 max_end = max(max_end, e2)
             idxs = bindings.get(after[1]) or []
-            first_idx = min(idxs) if idxs else 0
-            recs = recs[first_idx if first_idx > 0 else max_end:]
+            first_idx = min(idxs) if idxs else head
+            head = first_idx if first_idx > head else max_end
             continue
         if not expired and _match_future_sensitive(
-            pattern, bindings, end, len(recs)
+            pattern, bindings, end, n
         ):
             break  # a future in-horizon row could change the match
-        rec = measures(pd.DataFrame(recs), bindings)
-        if timeout_measures is not None:
-            rec["is_timeout"] = False
-        for k, v in zip(key_cols, key):
-            rec.setdefault(k, v)
-        out_rows.append(rec)
+        emit(measures, bindings, False if timeout_measures is not None else None)
         if isinstance(after, tuple):  # skip_to_last
             idxs = bindings.get(after[1]) or []
-            last_idx = max(idxs) if idxs else 0
-            drop = last_idx if last_idx > 0 else end
+            last_idx = max(idxs) if idxs else head
+            head = last_idx if last_idx > head else end
         elif after == "skip_to_next":
-            drop = 1
+            head += 1
         else:
-            drop = end
-        recs = recs[drop:]
-    return out_rows, recs
+            head = max(end, head + 1)  # past_last; zero-width guard
+    return out_rows, recs[head:] if head else recs
 
 
 def streaming_match_pattern(
@@ -587,8 +592,21 @@ def drain_watermarked(
     within = pattern.within
     after = pattern.after_match
     out_rows: list[dict] = []
-    while recs:
-        t0 = recs[0][ts_col]
+    n = len(recs)
+    head = 0  # consumed prefix (index bump, no per-row list slice)
+    frame = None  # built lazily once per drain; recs is stable
+
+    def emit(bindings):
+        nonlocal frame
+        if frame is None:
+            frame = pd.DataFrame(recs)
+        rec = measures(frame, bindings)
+        for k, v in zip(key_cols, key):
+            rec.setdefault(k, v)
+        out_rows.append(rec)
+
+    while head < n:
+        t0 = recs[head][ts_col]
         # fail-fast once the front row is behind the watermark: no
         # future row can sort before it (late rows drop on intake),
         # so a begin-predicate rejection is permanent WITHOUT
@@ -596,43 +614,38 @@ def drain_watermarked(
         if (
             wm is not None
             and pd.Timestamp(t0) <= wm
-            and _anchor_dead_now(pattern, recs)
+            and _anchor_dead_now(pattern, recs, head)
         ):
-            recs = recs[1:]
+            head += 1
             continue
         if wm is None or pd.Timestamp(t0) + within > wm:
             break  # horizon still open: rows may yet arrive
-        m = _match_from(None, 0, pattern, ts_col, recs)
+        m = _match_from(None, head, pattern, ts_col, recs)
         if m is None:
-            recs = recs[1:]
+            head += 1
             continue
         end, bindings = m
         if isinstance(after, tuple) and after[0] == "skip_to_first":
             max_end = end
-            for e2, b2 in _iter_matches_from(None, 0, pattern, ts_col, recs):
-                rec = measures(pd.DataFrame(recs), b2)
-                for k, v in zip(key_cols, key):
-                    rec.setdefault(k, v)
-                out_rows.append(rec)
+            for e2, b2 in _iter_matches_from(
+                None, head, pattern, ts_col, recs
+            ):
+                emit(b2)
                 max_end = max(max_end, e2)
             idxs = bindings.get(after[1]) or []
-            first_idx = min(idxs) if idxs else 0
-            recs = recs[first_idx if first_idx > 0 else max_end:]
+            first_idx = min(idxs) if idxs else head
+            head = first_idx if first_idx > head else max_end
             continue
-        rec = measures(pd.DataFrame(recs), bindings)
-        for k, v in zip(key_cols, key):
-            rec.setdefault(k, v)
-        out_rows.append(rec)
+        emit(bindings)
         if isinstance(after, tuple):  # skip_to_last
             idxs = bindings.get(after[1]) or []
-            last_idx = max(idxs) if idxs else 0
-            drop = last_idx if last_idx > 0 else end
+            last_idx = max(idxs) if idxs else head
+            head = last_idx if last_idx > head else end
         elif after == "skip_to_next":
-            drop = 1
+            head += 1
         else:
-            drop = end
-        recs = recs[drop:]
-    return out_rows, recs
+            head = max(end, head + 1)  # past_last; zero-width guard
+    return out_rows, recs[head:] if head else recs
 
 
 def streaming_match_pattern_watermarked(

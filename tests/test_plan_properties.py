@@ -159,6 +159,18 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=1,
     ),
+    # pure map: regex detect/redact stays in JVM column expressions —
+    # no python stage, no aggregation, no shuffle at all
+    "text_pii_redact": dict(
+        absent=["MapInPandas", "HashAggregate", "Exchange"],
+    ),
+    # synthesize + canonicalize are map-side; the only shuffle is the
+    # canonical-form dedup groupBy (partial agg before it)
+    "url_canonicalize_dedup": dict(
+        absent=["MapInPandas", "CartesianProduct"],
+        partial_agg=True,
+        max_exchanges=1,
+    ),
     "q1_pricing_summary": dict(
         pushed=["l_shipdate"], partial_agg=True, max_exchanges=2
     ),

@@ -180,11 +180,12 @@ def test_drain_in_order_split_fuzz_equals_batch(spark, pname):
         assert got == golden, (pname, i, got, golden)
 
 
-def test_drain_in_order_timeout_split_fuzz_equals_batch(spark):
-    rng = random.Random(99)
+@pytest.mark.parametrize("pname", ["followed_by", "skip_to_next"])
+def test_drain_in_order_timeout_split_fuzz_equals_batch(spark, pname):
+    rng = random.Random(99 + hash(pname) % 100)
     rows = _gen_rows(rng)
     rows_sorted = sorted(rows, key=lambda r: (r[2], r[3]))
-    pattern_fn = _patterns()["followed_by"]
+    pattern_fn = _patterns()[pname]
 
     def timed_out(rows_df, b):
         bound = sorted(i for idxs in b.values() for i in idxs)

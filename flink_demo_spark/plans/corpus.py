@@ -700,3 +700,52 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk", "tok", "score")
         
     )
+
+
+@query(
+    "text_cms_heavy_hitters",
+    # the sketch only affects WHICH candidates are verified exactly —
+    # CMS never underestimates, so after exact verification the output
+    # is precisely the bigrams with true count >= 20 (the verify-the-
+    # candidates contract the MinHash-LSH oracle uses)
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), bg AS (
+      SELECT array_to_string(t[i:i+1], ' ') AS tok
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    )
+    SELECT tok, count(*) AS n FROM bg
+    GROUP BY tok HAVING count(*) >= 20
+    ORDER BY tok
+    """,
+    doc=(
+        "count-min-sketch heavy hitters with exact verification "
+        "(beyond-reference 100 TB pattern, operators/sketch.py): "
+        "bigram frequencies estimated via depth=4 xxhash64 bucket "
+        "aggregates (width-bounded shuffles, broadcast back), "
+        "candidates = CMS estimate >= threshold (no false negatives), "
+        "then ONE candidate-only exact groupBy — output exactly the "
+        "bigrams with true count >= 20, all JVM expressions."
+    ),
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_heavy_hitters
+
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = (
+        toks.select(F.explode_outer(bigrams).alias("tok"))
+        .where(F.col("tok").isNotNull())
+    )
+    return cms_heavy_hitters(
+        stream, "tok", min_count=20, depth=4, width=1024
+    )

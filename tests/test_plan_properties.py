@@ -164,6 +164,15 @@ EXPECT = {
     "text_pii_redact": dict(
         absent=["MapInPandas", "HashAggregate", "Exchange"],
     ),
+    # CMS heavy hitters: 4 width-bounded bucket-agg shuffles broadcast
+    # back onto the token stream + ONE candidate-only exact shuffle —
+    # never a vocabulary-wide sort-merge join
+    "text_cms_heavy_hitters": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct", "MapInPandas"],
+        partial_agg=True,
+        max_exchanges=5,
+    ),
     # synthesize + canonicalize are map-side; the only shuffle is the
     # canonical-form dedup groupBy (partial agg before it)
     "url_canonicalize_dedup": dict(

@@ -995,3 +995,42 @@ def streaming_cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeout_measures=timed_out,
     )
     return run_available_now(out, output_mode="append")
+
+
+@query(
+    "streaming_retract_changelog",
+    # the changelog CONTENT depends on micro-batch boundaries; its
+    # FOLD (latest surviving row per key) is split-invariant and must
+    # equal the plain batch aggregate — exact integer cents (the dsum
+    # decimal contract) keep both engines bit-identical
+    oracle="""
+    SELECT user_id AS key, count(*) AS cnt,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                AS DOUBLE) / 10000.0 AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id ORDER BY key
+    """,
+    doc=(
+        "toRetractStream changelog (reference dynamic-table retract "
+        "conversion, SURVEY §3): per-user count+sum emitted as "
+        "+I/-U/+U change rows with a per-key sequence from keyed "
+        "state, then folded by the retract algebra — the fold equals "
+        "the batch aggregate whatever the micro-batch boundaries."
+    ),
+)
+def streaming_retract_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.retract import fold_changelog, retract_agg_stream
+
+    ev = events_stream(spark, sf_dir, watermark=None).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("cents"),
+    )
+    log = run_available_now(
+        retract_agg_stream(ev, key_col="user_id", cents_col="cents"),
+        output_mode="append",
+    )
+    return fold_changelog(log)

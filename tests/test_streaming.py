@@ -328,6 +328,72 @@ def test_streaming_cep_state_survives_checkpoint_restart(spark):
     }, got
 
 
+def test_retract_stream_changelog_and_fold(spark):
+    """toRetractStream semantics (Flink +I/-U/+U changelog): exact
+    change sequence on a fixed split, and fold == batch aggregate on
+    random splits (the changelog CONTENT depends on batch boundaries;
+    its fold must not)."""
+    import random
+
+    from flink_demo_spark.streaming.retract import (
+        fold_changelog,
+        retract_agg_stream,
+    )
+
+    schema = "user_id long, cents long"
+    rows = [(1, 100), (1, 250), (2, 700), (1, 150), (2, 300)]
+
+    # fixed split: [(1,100),(1,250),(2,700)] then [(1,150),(2,300)]
+    batches = [rows[:3], rows[3:]]
+    log = run_available_now(
+        retract_agg_stream(
+            _mem_stream_batches(spark, batches, schema),
+            key_col="user_id", cents_col="cents",
+        ),
+        output_mode="append",
+    )
+    got = sorted(
+        (r.key, r.change_seq, r.change, r.cnt, r.sum_cents)
+        for r in log.collect()
+    )
+    assert got == [
+        (1, 1, "+I", 2, 350),   # batch 1: first emission for key 1
+        (1, 2, "-U", 2, 350),   # batch 2: retract old ...
+        (1, 3, "+U", 3, 500),   # ... emit new
+        (2, 1, "+I", 1, 700),
+        (2, 2, "-U", 1, 700),
+        (2, 3, "+U", 2, 1000),
+    ], got
+
+    # random splits: the fold is split-invariant
+    rng = random.Random(23)
+    many = [(rng.randrange(1, 5), rng.randrange(0, 1000)) for _ in range(40)]
+    expect = {}
+    for k, c in many:
+        cnt, s = expect.get(k, (0, 0))
+        expect[k] = (cnt + 1, s + c)
+    for _ in range(3):
+        cuts = sorted(rng.sample(range(1, len(many)), 4))
+        bs, prev = [], 0
+        for c in [*cuts, len(many)]:
+            bs.append(many[prev:c])
+            prev = c
+        folded = fold_changelog(
+            run_available_now(
+                retract_agg_stream(
+                    _mem_stream_batches(spark, bs, schema),
+                    key_col="user_id", cents_col="cents",
+                ),
+                output_mode="append",
+            )
+        )
+        got2 = {
+            r.key: (r.cnt, round(r.sum_value * 10000))
+            for r in folded.collect()
+        }
+        assert got2 == expect, got2
+
+
 def test_late_data_dropped_past_watermark(spark):
     """Reference allowedLateness/late side-output (WatermarkDemo.scala:
     207-299): Spark drops rows later than the watermark in append mode

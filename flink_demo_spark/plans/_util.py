@@ -39,21 +39,12 @@ def oavg(expr: str, scale: int = 4) -> str:
     return f"({osum(expr, scale)} / count({expr}))"
 
 
-def ordered_small(df, *cols):
-    """Total order for a SMALL result set without the global sort's
-    RangePartitioner sampling pass.
-
-    ``orderBy`` range-partitions, and sampling the range bounds
-    executes the child plan a second time — ruinous when the child is
-    an expensive pandas-UDF stage. A single-partition hash exchange +
-    in-partition sort yields the identical total order with exactly
-    one child execution.
-
-    ONLY for outputs with a bounded, data-independent cardinality
-    (top-k, fixed group counts). Registry queries need NO final sort
-    at all: both the driver's value hash and the local oracle compare
-    are order-insensitive, and a single-partition funnel on a
-    table-proportional result is a straggler/OOM at scale — so plans/
-    returns results unsorted and this helper is reserved for
-    presentation surfaces (demos, golden dumps) with small outputs."""
-    return df.repartition(1).sortWithinPartitions(*cols)
+# NOTE (round 6): the former `ordered_small` presentation-sort helper
+# (repartition(1) + sortWithinPartitions) was removed along with every
+# call site. Registry queries return results UNSORTED: both the
+# driver's value hash and the local oracle compare are
+# order-insensitive, so a final sort bought nothing — and a
+# single-partition funnel on a table-proportional result is a
+# straggler/OOM at scale. If a presentation surface ever needs a total
+# order over a genuinely small result, sort it after materializing
+# (e.g. in pandas), not in the distributed plan.

@@ -658,11 +658,16 @@ def _anchor_dead_now(pattern: Pattern, recs: list[dict], at: int = 0) -> bool:
     state proportional to live partials, not to `within` × event
     rate. Safe for every skip strategy (a dead anchor emits nothing
     under any of them, and `_partial_bindings` returns None for it so
-    no timeout fires either)."""
+    no timeout fires either). Iterative (ctx-taking) begin predicates
+    are excluded: they can read other buffered rows through the
+    context, so a rejection now is not provably permanent — those
+    anchors fall back to horizon expiry."""
     s0 = pattern.steps[0]
     if s0.negated or s0.optional or s0.group is not None or s0.min_times < 1:
         return False
-    return not _invoke(s0.predicate, recs[at], recs, {}, s0.name)
+    if _takes_ctx(s0.predicate):
+        return False
+    return not s0.predicate(recs[at])
 
 
 def _match_can_extend(pattern: Pattern, bindings: dict) -> bool:

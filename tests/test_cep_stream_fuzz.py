@@ -411,3 +411,34 @@ def test_match_recognize_stream_increment_split_invariance(sname):
                 got.extend(ids(buf, matches))
                 state[k] = buf[keep:]
         assert Counter(got) == Counter(want), (sname, trial, got, want)
+
+
+def test_iterative_begin_predicate_not_fail_fasted():
+    """_anchor_dead_now must return False for a ctx-taking begin
+    predicate even when it currently rejects: the public CepContext
+    only exposes already-bound events (empty for begin), but the
+    conservative guard keeps any predicate carrying buffer-dependent
+    state out of the permanent-drop path — it falls back to horizon
+    expiry instead."""
+    from flink_demo_spark.operators.cep import _anchor_dead_now
+
+    t0 = dt.datetime(2024, 1, 1)
+    recs = [
+        {"k": 1, "event_type": "c", "ts": t0, "event_id": 0},
+    ]
+
+    plain = cep.Pattern.begin(
+        "x", lambda r: r["event_type"] == "a"
+    ).followed_by("y", lambda r: r["event_type"] == "b").within_time("60s")
+    assert _anchor_dead_now(plain, recs) is True  # plain reject: drop
+
+    iterative = cep.Pattern.begin(
+        "x", lambda r, ctx: r["event_type"] == "a"
+    ).followed_by("y", lambda r: r["event_type"] == "b").within_time("60s")
+    assert _anchor_dead_now(iterative, recs) is False  # wait for horizon
+
+    optional_begin = plain.steps[0].replace(optional=True)
+    pat2 = cep.Pattern(
+        steps=[optional_begin, plain.steps[1]], within=plain.within
+    )
+    assert _anchor_dead_now(pat2, recs) is False  # optional begin: keep

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 
 def _as_double(v: Column) -> Column:
@@ -146,10 +147,12 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    sim_col: str | None = None,
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine (centroids are
     a small fixed list shipped as literals — at scale these come from
-    a sampled k-means fit, broadcast the same way)."""
+    a sampled k-means fit, broadcast the same way). With ``sim_col``
+    the cosine to the winning centroid is emitted too."""
     v = _as_double(F.col(vec_col))
     # argmax via array_max over (sim, -cid) structs: one linear pass,
     # no nested-when expression blowup; tie -> smallest centroid id
@@ -161,7 +164,69 @@ def ivf_assign(
             F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_cid"))
         )
     best = F.array_max(F.array(*entries))
-    return df.withColumn(cell_col, (-best["neg_cid"]).cast("int"))
+    out = df.withColumn(cell_col, (-best["neg_cid"]).cast("int"))
+    if sim_col is not None:
+        out = out.withColumn(sim_col, best["sim"])
+    return out
+
+
+def kmeans_update(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd centroid-update step: the per-dimension mean of each
+    cell's members. The mean accumulates in DECIMAL (exact, therefore
+    order-independent) and divides as float64, so every engine — and
+    every partition order — produces bit-identical centroids; that is
+    what lets a k-means assignment be oracle-checked at all.
+
+    Returns the new centroids driver-side: K x dim doubles, a bounded
+    collect with the same contract as the IVF centroid list (the
+    shuffle is ``(cell, dim)``-keyed partial aggregation; only the K
+    result rows ever reach the driver)."""
+    v = _as_double(F.col(vec_col))
+    means = (
+        assigned.select(
+            F.col(cell_col).alias("__cell"), F.posexplode(v).alias("pos", "x")
+        )
+        .groupBy("__cell", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast(DecimalType(28, 12))).cast("double")
+                / F.count("x")
+            ).alias("m")
+        )
+    )
+    rows = (
+        means.groupBy("__cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        .collect()
+    )
+    return sorted((int(r["__cell"]), [float(x) for x in r["cv"]]) for r in rows)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means on an embedding column: assign (cosine argmax)
+    then decimal-exact centroid update, ``iterations`` times. Spark
+    MLlib's own KMeans collects centroids per iteration the same way;
+    the driver state is K x dim regardless of corpus size. A cell that
+    loses all members drops out (standard empty-cluster behavior)."""
+    for _ in range(iterations):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        centroids = kmeans_update(assigned, vec_col)
+    return centroids
 
 
 def ivf_probe_cells(

@@ -776,6 +776,137 @@ def similarity_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH cent0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), a0 AS (
+      SELECT vec_id, ev, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                          c.cid
+               ) AS crk
+        FROM embeddings e CROSS JOIN cent0 c
+      ) WHERE crk = 1
+    ), upd AS (
+      -- decimal-exact per-dimension mean: order-independent, so the
+      -- updated centroids are bit-identical to Spark's
+      SELECT cid, pos,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+      FROM (SELECT cid, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x
+            FROM a0)
+      GROUP BY cid, pos
+    ), cent1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM upd GROUP BY cid
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster,
+           round(sim, 6) AS cosine_to_centroid
+    FROM (
+      SELECT e.vec_id, c.cid,
+             {_IVF_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} AS sim,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_IVF_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                        c.cid
+             ) AS crk
+      FROM embeddings e CROSS JOIN cent1 c
+    ) WHERE crk = 1
+    ORDER BY vec_id
+    """,
+    doc=(
+        "spherical k-means (one Lloyd iteration): 8 fixed seeds "
+        "(vec_id<8), cosine-argmax assignment, DECIMAL-exact centroid "
+        "update, final reassignment. The clustering step behind "
+        "SemDeDup-style semantic dedup and IVF index builds. Per "
+        "iteration: one (cell,dim)-keyed partial agg + a K x dim "
+        "driver collect — the MLlib KMeans pattern, corpus never "
+        "leaves the executors. Fully oracle-checked including the "
+        "updated centroid values."
+    ),
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    cents = similarity.kmeans_lloyd(emb, init, iterations=1)
+    assigned = similarity.ivf_assign(emb, cents, sim_col="__sim")
+    return assigned.select(
+        "vec_id",
+        F.col("cell").alias("cluster"),
+        F.round("__sim", 6).alias("cosine_to_centroid"),
+    )
+
+
+_SEM_COS = _IVF_COS.format(a="u.ev", b="a.ev")
+
+
+@query(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), a AS (
+      SELECT vec_id, ev, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                          c.cid
+               ) AS crk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE crk = 1
+    )
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cluster
+    FROM a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM a u
+      WHERE u.cid = a.cid AND u.vec_id < a.vec_id
+        AND {_SEM_COS} >= 0.4
+    )
+    ORDER BY vec_id
+    """,
+    doc=(
+        "SemDeDup-style semantic dedup: cluster by nearest centroid, "
+        "then inside each cluster drop any vector that has an "
+        "earlier-id neighbor with cosine >= 0.4 (keep-first). The "
+        "pairwise check is confined to a cluster — one shuffle keyed "
+        "on cluster id, never all-pairs; at 100 TB K grows with the "
+        "corpus so cluster populations stay bounded (SemDeDup, "
+        "Abbas et al. 2023). Oracle-backed NOT EXISTS twin."
+    ),
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    assigned = similarity.ivf_assign(emb, cents, cell_col="cluster")
+    # explicit renames break the self-join lineage so the cluster
+    # equality is a real hash key (shuffled-on-cluster at scale),
+    # not an ambiguous same-attribute predicate
+    earlier = assigned.select(
+        F.col("cluster").alias("u_cluster"),
+        F.col("vec_id").alias("u_id"),
+        F.col("embedding").alias("u_vec"),
+    )
+    survivors = assigned.join(
+        earlier,
+        (F.col("cluster") == F.col("u_cluster"))
+        & (F.col("u_id") < F.col("vec_id"))
+        & (similarity.cosine(F.col("u_vec"), F.col("embedding")) >= 0.4),
+        "left_anti",
+    )
+    return survivors.select("vec_id", "cluster")
+
+
+@query(
     "json_extract_props",
     oracle="""
     SELECT event_type,

@@ -1354,6 +1354,44 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     assert ivf == bf
 
 
+def test_kmeans_update_exact_means_and_objective(spark, sf_dir):
+    """kmeans_update returns the exact per-dimension member mean
+    (hand-checked on a 2-cell toy frame), and one Lloyd iteration on
+    the real embeddings never decreases the mean cosine-to-centroid
+    objective (monotonicity of Lloyd's algorithm under cosine
+    assignment with mean updates on unit-normalized-ish data)."""
+    from flink_demo_spark.operators import similarity
+
+    toy = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [3.0, 2.0]), (2, [0.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = toy.withColumn(
+        "cell", F.when(F.col("vec_id") < 2, F.lit(0)).otherwise(F.lit(1))
+    )
+    assert similarity.kmeans_update(assigned) == [
+        (0, [2.0, 1.0]),
+        (1, [0.0, 4.0]),
+    ]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+
+    def objective(cents):
+        row = (
+            similarity.ivf_assign(emb, cents, sim_col="s")
+            .agg(F.avg("s").alias("m"))
+            .collect()[0]
+        )
+        return float(row.m)
+
+    after = similarity.kmeans_lloyd(emb, init, iterations=1)
+    assert objective(after) >= objective(init) - 1e-9
+
+
 def test_ppm_decode_golden_and_resize():
     """decode_ppm parses a hand-written P6 payload (with comment)
     byte-exactly; resize_nearest uses (i*h)//th integer sampling."""

@@ -173,6 +173,18 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=5,
     ),
+    # one Lloyd iteration happens eagerly at build time (bounded K x dim
+    # collects); the RESULT plan must stay a pure centroid-argmax
+    # projection over the scan — no shuffle, no python stage
+    "embedding_kmeans": dict(
+        absent=["Exchange", "MapInPandas", "HashAggregate", "Join"],
+    ),
+    # keep-first inside a cluster: the anti-join must key on the
+    # cluster equality (hash join; shuffled-on-cluster at scale) —
+    # never an all-pairs nested loop over the corpus
+    "embedding_semantic_dedup": dict(
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
     # synthesize + canonicalize are map-side; the only shuffle is the
     # canonical-form dedup groupBy (partial agg before it)
     "url_canonicalize_dedup": dict(

@@ -134,6 +134,100 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "profile_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+    doc=(
+        "data-quality column profile of the documents table: per "
+        "column the row/null/exact-distinct counts and min/max (as "
+        "strings, for a uniform schema). ONE aggregation pass — Spark "
+        "plans the 5 distinct aggregates via a single Expand + "
+        "two-phase agg (one shuffle), then the 1-row result explodes "
+        "into per-column rows. At 100 TB swap count_distinct for "
+        "approx_count_distinct to drop the Expand multiplier; the "
+        "validation gate every training-data ingest runs first."
+    ),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = docs.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+@query(
+    "sample_importance",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             (((doc_id % 1000003) * 2654435761 + 12345) % 1000000007) % 1000
+               AS bucket,
+             least(n_chars, 2000) AS thresh
+      FROM documents
+    )
+    SELECT doc_id, n_chars, 2000.0 / thresh AS weight
+    FROM s
+    WHERE bucket * 2 < thresh
+    ORDER BY doc_id
+    """,
+    doc=(
+        "length-proportional importance sampling: keep probability "
+        "min(1, n_chars/2000) decided by the same multiplicative "
+        "integer hash as sample_stratified (pure integer compare "
+        "bucket*2 < min(n_chars,2000) — no float threshold to drift), "
+        "emitting the Horvitz-Thompson inverse-probability weight "
+        "2000/thresh so downstream token-level statistics stay "
+        "unbiased. The standard long-doc upweighting step before "
+        "sequence packing; a narrow filter — zero shuffles, composes "
+        "with the scan at 100 TB."
+    ),
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        ((F.col("doc_id") % 1000003) * 2654435761 + 12345) % 1000000007
+    ) % 1000
+    thresh = F.least(F.col("n_chars"), F.lit(2000))
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (F.lit(2000.0) / thresh).alias("weight"),
+        )
+        .where(bucket * 2 < thresh)
+    )
+
+
 @query(
     "text_token_quantiles",
     oracle="""

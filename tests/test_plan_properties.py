@@ -185,6 +185,18 @@ EXPECT = {
     "embedding_semantic_dedup": dict(
         absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # single-pass profile: 5 exact-distinct aggs via ONE Expand and
+    # the two-phase agg exchanges — never one scan per column
+    "profile_columns": dict(
+        contains=["Expand"],
+        absent=["Join", "MapInPandas", "Union"],
+        max_exchanges=2,
+    ),
+    # deterministic importance sampling is a narrow filter: the plan
+    # must stay a fused filter+project over the scan, zero shuffles
+    "sample_importance": dict(
+        absent=["Exchange", "HashAggregate", "SortAggregate", "MapInPandas"],
+    ),
     # synthesize + canonicalize are map-side; the only shuffle is the
     # canonical-form dedup groupBy (partial agg before it)
     "url_canonicalize_dedup": dict(

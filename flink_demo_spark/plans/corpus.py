@@ -228,6 +228,91 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query(
+    "mix_temperature_langs",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS total,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS DOUBLE)"
+                 f" AS c_{l}" for l in _LANGS)}
+      FROM documents
+    ), r AS (
+      SELECT d.doc_id, d.lang,
+             (((d.doc_id % 1000003) * 2654435761 + 12345) % 1000000007)
+               % 1000000 AS bucket,
+             least(1.0,
+                   0.6 * s.total
+                     * (CASE d.lang {" ".join(
+                           f"WHEN '{l}' THEN sqrt(s.c_{l})" for l in _LANGS)} END)
+                     / ({" + ".join(f"sqrt(s.c_{l})" for l in _LANGS)})
+                     / (CASE d.lang {" ".join(
+                           f"WHEN '{l}' THEN s.c_{l}" for l in _LANGS)} END)
+             ) AS rate
+      FROM documents d CROSS JOIN stats s
+    )
+    SELECT doc_id, lang, round(rate, 6) AS keep_rate
+    FROM r
+    WHERE bucket < floor(rate * 1000000)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "temperature-based language mixing (T=2 exponent smoothing, "
+        "XLM-R style): per-language keep rates proportional to "
+        "sqrt(count)/count, normalized to keep ~60% of the corpus — "
+        "upsamples tail languages, downsamples the head. The rates "
+        "derive FROM the data in the same job: one scalar-agg row "
+        "(conditional counts in a fixed literal order, so the "
+        "normalizing sum is bit-identical across engines) broadcast "
+        "back over the scan; keep decision is the shared integer "
+        "hash vs floor(rate*1e6). Zero driver round-trips; at 100 TB "
+        "the stats row is a partial agg + 1-row broadcast."
+    ),
+)
+def mix_temperature_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        *[
+            F.sum((F.col("lang") == l).cast("int"))
+            .cast("double")
+            .alias(f"c_{l}")
+            for l in _LANGS
+        ],
+    )
+    joined = docs.crossJoin(F.broadcast(stats))
+    # fixed literal order keeps the float fold identical to the oracle
+    ssum = None
+    for l in _LANGS:
+        term = F.sqrt(F.col(f"c_{l}"))
+        ssum = term if ssum is None else ssum + term
+    sq_expr = None
+    cnt_expr = None
+    for l in _LANGS:
+        cond = F.col("lang") == l
+        s_term = F.sqrt(F.col(f"c_{l}"))
+        if sq_expr is None:
+            sq_expr = F.when(cond, s_term)
+            cnt_expr = F.when(cond, F.col(f"c_{l}"))
+        else:
+            sq_expr = sq_expr.when(cond, s_term)
+            cnt_expr = cnt_expr.when(cond, F.col(f"c_{l}"))
+    rate = F.least(
+        F.lit(1.0), F.lit(0.6) * F.col("total") * sq_expr / ssum / cnt_expr
+    )
+    bucket = (
+        ((F.col("doc_id") % 1000003) * 2654435761 + 12345) % 1000000007
+    ) % 1000000
+    return (
+        joined.withColumn("rate", rate)
+        .where(bucket < F.floor(F.col("rate") * 1000000))
+        .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
+    )
+
+
 @query(
     "text_token_quantiles",
     oracle="""

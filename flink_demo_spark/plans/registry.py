@@ -190,13 +190,22 @@ _SAMPLE_PRIORITY = [
 ]
 
 
+_GREEN_CACHE: set[str] | None = None
+
+
 def _previously_green() -> set[str]:
     """Query names with a green (or rows-only) row in any past round's
     CORRECTNESS_r*.json — these already have driver-side evidence, so
-    the sample rotates toward never-checked queries automatically."""
+    the sample rotates toward never-checked queries automatically.
+    Read once per process: the record files only change between
+    rounds, never while a session is querying the registry."""
     import glob
     import json
     import os
+
+    global _GREEN_CACHE
+    if _GREEN_CACHE is not None:
+        return _GREEN_CACHE
 
     seen: set[str] = set()
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -212,7 +221,8 @@ def _previously_green() -> set[str]:
                 if ok or rows_only:
                     seen.add(name)
     except Exception:
-        return set()  # unreadable records: fall back to static order
+        seen = set()  # unreadable records: fall back to static order
+    _GREEN_CACHE = seen
     return seen
 
 

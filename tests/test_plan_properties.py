@@ -185,6 +185,14 @@ EXPECT = {
     "embedding_semantic_dedup": dict(
         absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # temperature mixing: one scalar stats row (partial agg) broadcast
+    # back over the scan — the 1-row cross join is the intended shape
+    "mix_temperature_langs": dict(
+        contains=["BroadcastNestedLoopJoin"],
+        absent=["SortMergeJoin", "MapInPandas"],
+        partial_agg=True,
+        max_exchanges=1,
+    ),
     # single-pass profile: 5 exact-distinct aggs via ONE Expand and
     # the two-phase agg exchanges — never one scan per column
     "profile_columns": dict(

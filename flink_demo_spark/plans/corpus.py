@@ -139,6 +139,7 @@ _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 @query(
     "profile_columns",
+    bench=True,
     oracle="\nUNION ALL\n".join(
         f"""
     SELECT '{c}' AS col_name, count(*) AS n_rows,

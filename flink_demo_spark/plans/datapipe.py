@@ -777,6 +777,7 @@ def similarity_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_kmeans",
+    bench=True,
     oracle=f"""
     WITH cent0 AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv

@@ -1034,3 +1034,54 @@ def streaming_retract_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return fold_changelog(log)
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "streaming_profile_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+    doc=(
+        "live ingest monitor: the batch column profile as a streaming "
+        "global aggregate over a document FEED (complete mode) — per "
+        "column the cumulative row/null counts and min/max; the 1-row "
+        "state explodes into per-column rows after materialization. "
+        "Exact distinct counts are not streamable (Spark rejects "
+        "count_distinct in streaming aggs); the batch twin "
+        "`profile_columns` carries them, the streaming monitor's "
+        "scale path is approx_count_distinct. State is ONE row of "
+        "per-column scalars regardless of feed size."
+    ),
+)
+def streaming_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import documents_stream
+
+    feed = documents_stream(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = run_available_now(feed.agg(*aggs), output_mode="complete")
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

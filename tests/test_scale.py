@@ -72,3 +72,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_kmeans_update_partition_order_invariant(spark, sf_dir):
+    """The DECIMAL-accumulated centroid update must be bit-identical
+    under any partitioning/ordering of the input — that order
+    independence is the entire basis for oracle-checking a clustering
+    (VERDICT round 6). Float-sum means would fail this test."""
+    from flink_demo_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(
+        emb,
+        sorted(
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.where(F.col("vec_id") < 8).collect()
+        ),
+    )
+    base = similarity.kmeans_update(assigned)
+    for layout in (
+        assigned.repartition(7),
+        assigned.repartition(3, "vec_id"),
+        assigned.coalesce(1),
+        assigned.orderBy(F.col("vec_id").desc()),
+    ):
+        assert similarity.kmeans_update(layout) == base

@@ -929,3 +929,40 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(
         stream, "tok", min_count=20, depth=4, width=1024
     )
+
+
+@query(
+    "text_token_quantiles_approx",
+    oracle=None,  # GK sketch differs per engine; rank-error bound is
+    # pinned by tests/test_plans.py::test_token_quantiles_approx_rank_bound
+    doc=(
+        "the 100 TB scale path of text_token_quantiles made real: "
+        "per-language p50/p90/p99 token counts via percentile_approx "
+        "(Greenwald-Khanna sketch, accuracy=10000 -> rank error "
+        "<= n/10000). Mergeable partial sketches replace the exact "
+        "per-group sort — one shuffle of sketch state instead of the "
+        "full value stream; the exact twin stays the oracle-backed "
+        "correctness anchor."
+    ),
+)
+def text_token_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    s = docs.select(
+        "lang", text.token_count("text").cast("long").alias("n")
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                "n", [0.5, 0.9, 0.99], 10000
+            ).alias("q"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "lang",
+            F.col("q")[0].alias("p50_tokens"),
+            F.col("q")[1].alias("p90_tokens"),
+            F.col("q")[2].alias("p99_tokens"),
+            "n_docs",
+        )
+    )

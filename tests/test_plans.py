@@ -117,3 +117,42 @@ def test_match_recognize_single_shuffle(spark, sf_dir):
     # final orderBy adds one range exchange; the matcher itself must
     # contribute exactly one hash exchange on the key
     assert plan.count("hashpartitioning(symbol") == 1, plan[:2000]
+
+
+def test_token_quantiles_approx_rank_bound(spark, sf_dir):
+    """Pin the approx-quantile scale path: each percentile_approx
+    output must be an actual data value whose rank is within the
+    Greenwald-Khanna guarantee (accuracy=10000 -> n/10000 ranks,
+    +1 for boundary rounding) of the requested rank. Deterministic
+    for a given dataset, like the HLL bound above."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.operators import text
+
+    approx = {
+        r["lang"]: (r["p50_tokens"], r["p90_tokens"], r["p99_tokens"])
+        for r in REGISTRY["text_token_quantiles_approx"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    rows = (
+        docs.select("lang", text.token_count("text").cast("long").alias("n"))
+        .collect()
+    )
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n"])
+    assert set(approx) == set(by_lang)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        err = math.ceil(n / 10000) + 1
+        for p, got in zip((0.5, 0.9, 0.99), approx[lang]):
+            rk = math.ceil(p * n)
+            lo = vals[max(0, rk - 1 - err)]
+            hi = vals[min(n - 1, rk - 1 + err)]
+            assert lo <= got <= hi, (lang, p, got, lo, hi)

@@ -185,6 +185,14 @@ EXPECT = {
     "embedding_semantic_dedup": dict(
         absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # approx quantiles: partial GK sketches merge map-side via
+    # ObjectHashAggregate — ONE shuffle of sketch state, never the
+    # per-group value sort of the exact twin
+    "text_token_quantiles_approx": dict(
+        contains=["ObjectHashAggregate"],
+        absent=["SortAggregate", "Window", "Join"],
+        max_exchanges=1,
+    ),
     # temperature mixing: one scalar stats row (partial agg) broadcast
     # back over the scan — the 1-row cross join is the intended shape
     "mix_temperature_langs": dict(

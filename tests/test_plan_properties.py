@@ -185,6 +185,12 @@ EXPECT = {
     "embedding_semantic_dedup": dict(
         absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # the z-order key is pure shift/and column math over the scan —
+    # the (deliberate) range-partition shuffle lives in the WRITER
+    # (operators/layout.write_zordered), never in the key computation
+    "zorder_values": dict(
+        absent=["Exchange", "HashAggregate", "MapInPandas", "Join"],
+    ),
     # approx quantiles: partial GK sketches merge map-side via
     # ObjectHashAggregate — ONE shuffle of sketch state, never the
     # per-group value sort of the exact twin

@@ -97,3 +97,50 @@ def test_kmeans_update_partition_order_invariant(spark, sf_dir):
         assigned.orderBy(F.col("vec_id").desc()),
     ):
         assert similarity.kmeans_update(layout) == base
+
+
+def test_zorder_layout_clusters_files(spark, sf_dir, tmp_path):
+    """Z-ordered files must concentrate a box query's matching rows
+    in few files (tight per-file min/max on both dims -> stats-based
+    skipping), while a hash layout smears them across every file.
+    input_file_name() counts the files that actually contain
+    matching rows — the quantity parquet stats pruning keys off."""
+    from flink_demo_spark.operators.layout import write_zordered, z_value
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr("unix_timestamp(ts) div 3600 % 65536")
+    keyed = ev.select(
+        "event_id", "user_id", hour.alias("hour_bucket")
+    ).withColumn("z", z_value(F.col("user_id"), F.col("hour_bucket")))
+
+    zpath, hpath = str(tmp_path / "zorder"), str(tmp_path / "hashed")
+    write_zordered(keyed, zpath, "z", n_files=8)
+    keyed.repartition(8).write.mode("overwrite").parquet(hpath)
+
+    # a true BOX query — constrained in BOTH interleaved dimensions
+    # (z-order interleaves the dims' bits, so an unconstrained
+    # dimension's high bits still spread rows across every z-range;
+    # single-dim scans are linear-order territory, documented in
+    # operators/layout.py)
+    lo, hlo, hhi = keyed.agg(
+        F.min("user_id"), F.min("hour_bucket"), F.max("hour_bucket")
+    ).collect()[0]
+    box = (
+        (F.col("user_id") >= lo)
+        & (F.col("user_id") < lo + 10)
+        & (F.col("hour_bucket") >= hlo)
+        & (F.col("hour_bucket") < hlo + max(1, (hhi - hlo) // 8))
+    )
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .where(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    n_z, n_h = files_touched(zpath), files_touched(hpath)
+    assert n_h == 8, n_h  # hash layout: every file has matching rows
+    assert n_z <= 4, n_z  # z layout: the box lives in a few z-ranges

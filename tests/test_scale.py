@@ -144,3 +144,34 @@ def test_zorder_layout_clusters_files(spark, sf_dir, tmp_path):
     n_z, n_h = files_touched(zpath), files_touched(hpath)
     assert n_h == 8, n_h  # hash layout: every file has matching rows
     assert n_z <= 4, n_z  # z layout: the box lives in a few z-ranges
+
+
+def test_z_value_matches_python_morton(spark):
+    """Fuzz the column-expression Morton interleave against a direct
+    Python bit-twiddling reference over random 16-bit pairs."""
+    import random
+
+    from flink_demo_spark.operators.layout import z_value
+
+    rng = random.Random(20260814)
+    pairs = [
+        (rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16))
+        for _ in range(500)
+    ] + [(0, 0), (65535, 65535), (0, 65535), (65535, 0), (1, 2)]
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn(
+            "z", z_value(F.col("a"), F.col("b"))
+        ).collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == morton(a, b), (a, b)

@@ -412,3 +412,63 @@ def simhash_pairs(
     return cand.where(ham <= max_hamming).select(
         "doc1", "doc2", ham.cast("long").alias("hamming")
     )
+
+
+# --- Bloom-filter prefilter for incremental (history vs incoming) dedup ---
+
+BLOOM_SEEDS = (0x9E3779B9, 0x85EBCA6B)  # k=2 xxhash64 seeds
+
+
+def bloom_bitmap(
+    df: DataFrame, col: str, m_bits: int = 1 << 16
+) -> list[int]:
+    """Build a Bloom bitmap over ``col``: k=BLOOM_SEEDS xxhash64
+    probes per value, bits OR-merged distributedly (``bit_or`` over
+    64-bit words — a partial aggregation, so executors fold their
+    partition's bits before the one m/64-row shuffle). Returns the
+    bitmap driver-side as m_bits/64 longs (8 KiB at the default m) —
+    the same bounded-collect contract as the IVF centroid list; at a
+    100 TB history size m up (bits scale with the distinct count) and
+    ship via ``sparkContext.broadcast`` instead of a literal.
+
+    Blooms never false-negative, so a downstream exact verification
+    of the candidates makes the end-to-end result EXACT — the same
+    sketch-prefilter-then-verify contract as cms_heavy_hitters."""
+    words = m_bits // 64
+    probes = F.array(
+        *[F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits)) for s in BLOOM_SEEDS]
+    )
+    rows = (
+        df.select(F.explode(probes).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in rows:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_prefilter(
+    df: DataFrame, col: str, bitmap: list[int], m_bits: int = 1 << 16
+) -> DataFrame:
+    """Keep only rows whose ``col`` value hits ALL k Bloom bits — a
+    pure column expression against the bitmap literal (no join, no
+    shuffle): the Spark runtime-filter idea surfaced as an operator.
+    Candidates may contain false positives; follow with an exact
+    semi-join to make the result exact."""
+    lit_map = F.array(*[F.lit(w) for w in bitmap])
+    cond = None
+    for s in BLOOM_SEEDS:
+        p = F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits))
+        word = F.element_at(lit_map, (p / 64).cast("int") + 1)
+        hit = word.bitwiseAND(
+            F.expr(f"shiftleft(1L, CAST(pmod(xxhash64({col}, {s}), {m_bits}) % 64 AS INT))")
+        ) != 0
+        cond = hit if cond is None else cond & hit
+    return df.where(cond)

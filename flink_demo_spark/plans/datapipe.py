@@ -1360,3 +1360,50 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "dedup_bloom_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, doc_id % 3 = 0 AS inc,
+             md5(array_to_string(
+                   list_sort(list_distinct(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+               AS fp
+      FROM documents
+    )
+    SELECT d.doc_id, d.fp
+    FROM fp d
+    WHERE d.inc AND EXISTS (
+      SELECT 1 FROM fp h WHERE NOT h.inc AND h.fp = d.fp
+    )
+    ORDER BY doc_id
+    """,
+    doc=(
+        "incremental ingest dedup: incoming documents (doc_id%3=0) "
+        "checked against the already-ingested history via a Bloom "
+        "bitmap prefilter (k=2 xxhash64 probes into an 8 KiB literal "
+        "— membership is a pure column expression, no join/shuffle) "
+        "then an exact fingerprint semi-join over the surviving "
+        "candidates only. Blooms never false-negative, so the verify "
+        "join makes the output exact (the cms_heavy_hitters "
+        "contract); at 100 TB the prefilter shrinks the verify "
+        "join's probe side from |incoming| to |dups|+FPs and the "
+        "bitmap ships via broadcast."
+    ),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    )
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    incoming = docs.where(F.col("doc_id") % 3 == 0)
+    bitmap = dedup.bloom_bitmap(hist, "fp")
+    candidates = dedup.bloom_prefilter(incoming, "fp", bitmap)
+    # the verify semi-join keys on fp: at scale BOTH sides shuffle on
+    # the fingerprint, but the prefilter has already cut the probe
+    # side to |dups|+FPs — no broadcast hint; AQE picks per-SF
+    return candidates.join(hist.select("fp"), "fp", "left_semi").select(
+        "doc_id", "fp"
+    )

@@ -1503,3 +1503,32 @@ def test_sorted_rows_recs_matches_pandas_path():
         assert (va != va and vb != vb) or va == vb  # NaN-aware
     # the rows frame is the same permutation
     assert rows["eid"].tolist() == ref["eid"].tolist()
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark, sf_dir):
+    """The Bloom prefilter must pass EVERY true duplicate (no false
+    negatives — the property that lets the exact verify join produce
+    an exact result) while pruning a real fraction of the non-dup
+    incoming rows (the point of the sketch)."""
+    from flink_demo_spark.operators import dedup, text
+
+    docs = text.fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    )
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    incoming = docs.where(F.col("doc_id") % 3 == 0)
+
+    bitmap = dedup.bloom_bitmap(hist, "fp")
+    cand_ids = {
+        r["doc_id"]
+        for r in dedup.bloom_prefilter(incoming, "fp", bitmap).collect()
+    }
+    true_dups = {
+        r["doc_id"]
+        for r in incoming.join(hist.select("fp"), "fp", "left_semi").collect()
+    }
+    n_incoming = incoming.count()
+    assert true_dups <= cand_ids  # Bloom never false-negatives
+    # with m=2^16 bits and a few hundred set bits the FP rate is tiny:
+    # the prefilter must drop most non-duplicate incoming rows
+    assert len(cand_ids - true_dups) <= max(2, n_incoming // 10)

@@ -185,6 +185,13 @@ EXPECT = {
     "embedding_semantic_dedup": dict(
         absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # bloom membership is a pure column expression FUSED INTO THE SCAN
+    # FILTER (no join, no shuffle for the prefilter); only the exact
+    # verify semi-join remains — never a nested loop
+    "dedup_bloom_incremental": dict(
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"],
+        max_exchanges=2,
+    ),
     # the z-order key is pure shift/and column math over the scan —
     # the (deliberate) range-partition shuffle lives in the WRITER
     # (operators/layout.write_zordered), never in the key computation

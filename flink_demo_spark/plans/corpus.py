@@ -17,6 +17,8 @@ from ..catalog import load_table
 from ..operators import dedup, graph, text
 from .registry import query
 
+_SW_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
 # the shingle->pairs CTE chain shared with dedup_jaccard_pairs
 _JACCARD_PAIRS_CTES = """
     toks AS (
@@ -965,4 +967,107 @@ def text_token_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q")[2].alias("p99_tokens"),
             "n_docs",
         )
+    )
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(array_to_string(
+                   list_sort(list_distinct(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+               AS fp
+      FROM documents
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM fp
+      ) WHERE rk = 1
+    ), q AS (
+      SELECT doc_id, lang,
+             CAST(5000 * least(n, 50) // 50
+                  + (3000 * d) // n
+                  + (2000 * least(n, 10 * sw)) // n AS BIGINT) AS quality_bp
+      FROM (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n,
+               CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                 AS BIGINT) AS d,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> lower(x) IN ({_SW_LIST}))) AS BIGINT) AS sw
+        FROM dedup
+      )
+    )
+    SELECT doc_id, lang, quality_bp
+    FROM q
+    WHERE quality_bp >= 6000
+      AND (((doc_id % 1000003) * 2654435761 + 12345) % 1000000007) % 1000
+            < CASE lang WHEN 'en' THEN 150 WHEN 'zh' THEN 400 ELSE 250 END
+    ORDER BY doc_id
+    """,
+    doc=(
+        "the end-to-end corpus-curation gate, composed from the "
+        "pipeline's own verified stages: exact-dedup keep-first "
+        "(fingerprint row_number, 1 shuffle), Gopher-style integer "
+        "quality score >= 6000, then the deterministic per-language "
+        "stratified keep (narrow hash filter). One query a reference "
+        "user runs to turn a raw crawl into a training corpus; every "
+        "stage shares its SQL twin with the standalone query "
+        "(text_fingerprint / text_quality_score / sample_stratified) "
+        "so the composition is oracle-exact end to end. At 100 TB: "
+        "one fingerprint shuffle + map-side everything else."
+    ),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "doc_id", "lang", "text", text.fingerprint("text").alias("fp")
+    )
+    dedup_keep = (
+        fp.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk", "fp")
+    )
+    toks = dedup_keep.select(
+        "doc_id", "lang", text.tokens("text").alias("toks")
+    )
+    sw_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    staged = toks.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n"),
+        F.size(F.array_distinct(F.transform("toks", lambda t: F.lower(t))))
+        .cast("long")
+        .alias("d"),
+        F.size(F.filter("toks", lambda t: F.array_contains(sw_arr, F.lower(t))))
+        .cast("long")
+        .alias("sw"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(5000 * least(n, 50) div 50"
+            " + (3000 * d) div n"
+            " + (2000 * least(n, 10 * sw)) div n AS BIGINT)"
+        ).alias("quality_bp"),
+    )
+    bucket = (
+        ((F.col("doc_id") % 1000003) * 2654435761 + 12345) % 1000000007
+    ) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 150)
+        .when(F.col("lang") == "zh", 400)
+        .otherwise(250)
+    )
+    return scored.where(
+        (F.col("quality_bp") >= 6000) & (bucket < rate)
     )

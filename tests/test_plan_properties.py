@@ -185,6 +185,14 @@ EXPECT = {
     "embedding_semantic_dedup": dict(
         absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # the whole curation gate is ONE fingerprint shuffle: keep-first
+    # dedup reduces map-side (WindowGroupLimit below the exchange),
+    # quality + sampling are fused filters above it
+    "pipeline_corpus_curation": dict(
+        contains=["WindowGroupLimit"],
+        absent=["Join", "MapInPandas", "CartesianProduct"],
+        max_exchanges=1,
+    ),
     # bloom membership is a pure column expression FUSED INTO THE SCAN
     # FILTER (no join, no shuffle for the prefilter); only the exact
     # verify semi-join remains — never a nested loop

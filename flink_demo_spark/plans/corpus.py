@@ -972,6 +972,7 @@ def text_token_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_corpus_curation",
+    bench=True,
     oracle=f"""
     WITH fp AS (
       SELECT doc_id, lang, text,

@@ -1407,3 +1407,77 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.join(hist.select("fp"), "fp", "left_semi").select(
         "doc_id", "fp"
     )
+
+
+@query(
+    "similarity_ivf_kmeans",
+    oracle=f"""
+    WITH cent0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), a0 AS (
+      SELECT vec_id, ev, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                          c.cid
+               ) AS crk
+        FROM embeddings e CROSS JOIN cent0 c
+      ) WHERE crk = 1
+    ), upd AS (
+      SELECT cid, pos,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+      FROM (SELECT cid, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x
+            FROM a0)
+      GROUP BY cid, pos
+    ), cent1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM upd GROUP BY cid
+    ), ranked AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_IVF_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                        c.cid
+             ) AS crk
+      FROM embeddings e CROSS JOIN cent1 c
+    ), assign AS (
+      SELECT vec_id, ev, cid FROM ranked WHERE crk = 1
+    ), q AS (
+      SELECT vec_id AS query_id, ev AS qv, cid
+      FROM ranked WHERE vec_id < 5 AND crk <= 2
+    ), scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             round({_IVF_COS.format(a='q.qv', b='a.ev')}, 6) AS cosine_sim
+      FROM assign a JOIN q ON a.cid = q.cid AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, rk, neighbor_id, cosine_sim FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "the full IVF index lifecycle in one query: TRAIN the "
+        "coarse quantizer (one decimal-exact Lloyd iteration over 8 "
+        "seeds — embedding_kmeans's contract) then SERVE multi-probe "
+        "ANN (nprobe=2, exact cosine top-5 inside the probed cells) "
+        "against the refined cells. This is how a real IVF index is "
+        "built: k-means centroids from a corpus sample, corpus "
+        "bucketed once by trained cell, queries probe their n nearest "
+        "cells. Oracle-checked through BOTH stages."
+    ),
+)
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    cents = similarity.kmeans_lloyd(emb, init, iterations=1)
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_top_k(
+        emb, queries, cents, id_col="vec_id", vec_col="embedding", k=5,
+        nprobe=2,
+    )

@@ -185,6 +185,13 @@ EXPECT = {
     "embedding_semantic_dedup": dict(
         absent=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # trained-IVF serve stage: same shape contract as
+    # similarity_ivf_nprobe — query side broadcasts, corpus streams
+    "similarity_ivf_kmeans": dict(
+        contains=["BroadcastHashJoin", "WindowGroupLimit"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        max_exchanges=2,
+    ),
     # the whole curation gate is ONE fingerprint shuffle: keep-first
     # dedup reduces map-side (WindowGroupLimit below the exchange),
     # quality + sampling are fused filters above it

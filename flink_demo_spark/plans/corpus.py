@@ -1,11 +1,15 @@
 """Corpus-curation queries: dup-cluster assignment, deterministic
-stratified sampling, token-length quantiles, n-gram statistics.
+stratified/importance sampling, temperature-based language mixing,
+column profiling, token-length quantiles (exact + sketch), n-gram
+statistics, and the composed end-to-end curation gate.
 
 Beyond-reference surface (SURVEY.md §7 phase 6): the operations that
 turn near-dup PAIRS and per-doc stats into the keep/drop and
 inspection artifacts a 100 TB training-data pipeline actually ships.
-All four are DuckDB-oracle-backed — the clustering oracle uses a
-recursive CTE, the sampling oracle shares the exact integer hash.
+DuckDB-oracle-backed throughout (the clustering oracle uses a
+recursive CTE; the sampling oracles share the exact integer hash;
+the one sketch query, text_token_quantiles_approx, is pinned to its
+rank-error bound by a unit test instead).
 """
 
 from __future__ import annotations

@@ -1085,3 +1085,87 @@ def streaming_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_COLS
     ]
     return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+_MIX_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query(
+    "streaming_mix_temperature",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS total,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS DOUBLE)"
+                 f" AS c_{l}" for l in _MIX_LANGS)}
+      FROM documents
+    ), r AS (
+      SELECT d.doc_id, d.lang,
+             (((d.doc_id % 1000003) * 2654435761 + 12345) % 1000000007)
+               % 1000000 AS bucket,
+             least(1.0,
+                   0.6 * s.total
+                     * (CASE d.lang {" ".join(
+                           f"WHEN '{l}' THEN sqrt(s.c_{l})" for l in _MIX_LANGS)} END)
+                     / ({" + ".join(f"sqrt(s.c_{l})" for l in _MIX_LANGS)})
+                     / (CASE d.lang {" ".join(
+                           f"WHEN '{l}' THEN s.c_{l}" for l in _MIX_LANGS)} END)
+             ) AS rate
+      FROM documents d CROSS JOIN stats s
+    )
+    SELECT doc_id, lang, round(rate, 6) AS keep_rate
+    FROM r
+    WHERE bucket < floor(rate * 1000000)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "temperature-based language mixing on a live document FEED: "
+        "the per-language keep rates come from the STATIC corpus "
+        "stats (stream-static cross join of the 1-row broadcast "
+        "aggregate — the production shape when rebalancing an "
+        "incoming crawl against yesterday's census), the keep "
+        "decision is the shared integer hash per arriving row, "
+        "append mode, no stream state at all. Equals the batch "
+        "mix_temperature_langs result."
+    ),
+)
+def streaming_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..sources.streams import documents_stream
+
+    stats = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        *[
+            F.sum((F.col("lang") == l).cast("int"))
+            .cast("double")
+            .alias(f"c_{l}")
+            for l in _MIX_LANGS
+        ],
+    )
+    feed = documents_stream(spark, sf_dir).crossJoin(F.broadcast(stats))
+    ssum = None
+    for l in _MIX_LANGS:
+        term = F.sqrt(F.col(f"c_{l}"))
+        ssum = term if ssum is None else ssum + term
+    sq_expr = None
+    cnt_expr = None
+    for l in _MIX_LANGS:
+        cond = F.col("lang") == l
+        if sq_expr is None:
+            sq_expr = F.when(cond, F.sqrt(F.col(f"c_{l}")))
+            cnt_expr = F.when(cond, F.col(f"c_{l}"))
+        else:
+            sq_expr = sq_expr.when(cond, F.sqrt(F.col(f"c_{l}")))
+            cnt_expr = cnt_expr.when(cond, F.col(f"c_{l}"))
+    rate = F.least(
+        F.lit(1.0), F.lit(0.6) * F.col("total") * sq_expr / ssum / cnt_expr
+    )
+    bucket = (
+        ((F.col("doc_id") % 1000003) * 2654435761 + 12345) % 1000000007
+    ) % 1000000
+    kept = (
+        feed.withColumn("rate", rate)
+        .where(bucket < F.floor(F.col("rate") * 1000000))
+        .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
+    )
+    return run_available_now(kept, output_mode="append")

@@ -4,7 +4,7 @@
 
 SF001 ?= /root/testdata/sf0.01
 
-.PHONY: test parity parity-sf001 plans bench
+.PHONY: test parity parity-sf001 driver-sim plans bench
 
 # full local suite (sf0.001 oracles + goldens + e2e)
 test:
@@ -17,6 +17,11 @@ parity:
 # the driver-scale parity gate: run before ending a round
 parity-sf001:
 	TEST_SF_DIR=$(SF001) python -m pytest tests/test_oracle_parity.py -q
+
+# plain-session driver simulation (no engine confs) for queries with
+# no recorded driver evidence yet — run before every round ends
+driver-sim:
+	python tools/driver_sim.py --new
 
 plans:
 	python tools/dump_plans.py

@@ -1169,3 +1169,54 @@ def streaming_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
     )
     return run_available_now(kept, output_mode="append")
+
+
+@query(
+    "streaming_queryable_state",
+    oracle="""
+    SELECT user_id, count(*) AS cnt,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                AS DOUBLE) / 10000.0 AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc=(
+        "queryable state (Flink SURVEY §2.11, previously a documented "
+        "non-goal — now implemented via Spark 4's state data source): "
+        "run a checkpointed per-user streaming aggregate, then read "
+        "the operator's KEYED STATE back from the checkpoint as a "
+        "DataFrame (streaming/state_query.py) — the state itself, not "
+        "the sink output, must equal the batch aggregate. Exact "
+        "integer cents keep the state comparison bit-stable; each "
+        "committed micro-batch is a queryable state version (batchId "
+        "option = time travel)."
+    ),
+)
+def streaming_queryable_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.state_query import read_keyed_state
+
+    ev = events_stream(spark, sf_dir, watermark=None).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("cents"),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("cents_sum")
+    )
+    ckpt = tempfile.mkdtemp(prefix="queryable_state_ckpt_")
+    run_available_now(agg, output_mode="complete", checkpoint_dir=ckpt)
+    # the state schema names value fields after the physical agg
+    # buffers, not our aliases — rebind positionally (key, cnt, sum)
+    state = read_keyed_state(spark, ckpt).toDF(
+        "user_id", "cnt", "cents_sum"
+    )
+    return state.select(
+        "user_id",
+        "cnt",
+        (F.col("cents_sum").cast("double") / 10000.0).alias("sum_value"),
+    )

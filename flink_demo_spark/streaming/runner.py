@@ -19,16 +19,21 @@ def run_available_now(
     output_mode: str = "complete",
     name: str | None = None,
     timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Execute a streaming DF to a memory sink; return the result table."""
+    """Execute a streaming DF to a memory sink; return the result
+    table. ``checkpoint_dir`` persists state/offsets — required when
+    the state will be read back via streaming/state_query.py."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         finished = q.awaitTermination(timeout_sec)
         if not finished:

@@ -1837,3 +1837,50 @@ def test_punctuated_vector_scan_equals_per_event_reference():
         assert reference(batches, w, d) == vectorized(batches, w, d), (
             trial, w, d, batches,
         )
+
+
+def test_queryable_state_versions_and_restart(spark):
+    """Queryable state (state_query.read_keyed_state): after each
+    checkpointed run the operator's keyed state equals the aggregate
+    of everything ingested so far, and batchId selects the HISTORICAL
+    state version (time travel) — batch 0 still shows the
+    pre-restart totals after more data arrives."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.streaming.runner import run_available_now
+    from flink_demo_spark.streaming.state_query import read_keyed_state
+
+    src = tempfile.mkdtemp(prefix="qstate_src_")
+    ckpt = tempfile.mkdtemp(prefix="qstate_ckpt_")
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "k string, v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    def run_once():
+        feed = spark.readStream.schema("k string, v long").parquet(
+            f"{src}/*"
+        )
+        agg = feed.groupBy("k").agg(F.sum("v").alias("total"))
+        run_available_now(
+            agg, output_mode="complete", checkpoint_dir=ckpt
+        )
+
+    def state(batch_id=None):
+        df = read_keyed_state(spark, ckpt, batch_id=batch_id).toDF(
+            "k", "total"
+        )
+        return {r["k"]: r["total"] for r in df.collect()}
+
+    write("b1", [("a", 1), ("b", 10), ("a", 2)])
+    run_once()
+    assert state() == {"a": 3, "b": 10}
+
+    write("b2", [("a", 4), ("c", 100)])
+    run_once()  # restart from the checkpoint, ingest only the delta
+    assert state() == {"a": 7, "b": 10, "c": 100}
+    # time travel: version 0 is the pre-restart state, unchanged
+    assert state(batch_id=0) == {"a": 3, "b": 10}

@@ -11,6 +11,12 @@ partition, and the result is a normal DataFrame you can filter/join
 (predicate pushdown included). The delta vs Flink: reads are
 per-commit snapshots rather than live point lookups; for serving,
 pair with a short trigger interval.
+
+Custom ``applyInPandasWithState`` operators are introspectable too:
+their user state schema appears TYPED under ``value.groupState.*``
+(see test_queryable_state_inspects_custom_operator — per-key partial
+window counts read straight out of the count-window operator's
+store).
 """
 
 from __future__ import annotations

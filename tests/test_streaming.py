@@ -1884,3 +1884,55 @@ def test_queryable_state_versions_and_restart(spark):
     assert state() == {"a": 7, "b": 10, "c": 100}
     # time travel: version 0 is the pre-restart state, unchanged
     assert state(batch_id=0) == {"a": 3, "b": 10}
+
+
+def test_queryable_state_inspects_custom_operator(spark, sf_dir):
+    """State introspection works for CUSTOM applyInPandasWithState
+    operators too, not just built-in aggregates: after a count-window
+    run, every user's state row carries its in-flight partial-window
+    count (total events mod n; 0 right after an exact window close) —
+    the key-level visibility an operator on-call needs for state-size
+    monitoring."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.sources.streams import events_stream
+    from flink_demo_spark.streaming.runner import run_available_now
+    from flink_demo_spark.streaming.stateful import count_window
+
+    n = 5
+    tag = lambda df: df.select(  # noqa: E731
+        F.col("user_id").alias("key"),
+        "ts",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("value"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="qstate_custom_ckpt_")
+    run_available_now(
+        count_window(tag(events_stream(spark, sf_dir, watermark=None)), n=n),
+        output_mode="append",
+        checkpoint_dir=ckpt,
+    )
+    state_cnt = {
+        r["key"]: r["cnt"]
+        for r in spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.key").alias("key"),
+            # applyInPandasWithState nests the user schema under
+            # value.groupState (typed fields, not an opaque blob)
+            F.col("value.groupState.cnt").alias("cnt"),
+        )
+        .collect()
+    }
+    expected = {
+        r["key"]: r["count"] % n
+        for r in tag(load_table(spark, sf_dir, "events"))
+        .groupBy("key")
+        .count()
+        .collect()
+    }
+    assert state_cnt == expected

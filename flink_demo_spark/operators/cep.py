@@ -670,6 +670,30 @@ def _anchor_dead_now(pattern: Pattern, recs: list[dict], at: int = 0) -> bool:
     return not s0.predicate(recs[at])
 
 
+def _open_relaxed_loop(steps: list[Step], bindings: dict) -> bool:
+    """True when some step of a COMPLETED preferred match could still
+    recruit a row arriving after the current buffer. A bound greedy
+    RELAXED/COMBINATIONS loop with repeat quota left skips
+    non-matching rows, so a later row can extend it across any gap —
+    regardless of whether it is the LAST bound step: for
+    ``a+ relaxed -> c`` the future row grows the a-loop AND re-binds c
+    even later (batch prefers a=[1,2,5],c=6 over a=[1,2],c=3), so
+    checking only ``steps[last_bound]`` (the pre-round-7 rule) emitted
+    the short match early and broke split invariance. Group steps are
+    conservatively future-sensitive: their repeats follow relaxed
+    contiguity and their bindings accumulate under INNER step names,
+    so repeat quota cannot be counted from ``bindings`` here."""
+    for s in steps:
+        if s.group is not None:
+            return True
+        if s.negated or not s.greedy or s.loop not in ("relaxed", "combinations"):
+            continue
+        took = len(bindings.get(s.name, ()))
+        if took and (s.max_times is None or took < s.max_times):
+            return True
+    return False
+
+
 def _match_can_extend(pattern: Pattern, bindings: dict) -> bool:
     """Could a future in-order row change this preferred match?
     Used by the streaming twin to decide whether a match ending at the
@@ -680,6 +704,8 @@ def _match_can_extend(pattern: Pattern, bindings: dict) -> bool:
     more); reluctant loops stop at their preference, fixed-count
     quantifiers at their max."""
     steps = pattern.steps
+    if _open_relaxed_loop(steps, bindings):
+        return True  # a mid-pattern relaxed loop can grow across gaps
     last_bound = -1
     for i, s in enumerate(steps):
         if bindings.get(s.name):
@@ -713,6 +739,8 @@ def _match_future_sensitive(pattern: Pattern, bindings: dict, end: int, n: int) 
     steps = pattern.steps
     if end >= n:
         return _match_can_extend(pattern, bindings)
+    if _open_relaxed_loop(steps, bindings):
+        return True  # ANY bound relaxed loop with quota spans the gap
     last_bound = -1
     for i, s in enumerate(steps):
         if bindings.get(s.name):
@@ -722,13 +750,6 @@ def _match_future_sensitive(pattern: Pattern, bindings: dict, end: int, n: int) 
     s = steps[last_bound]
     if s.group is not None:
         return True
-    took = len(bindings.get(s.name, ()))
-    if (
-        s.greedy
-        and s.loop in ("relaxed", "combinations")
-        and (s.max_times is None or took < s.max_times)
-    ):
-        return True  # a later row can extend across the gap
     for t in steps[last_bound + 1:]:
         if t.contiguity == "next":
             continue  # decided by the already-buffered next row

@@ -104,6 +104,18 @@ def _patterns():
             .within_time("5s")
         )
 
+    def p_relaxed_loop_mid():
+        # greedy relaxed loop NOT in tail position: a future 'a' can
+        # grow the loop across the gap AND re-bind the mandatory tail
+        # later (round-6 ADVICE high — the early-emit guard must check
+        # every bound loop, not just steps[last_bound])
+        p = cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+        p = p.one_or_more().relaxed()
+        return (
+            p.followed_by("y", lambda r: r["event_type"] == "c")
+            .within_time("5s")
+        )
+
     def p_until():
         p = cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
         p = p.one_or_more().relaxed()
@@ -118,6 +130,7 @@ def _patterns():
         "not_next_tail": p_not_next,
         "optional_mid": p_optional_mid,
         "greedy_tail": p_greedy_tail,
+        "relaxed_loop_mid": p_relaxed_loop_mid,
         "until_stop": p_until,
     }
 

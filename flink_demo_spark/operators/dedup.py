@@ -467,8 +467,12 @@ def bloom_prefilter(
     for s in BLOOM_SEEDS:
         p = F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits))
         word = F.element_at(lit_map, (p / 64).cast("int") + 1)
-        hit = word.bitwiseAND(
-            F.expr(f"shiftleft(1L, CAST(pmod(xxhash64({col}, {s}), {m_bits}) % 64 AS INT))")
-        ) != 0
+        # bit position derived from the SAME probe expression as the
+        # word index — no re-derivation via SQL text, so backtick-y
+        # column names and expression inputs behave identically.
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        hit = word.bitwiseAND(mask) != 0
         cond = hit if cond is None else cond & hit
     return df.where(cond)

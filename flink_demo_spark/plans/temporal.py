@@ -534,3 +534,189 @@ def temporal_join_system_time_sql(spark: SparkSession, sf_dir: str) -> DataFrame
         ON o.currency = r.currency
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-window SQL front-end (TUMBLE / HOP / SESSION text runs verbatim)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "group_window_sql_tumble",
+    oracle="""
+    SELECT user_id AS account_id,
+           time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS log_ts,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Flink TUMBLE group-window SQL run verbatim (reference "
+        "SpendReportJob.scala:95-104): TUMBLE_START projection + "
+        "GROUP BY TUMBLE lowered onto window(ts,'1 hour') by "
+        "operators/group_window_sql.py. Amounts are integer cents so "
+        "SUM is exact on both engines."
+    ),
+)
+def group_window_sql_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.group_window_sql import group_window_sql
+
+    _events(spark, sf_dir).select(
+        F.col("user_id").alias("account_id"),
+        F.col("ts").alias("transaction_time"),
+        F.round(F.col("value") * 100).cast("long").alias("amount"),
+    ).createOrReplaceTempView("transactions")
+    # reference SpendReportJob.scala:98-104, verbatim
+    return group_window_sql(
+        spark,
+        """SELECT
+ account_id,
+ TUMBLE_START(transaction_time,INTERVAL '1' HOUR) as log_ts,
+ SUM(amount) AS amount
+ FROM transactions
+ GROUP BY account_id,TUMBLE(transaction_time,INTERVAL '1' HOUR)
+""",
+    )
+
+
+@query(
+    "group_window_sql_tumble_having",
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 SECOND, CAST(ts AS TIMESTAMP)) AS "start",
+           event_type AS class,
+           CAST(user_id % 3 AS VARCHAR) AS stu,
+           CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS sum_score
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING SUM(CAST(round(value) AS BIGINT)) > 10
+    """,
+    doc=(
+        "Flink TUMBLE group-window SQL with HAVING run verbatim "
+        "(reference QueryTest.scala:375-385 groupby): backticked "
+        "`start` alias, multi-key GROUP BY, HAVING over the windowed "
+        "aggregate."
+    ),
+)
+def group_window_sql_tumble_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.group_window_sql import group_window_sql
+
+    _events(spark, sf_dir).select(
+        F.col("ts").alias("rowtime"),
+        F.col("event_type").alias("class"),
+        (F.col("user_id") % 3).cast("string").alias("stu"),
+        F.round(F.col("value")).cast("long").alias("score"),
+    ).createOrReplaceTempView("records")
+    # reference QueryTest.scala:375-385, verbatim
+    return group_window_sql(
+        spark,
+        """select
+ tumble_start(rowtime, interval '5' seconds) as `start`
+ ,class
+ ,stu
+ ,sum(score) as sum_score
+from records
+group by tumble(rowtime, interval '5' seconds),class,stu
+having sum(score) > 10
+""",
+    )
+
+
+@query(
+    "group_window_sql_hop",
+    oracle="""
+    WITH sensor AS (
+      SELECT event_type AS id, CAST(ts AS TIMESTAMP) AS t,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), exp AS (
+      SELECT id, vc,
+             time_bucket(INTERVAL 5 SECOND, t) - g.k * INTERVAL 5 SECOND AS ws
+      FROM sensor CROSS JOIN (VALUES (0), (1)) AS g(k)
+    )
+    SELECT id,
+           strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS window_end,
+           CAST(SUM(vc) AS BIGINT) AS vc_sum
+    FROM exp
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "Flink HOP group-window SQL run verbatim (reference "
+        "TableDemo.scala:793-798): Flink's (ts, slide, size) argument "
+        "order swapped onto Spark's window(ts, size, slide); "
+        "HOP_START/HOP_END inside DATE_FORMAT become window.start/end."
+    ),
+)
+def group_window_sql_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.group_window_sql import group_window_sql
+
+    _events(spark, sf_dir).select(
+        F.col("event_type").alias("id"),
+        F.col("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).createOrReplaceTempView("sensor")
+    # reference TableDemo.scala:793-798, verbatim
+    return group_window_sql(
+        spark,
+        """select id,
+DATE_FORMAT(HOP_START(t,INTERVAL '5' SECOND,INTERVAL '10' SECOND),'yyyy-MM-dd HH:mm:ss') as window_start,
+DATE_FORMAT(HOP_END(t,INTERVAL '5' SECOND,INTERVAL '10' SECOND),'yyyy-MM-dd HH:mm:ss') as window_end,
+SUM(vc) as vc_sum
+from sensor
+group by id,HOP(t,INTERVAL '5' SECOND,INTERVAL '10' SECOND)
+""",
+    )
+
+
+@query(
+    "group_window_sql_session",
+    oracle="""
+    WITH sensor AS (
+      SELECT event_type AS id, CAST(ts AS TIMESTAMP) AS t,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), marked AS (
+      SELECT id, t, vc,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY id ORDER BY t)
+                       <= INTERVAL 3 SECOND
+                  THEN 0 ELSE 1 END AS new_s
+      FROM sensor
+    ), gs AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT id,
+           strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(MAX(t) + INTERVAL 3 SECOND, '%Y-%m-%d %H:%M:%S') AS window_end,
+           CAST(SUM(vc) AS BIGINT) AS vc_sum
+    FROM gs
+    GROUP BY id, sid
+    """,
+    doc=(
+        "Flink SESSION group-window SQL run verbatim (reference "
+        "TableDemo.scala:878-883): SESSION/SESSION_START/SESSION_END "
+        "lowered onto session_window(ts, gap); oracle is the "
+        "gaps-and-islands formulation (session end = last event + gap, "
+        "Flink's and Spark's shared rule)."
+    ),
+)
+def group_window_sql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.group_window_sql import group_window_sql
+
+    _events(spark, sf_dir).select(
+        F.col("event_type").alias("id"),
+        F.col("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).createOrReplaceTempView("sensor")
+    # reference TableDemo.scala:878-883, verbatim
+    return group_window_sql(
+        spark,
+        """select id,
+DATE_FORMAT(SESSION_START(t,INTERVAL '3' SECOND),'yyyy-MM-dd HH:mm:ss') as window_start,
+DATE_FORMAT(SESSION_END(t,INTERVAL '3' SECOND),'yyyy-MM-dd HH:mm:ss') as window_end,
+SUM(vc) as vc_sum
+from sensor
+group by id,SESSION(t,INTERVAL '3' SECOND)
+""",
+    )

@@ -90,6 +90,43 @@ def _duration(interval_text: str) -> str:
     return f"{n} {_UNITS[unit]}"
 
 
+def _inert_spans(sql: str) -> list[tuple[int, int]]:
+    """Spans of ``sql`` where group-window tokens are inert: single- or
+    double-quoted string literals (with ``''`` / ``""`` escapes),
+    backtick-quoted identifiers, ``--`` line comments, and ``/* */``
+    block comments. A TUMBLE/HOP/SESSION-shaped token starting inside one
+    of these is text, not a window construct, and must not be rewritten
+    (nor trip the identical-arguments / mixed-kinds checks)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == c:
+                    if c != "`" and j + 1 < n and sql[j + 1] == c:
+                        j += 2  # doubled-quote escape
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = min(j + 1, n)
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
 def _norm_spec(m: re.Match) -> tuple[str, str, str | None]:
     """Normalized (ts, i1, i2) key used to enforce Flink's rule that all
     window references in one statement use identical arguments."""
@@ -106,7 +143,12 @@ def rewrite_group_window_sql(sql: str) -> str:
     construct, mixes window kinds, uses ``*_ROWTIME``/``*_PROCTIME``,
     or references the same kind with differing arguments.
     """
-    matches = list(_WIN_RE.finditer(sql))
+    inert = _inert_spans(sql)
+
+    def _is_inert(pos: int) -> bool:
+        return any(a <= pos < b for a, b in inert)
+
+    matches = [m for m in _WIN_RE.finditer(sql) if not _is_inert(m.start())]
     if not matches:
         raise ValueError("no TUMBLE/HOP/SESSION group-window construct found")
 
@@ -135,6 +177,8 @@ def rewrite_group_window_sql(sql: str) -> str:
     win_alias = "session_window" if kind == "SESSION" else "window"
 
     def repl(m: re.Match) -> str:
+        if _is_inert(m.start()):
+            return m.group(0)  # inside a literal/comment — leave verbatim
         part = (m.group("part") or "").upper()
         if part in ("_ROWTIME", "_PROCTIME"):
             raise ValueError(

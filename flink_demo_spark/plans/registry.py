@@ -207,19 +207,23 @@ def _previously_green() -> set[str]:
     if _GREEN_CACHE is not None:
         return _GREEN_CACHE
 
-    seen: set[str] = set()
+    # Green status is the MOST RECENT row per query, not the union of all
+    # rounds: a query that regressed after once being green must rotate
+    # back to the front of the sampled window so the regression is caught,
+    # instead of staying permanently deprioritized (round-7 ADVICE).
+    latest: dict[str, bool] = {}
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     try:
-        for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
             with open(path) as f:
                 rows = json.load(f)
             for name, r in rows.items():
                 if not isinstance(r, dict):
                     continue
-                ok = r.get("hash_match")
-                rows_only = r.get("err") == "no_oracle" and r.get("spark_rows")
-                if ok or rows_only:
-                    seen.add(name)
+                ok = bool(r.get("hash_match"))
+                rows_only = r.get("err") == "no_oracle" and bool(r.get("spark_rows"))
+                latest[name] = ok or rows_only
+        seen = {n for n, ok in latest.items() if ok}
     except Exception:
         seen = set()  # unreadable records: fall back to static order
     _GREEN_CACHE = seen

@@ -1220,3 +1220,120 @@ def streaming_queryable_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.col("cents_sum").cast("double") / 10000.0).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-window SQL front-end, streaming twins (reference TableDemo.scala
+# runs its HOP/SESSION group-window SQL on UNBOUNDED tables: :768-800 and
+# :853-884). The rewritten text from operators/group_window_sql.py is
+# already streaming-legal — window()/session_window() group on a
+# streaming temp view — so the twin is just: register the streaming view,
+# run the verbatim Flink SQL through the rewriter, drain availableNow.
+
+
+@query(
+    "streaming_group_window_sql",
+    oracle="""
+    WITH sensor AS (
+      SELECT event_type AS id, CAST(ts AS TIMESTAMP) AS t,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), exp AS (
+      SELECT id, vc,
+             time_bucket(INTERVAL 5 SECOND, t) - g.k * INTERVAL 5 SECOND AS ws
+      FROM sensor CROSS JOIN (VALUES (0), (1)) AS g(k)
+    )
+    SELECT id,
+           strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS window_end,
+           CAST(SUM(vc) AS BIGINT) AS vc_sum
+    FROM exp
+    GROUP BY 1, 2, 3
+    ORDER BY id, window_start
+    """,
+    doc=(
+        "Flink HOP group-window SQL run VERBATIM over an unbounded table "
+        "(reference TableDemo.scala:768-800 streams its sensor HOP query): "
+        "the rewriter's output executes directly on a streaming temp view "
+        "(readStream -> watermark -> spark.sql -> memory sink); equals "
+        "the batch twin group_window_sql_hop and the DuckDB oracle."
+    ),
+)
+def streaming_group_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.group_window_sql import group_window_sql
+
+    events_stream(spark, sf_dir, watermark="10 minutes").select(
+        F.col("event_type").alias("id"),
+        F.col("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).createOrReplaceTempView("sensor_unbounded")
+    # reference TableDemo.scala:793-798, verbatim (table name aside)
+    sdf = group_window_sql(
+        spark,
+        """select id,
+DATE_FORMAT(HOP_START(t,INTERVAL '5' SECOND,INTERVAL '10' SECOND),'yyyy-MM-dd HH:mm:ss') as window_start,
+DATE_FORMAT(HOP_END(t,INTERVAL '5' SECOND,INTERVAL '10' SECOND),'yyyy-MM-dd HH:mm:ss') as window_end,
+SUM(vc) as vc_sum
+from sensor_unbounded
+group by id,HOP(t,INTERVAL '5' SECOND,INTERVAL '10' SECOND)
+""",
+    )
+    result = run_available_now(sdf, output_mode="complete")
+    return result.orderBy("id", "window_start")
+
+
+@query(
+    "streaming_group_window_sql_session",
+    oracle="""
+    WITH sensor AS (
+      SELECT event_type AS id, CAST(ts AS TIMESTAMP) AS t,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), marked AS (
+      SELECT id, t, vc,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY id ORDER BY t)
+                       <= INTERVAL 3 SECOND
+                  THEN 0 ELSE 1 END AS new_s
+      FROM sensor
+    ), gs AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT id,
+           strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(MAX(t) + INTERVAL 3 SECOND, '%Y-%m-%d %H:%M:%S') AS window_end,
+           CAST(SUM(vc) AS BIGINT) AS vc_sum
+    FROM gs
+    GROUP BY id, sid
+    ORDER BY id, window_start
+    """,
+    doc=(
+        "Flink SESSION group-window SQL run VERBATIM over an unbounded "
+        "table (reference TableDemo.scala:853-884 streams its sensor "
+        "SESSION query): session_window() state-merged sessions on a "
+        "streaming temp view; equals the batch twin "
+        "group_window_sql_session and the DuckDB oracle."
+    ),
+)
+def streaming_group_window_sql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.group_window_sql import group_window_sql
+
+    events_stream(spark, sf_dir, watermark="10 minutes").select(
+        F.col("event_type").alias("id"),
+        F.col("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).createOrReplaceTempView("sensor_unbounded_sess")
+    # reference TableDemo.scala:878-883, verbatim (table name aside)
+    sdf = group_window_sql(
+        spark,
+        """select id,
+DATE_FORMAT(SESSION_START(t,INTERVAL '3' SECOND),'yyyy-MM-dd HH:mm:ss') as window_start,
+DATE_FORMAT(SESSION_END(t,INTERVAL '3' SECOND),'yyyy-MM-dd HH:mm:ss') as window_end,
+SUM(vc) as vc_sum
+from sensor_unbounded_sess
+group by id,SESSION(t,INTERVAL '3' SECOND)
+""",
+    )
+    result = run_available_now(sdf, output_mode="complete")
+    return result.orderBy("id", "window_start")

@@ -1532,3 +1532,38 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(spark, sf_dir):
     # with m=2^16 bits and a few hundred set bits the FP rate is tiny:
     # the prefilter must drop most non-duplicate incoming rows
     assert len(cand_ids - true_dups) <= max(2, n_incoming // 10)
+
+
+# ---------------------------------------------------------------------------
+# group-window SQL rewriter: literal/comment inertness (round-8 ADVICE)
+
+
+def test_group_window_rewrite_ignores_literals_and_comments():
+    from flink_demo_spark.operators.group_window_sql import rewrite_group_window_sql
+
+    sql = """
+ -- TUMBLE(ts, INTERVAL '9' DAY) in a comment must be inert
+ SELECT /* HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR) */
+   'SESSION(ts, INTERVAL ''7'' DAY)' AS note,
+   TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start,
+   COUNT(*) AS cnt
+ FROM t
+ GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+ """
+    out = rewrite_group_window_sql(sql)
+    # real constructs rewritten
+    assert "window.start AS w_start" in out
+    assert "GROUP BY window(ts, '1 hour')" in out
+    # literal/comment occurrences left verbatim (no mixed-kind error either)
+    assert "-- TUMBLE(ts, INTERVAL '9' DAY)" in out
+    assert "/* HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR) */" in out
+    assert "'SESSION(ts, INTERVAL ''7'' DAY)'" in out
+
+
+def test_group_window_rewrite_literal_only_is_no_construct():
+    from flink_demo_spark.operators.group_window_sql import rewrite_group_window_sql
+
+    with pytest.raises(ValueError, match="no TUMBLE/HOP/SESSION"):
+        rewrite_group_window_sql(
+            "SELECT 'TUMBLE(ts, INTERVAL ''1'' HOUR)' AS s FROM t"
+        )

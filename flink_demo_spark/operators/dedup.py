@@ -476,3 +476,95 @@ def bloom_prefilter(
         hit = word.bitwiseAND(mask) != 0
         cond = hit if cond is None else cond & hit
     return df.where(cond)
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    hashed: bool = False,
+) -> DataFrame:
+    """Exact-substring passage dedup (the suffix-array family of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): maximal token spans of length >= ``k`` whose
+    every k-token window also occurs elsewhere in the corpus (another
+    document, or another position of the same document).
+
+    Returns one row per maximal duplicated passage:
+    ``(doc_id, pass_start, pass_len)`` with ``pass_start`` the 0-based
+    token index and ``pass_len`` the span length in tokens.
+
+    Formulation — k-gram seeds instead of a suffix array. A suffix
+    array is a shared-memory structure; the equivalent distributed
+    statement is: token position ``p`` of a doc is *covered* iff the
+    k-gram starting at ``p`` appears >= 2 times corpus-wide, and
+    maximal runs of covered positions are exactly the maximal spans
+    whose every window is shared. Any passage of length L >= k
+    duplicated verbatim somewhere covers all of its L-k+1 starts, so
+    recall is 1.0 for spans >= k; conversely each reported span is a
+    union of witnessed k-gram repeats (different windows may be
+    witnessed by different partners — the same guarantee the
+    merged-interval output of the suffix-array pipeline gives).
+
+    Plan (three shuffles, all on bounded keys):
+      1. positions: posexplode of the per-doc k-gram array (one corpus
+         scan, fan_out spreads narrow scans);
+      2. seed counts: groupBy(gram) count — map-side partial agg keeps
+         hot boilerplate grams cheap — filtered to count >= 2, then an
+         inner join back on the gram key (AQE skew-join splits hot
+         keys);
+      3. interval merge: per-doc islands via the pos - row_number trick
+         (shuffle on doc_id; per-task state bounded by doc length).
+
+    ``hashed=True`` replaces the gram text by a 128-bit key (two
+    independent xxhash64 seeds) before the shuffle — at 100 TB the
+    gram-text shuffle bytes dominate (~k bytes-per-token amplification)
+    and the collision odds across even 10^12 distinct grams are
+    ~n^2/2^129 < 10^-14, so the hashed path is the scale default;
+    ``hashed=False`` keeps the comparison exact for the correctness
+    gate.
+    """
+    from .text import shingles_positional
+
+    pos_gram = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode_outer(shingles_positional(text_col, k)).alias(
+                "pos", "gram"
+            ),
+        )
+        .where(F.col("gram").isNotNull())
+    )
+    if hashed:
+        pos_gram = pos_gram.select(
+            "doc_id",
+            "pos",
+            F.xxhash64("gram").alias("g1"),
+            F.xxhash64(F.lit("dp2"), F.col("gram")).alias("g2"),
+        )
+        key = ["g1", "g2"]
+    else:
+        key = ["gram"]
+
+    dup = (
+        pos_gram.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select(*key)
+    )
+    covered = pos_gram.join(dup, key).select("doc_id", "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = covered.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(w)).alias("sid"),
+    )
+    return islands.groupBy("doc_id", "sid").agg(
+        F.min("pos").alias("pass_start"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("pass_len"),
+    ).select("doc_id", "pass_start", "pass_len")

@@ -281,6 +281,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_exact_substring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(tok[i : i + 19], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(tok) - 19)) AS g(i)
+      WHERE len(tok) >= 20
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM grams WHERE gram IN (SELECT gram FROM dup)
+    )
+    SELECT doc_id, MIN(pos) AS pass_start,
+           CAST(MAX(pos) - MIN(pos) + 20 AS BIGINT) AS pass_len
+    FROM isl GROUP BY doc_id, sid
+    ORDER BY doc_id, pass_start
+    """,
+    doc=(
+        "exact-substring passage dedup (Lee et al. arXiv:2107.06499 "
+        "suffix-array family, k=20 tokens): maximal token spans whose "
+        "every 20-gram repeats corpus-wide; k-gram-seed + interval-merge "
+        "formulation, three bounded-key shuffles (see "
+        "operators/dedup.py:duplicate_passages)."
+    ),
+    bench=True,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_passages(docs, "text", "doc_id", k=20)
+
+
+@query(
     "dedup_jaccard_pairs",
     oracle="""
     WITH toks AS (

@@ -1567,3 +1567,61 @@ def test_group_window_rewrite_literal_only_is_no_construct():
         rewrite_group_window_sql(
             "SELECT 'TUMBLE(ts, INTERVAL ''1'' HOUR)' AS s FROM t"
         )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring passage dedup (Lee et al.-style, round-8 brief #2)
+
+
+def test_duplicate_passages_planted_span(spark):
+    """A verbatim 6-token passage planted in two docs is recovered with
+    exact boundaries; unique text is not reported."""
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(10))
+    passage = "the quick brown fox jumps high"
+    df = spark.createDataFrame(
+        [
+            (1, f"{filler_a} {passage} {filler_a}"),
+            (2, f"{filler_b} {passage} {filler_b}"),
+            (3, " ".join(f"c{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.pass_start, r.pass_len)
+        for r in dedup.duplicate_passages(df, "text", "doc_id", k=6).collect()
+    }
+    # filler_a repeats within doc 1 (prefix == suffix), so doc 1 also
+    # reports its 10-token filler spans; the planted passage itself must
+    # appear at token offset 10 with exact length 6 in both docs.
+    assert (1, 10, 6) in out
+    assert (2, 10, 6) in out
+    assert not any(d == 3 for d, _, _ in out)
+
+
+def test_duplicate_passages_whole_doc_and_recall(spark):
+    """An exactly duplicated document is one maximal full-length span,
+    and every k-gram inside any reported span really is repeated."""
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, " ".join(f"u{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    rows = dedup.duplicate_passages(df, "text", "doc_id", k=20).collect()
+    spans = {(r.doc_id, r.pass_start, r.pass_len) for r in rows}
+    assert spans == {(1, 0, 40), (2, 0, 40)}
+    # hashed scale path agrees
+    hashed = {
+        (r.doc_id, r.pass_start, r.pass_len)
+        for r in dedup.duplicate_passages(
+            df, "text", "doc_id", k=20, hashed=True
+        ).collect()
+    }
+    assert hashed == spans
+
+
+def test_duplicate_passages_short_docs_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+    )
+    assert dedup.duplicate_passages(df, "text", "doc_id", k=20).count() == 0

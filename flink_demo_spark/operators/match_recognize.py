@@ -781,6 +781,7 @@ def _partition_rows(pdf, spec, ts_col, part_vals_cols) -> list[dict]:
             ctx = _Ctx(
                 recs, bindings,
                 sorted(i for b in bindings.values() for i in b),
+                match_no=match_no,
             )
             rec = {c: recs[0][c] for c in part_vals_cols}
             for ast, alias in spec.measures:
@@ -967,7 +968,9 @@ def _run_stream_increment(recs, spec: MatchRecognizeSpec, ts_col):
     return out, n
 
 
-def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
+def streaming_match_recognize(
+    df: DataFrame, sql: str, state_payload_version: int = 2
+) -> DataFrame:
     """Streaming twin of ``match_recognize``: per partition key, rows
     not yet resolvable stay in group state (pickled buffer) and
     matches emit as soon as their outcome is decided — a greedy loop
@@ -987,26 +990,37 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
     rows indefinitely (as does Flink's NFA state) — give long-running
     patterns a WITHIN horizon.
 
-    Checkpoint compatibility: the state schema is
-    ``(buf: binary, match_no: long)`` — ``match_no`` was added for
-    MATCH_NUMBER() continuity, widening the earlier single-field
-    ``(buf: binary)`` layout. Spark validates state-store schemas at
-    restore, so a checkpoint written by the old layout cannot be
-    resumed by this version (nor vice versa): restart such a query
-    with a NEW checkpoint directory. This mirrors Flink's behavior on
-    incompatible operator-state migrations (savepoint restore fails
-    rather than misreads).
+    Checkpoint compatibility: the state-store schema is the single
+    field ``(buf: binary)`` — the ORIGINAL layout — and everything
+    else (currently the MATCH_NUMBER() continuity counter) rides
+    INSIDE the pickled payload under a version tag, because Spark
+    validates the state-store STRUCT schema at restore and any
+    field-list change bricks existing checkpoints. Restore accepts
+    both payload generations: a bare pickled row list (the v1 layout,
+    MATCH_NUMBER resumes from 0 — v1 never persisted it) and the
+    tagged ``("mr2", rows, match_no)`` tuple. Future state additions
+    extend the tagged tuple, never the struct, so checkpoints stay
+    restorable across upgrades — the tolerant analogue of Flink's
+    savepoint migration (which fails restore on incompatible operator
+    state). The short-lived two-FIELD ``(buf, match_no)`` layout
+    (round 7 only) predates this rule; those checkpoints need a fresh
+    directory.
+
+    ``state_payload_version=1`` makes the WRITE side emit the bare v1
+    row-list payload (reads always tolerate both) — the downgrade path
+    when an older engine must be able to take over the checkpoint; v1
+    never persisted MATCH_NUMBER, so numbering restarts at 1 after a
+    handover, exactly as v1 behaved.
     """
     import pickle
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import BinaryType, StructField, StructType
 
+    if state_payload_version not in (1, 2):
+        raise ValueError(
+            f"state_payload_version must be 1 or 2, got {state_payload_version}"
+        )
     spec = parse_match_recognize(sql)
     schema_map = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     if spec.all_rows:
@@ -1029,14 +1043,22 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
     ts_col = spec.order_by[0] if spec.order_by else None
     order = spec.order_by or ([ts_col] if ts_col else [])
     part_cols = list(spec.partition_by)
-    state_schema = StructType(
-        [StructField("buf", BinaryType()), StructField("match_no", LongType())]
-    )
+    state_schema = StructType([StructField("buf", BinaryType())])
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            raw, match_no = state.get
-            buf: list[dict] = pickle.loads(raw)
+            (raw,) = state.get
+            payload = pickle.loads(raw)
+            if isinstance(payload, tuple) and payload and payload[0] == "mr2":
+                _tag, buf, match_no = payload
+            elif isinstance(payload, list):
+                # v1 payload: bare row list, no persisted MATCH_NUMBER
+                buf, match_no = payload, 0
+            else:
+                raise ValueError(
+                    "unrecognized match_recognize state payload "
+                    f"(type {type(payload).__name__}); cannot restore"
+                )
         else:
             buf, match_no = [], 0
         new = [pdf for pdf in pdfs if len(pdf)]
@@ -1053,13 +1075,19 @@ def streaming_match_recognize(df: DataFrame, sql: str) -> DataFrame:
                 _emit_all_rows(buf, bindings, spec, match_no, rows_out)
                 continue
             ctx = _Ctx(
-                buf, bindings, sorted(i for b in bindings.values() for i in b)
+                buf,
+                bindings,
+                sorted(i for b in bindings.values() for i in b),
+                match_no=match_no,
             )
             rec = dict(zip(part_cols, key))
             for ast, alias in spec.measures:
                 rec[alias] = _eval(ast, ctx)
             rows_out.append(rec)
-        state.update((pickle.dumps(buf[keep_from:]), match_no))
+        if state_payload_version == 1:
+            state.update((pickle.dumps(buf[keep_from:]),))
+        else:
+            state.update((pickle.dumps(("mr2", buf[keep_from:], match_no)),))
         if rows_out:
             yield pd.DataFrame(rows_out, columns=out_columns)
         else:

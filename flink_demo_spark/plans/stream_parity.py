@@ -1211,9 +1211,16 @@ def streaming_queryable_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="queryable_state_ckpt_")
     run_available_now(agg, output_mode="complete", checkpoint_dir=ckpt)
     # the state schema names value fields after the physical agg
-    # buffers, not our aliases — rebind positionally (key, cnt, sum)
-    state = read_keyed_state(spark, ckpt).toDF(
-        "user_id", "cnt", "cents_sum"
+    # buffers, not our aliases — introspect the buffer names and
+    # rebind BY NAME (a misordered positional rebind can't happen:
+    # unknown names raise inside read_keyed_state)
+    from ..streaming.state_query import keyed_state_schema
+
+    sch = keyed_state_schema(spark, ckpt)
+    cnt_buf = next(n for n, _ in sch["value"] if "count" in n.lower())
+    sum_buf = next(n for n, _ in sch["value"] if "sum" in n.lower())
+    state = read_keyed_state(
+        spark, ckpt, rename={cnt_buf: "cnt", sum_buf: "cents_sum"}
     )
     return state.select(
         "user_id",

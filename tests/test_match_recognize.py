@@ -655,3 +655,126 @@ def test_streaming_equals_batch_on_random_splits(spark):
             f"case {case}: split {cuts} diverged\n"
             f"batch  : {batch_out}\nstream : {stream_out}"
         )
+
+
+def test_streaming_restore_from_v1_state_payload(spark):
+    """Round-8: a checkpoint whose keyed state holds the ORIGINAL bare
+    row-list payload (v1 engines persisted only the pickled buffer —
+    no MATCH_NUMBER counter) must restore: a partial A+ run buffered
+    before the stop completes after the restart under the current
+    engine, and final output equals the batch result on all rows.
+
+    Phase 1 runs the writer in its v1-downgrade mode
+    (state_payload_version=1) to produce a byte-genuine v1 checkpoint;
+    phase 2 resumes the SAME checkpoint with the default (tagged v2)
+    engine."""
+    import tempfile
+
+    from flink_demo_spark.operators.match_recognize import (
+        match_recognize,
+        streaming_match_recognize,
+    )
+
+    sql = _sum_budget_sql("SKIP PAST LAST ROW")
+    schema = "symbol string, ctime timestamp, price bigint, tax bigint, rid bigint"
+    rows = [
+        (sym, _t(ts), price, tax, i)
+        for i, (sym, ts, price, tax) in enumerate(XYZ)
+    ]
+    expected = sorted(
+        (r.SUM_PRICE, r.START_TIME, r.LAST_TIME)
+        for r in match_recognize(spark.createDataFrame(rows, schema), sql).collect()
+    )
+
+    src = tempfile.mkdtemp(prefix="mr_v1_src_")
+    ckpt = tempfile.mkdtemp(prefix="mr_v1_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="mr_v1_out_") + "/data"
+
+    def write_batch(batch_rows, name):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    def run_once(version):
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = (
+            streaming_match_recognize(
+                stream, sql, state_payload_version=version
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # split mid-A-run: the first match is undecided at the stop, so the
+    # restored v1 buffer must carry it across the restart
+    write_batch(rows[:3], "b1")
+    run_once(version=1)
+    write_batch(rows[3:], "b2")
+    run_once(version=2)  # default engine restores the bare-list payload
+
+    got = sorted(
+        (r.SUM_PRICE, r.START_TIME, r.LAST_TIME)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == expected
+
+
+def test_streaming_match_number_continuity_rides_v2_payload(spark):
+    """MATCH_NUMBER() keeps counting across a checkpointed restart
+    under the default tagged payload (it rides inside the single
+    binary state field — the state STRUCT schema never widened)."""
+    import tempfile
+
+    from flink_demo_spark.operators.match_recognize import (
+        streaming_match_recognize,
+    )
+
+    sql = """
+    SELECT * FROM Ticker MATCH_RECOGNIZE (
+      PARTITION BY symbol
+      ORDER BY ctime
+      MEASURES MATCH_NUMBER() AS mno, SUM(A.price) AS SUM_PRICE
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN(A+ B)
+      DEFINE A AS SUM(A.price) < 30
+    ) MR
+    """
+    schema = "symbol string, ctime timestamp, price bigint, tax bigint, rid bigint"
+    rows = [
+        (sym, _t(ts), price, tax, i)
+        for i, (sym, ts, price, tax) in enumerate(XYZ)
+    ]
+    src = tempfile.mkdtemp(prefix="mr_mno_src_")
+    ckpt = tempfile.mkdtemp(prefix="mr_mno_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="mr_mno_out_") + "/data"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = (
+            streaming_match_recognize(stream, sql)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    spark.createDataFrame(rows[:5], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+    run_once()
+    spark.createDataFrame(rows[5:], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b2")
+    run_once()
+
+    mnos = sorted(r.mno for r in spark.read.parquet(out_dir).collect())
+    assert mnos == list(range(1, len(mnos) + 1)) and len(mnos) >= 2

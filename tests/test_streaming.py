@@ -1936,3 +1936,48 @@ def test_queryable_state_inspects_custom_operator(spark, sf_dir):
         .collect()
     }
     assert state_cnt == expected
+
+
+def test_queryable_state_schema_introspection_and_named_rebind(spark):
+    """Round-8 brief #6: keyed_state_schema exposes the physical agg
+    buffer names so consumers rebind BY NAME; read_keyed_state(rename=)
+    rejects unknown source names and colliding targets instead of
+    silently mislabeling (the positional-toDF hazard)."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.streaming.runner import run_available_now
+    from flink_demo_spark.streaming.state_query import (
+        keyed_state_schema,
+        read_keyed_state,
+    )
+
+    src = tempfile.mkdtemp(prefix="qschema_src_")
+    ckpt = tempfile.mkdtemp(prefix="qschema_ckpt_")
+    spark.createDataFrame(
+        [("a", 1), ("b", 10), ("a", 2)], "k string, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    feed = spark.readStream.schema("k string, v long").parquet(f"{src}/*")
+    agg = feed.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total")
+    )
+    run_available_now(agg, output_mode="complete", checkpoint_dir=ckpt)
+
+    sch = keyed_state_schema(spark, ckpt)
+    assert [n for n, _ in sch["key"]] == ["k"]
+    vnames = [n for n, _ in sch["value"]]
+    cnt_buf = next(n for n in vnames if "count" in n.lower())
+    sum_buf = next(n for n in vnames if "sum" in n.lower())
+
+    df = read_keyed_state(
+        spark, ckpt, rename={cnt_buf: "cnt", sum_buf: "total"}
+    )
+    got = {r["k"]: (r["cnt"], r["total"]) for r in df.collect()}
+    assert got == {"a": (2, 3), "b": (1, 10)}
+
+    with _pytest.raises(ValueError, match="do not exist"):
+        read_keyed_state(spark, ckpt, rename={"no_such_buffer": "x"})
+    with _pytest.raises(ValueError, match="duplicate"):
+        read_keyed_state(spark, ckpt, rename={cnt_buf: "k"})

@@ -65,6 +65,31 @@ def test_timeout_detector_emits_alert_for_unmatched_start(spark):
     assert 2 not in alerts
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _state_store_provider(spark, provider):
+    """Pin the state-store provider ('hdfs' default or 'rocksdb') for
+    queries STARTED inside the block; always restores the session conf
+    (the shared session fixture must not leak provider choice)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _mem_stream_batches(spark, batches, schema):
     """File-backed stream where each element of ``batches`` arrives as
     its own micro-batch (one file per batch + maxFilesPerTrigger=1)."""
@@ -250,11 +275,18 @@ def test_checkpoint_recovery_exactly_once(spark):
     assert second == [1, 2, 3, 4, 5], "b1 must not be reprocessed, b2 must be"
 
 
-def test_streaming_cep_state_survives_checkpoint_restart(spark):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_streaming_cep_state_survives_checkpoint_restart(spark, provider):
     """The NFA's pickled keyed state must survive a checkpointed
     restart: a partial match begun before the stop completes after the
     restart, and a timeout decided only by post-restart rows emits —
-    final output equals batch match_pattern_with_timeouts."""
+    final output equals batch match_pattern_with_timeouts.
+
+    Parametrized over the state-store provider (round-8 brief #7): the
+    pandas-state schema contract must hold under RocksDB exactly as
+    under the default HDFS-backed store — provider differences
+    (columnar encoding, snapshot/changelog files) must be invisible to
+    the operator."""
     import tempfile
 
     from flink_demo_spark.operators import cep
@@ -298,20 +330,21 @@ def test_streaming_cep_state_survives_checkpoint_restart(spark):
         ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
 
     def run_once():
-        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
-        q = (
-            streaming_match_pattern(
-                stream, pat, ["k"], "ts", ok, out_schema,
-                order_cols=["ts", "event_id"], timeout_measures=timed_out,
+        with _state_store_provider(spark, provider):
+            stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+            q = (
+                streaming_match_pattern(
+                    stream, pat, ["k"], "ts", ok, out_schema,
+                    order_cols=["ts", "event_id"], timeout_measures=timed_out,
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
+            q.awaitTermination(180)
 
     write_batch(seq_b1, "b1")
     run_once()

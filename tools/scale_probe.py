@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Empirical scale probe: measure headline queries at sf0.1 AND at a
+10x materialized sf1, and report the observed scaling exponent per
+query (t ~ sf^e  =>  e = log(t1/t0.1)/log(10)).
+
+The driver ships parquet only up to sf0.1 (TESTDATA.md, read-only), so
+sf1 is MATERIALIZED here by replicating sf0.1 tenfold with disjoint
+key spaces — the same construction TPC-H itself uses across scale
+factors (fixed region/nation dims, key ranges growing with SF):
+
+- region/nation: copied unchanged (fixed dimensions at every SF);
+- fact/dim keys (custkey, orderkey, partkey, suppkey, event_id,
+  user_id, doc_id, vec_id): replica i adds i * (max_key + 1), so every
+  intra-replica join relationship (orders->customer,
+  lineitem->orders/part/supplier, events.user_id->customer) is
+  preserved and cross-replica keys never collide;
+- timestamps are NOT shifted: a 10x corpus over the same wall-clock
+  span means 10x density per window — exactly what a bigger cluster
+  sees — so windowed/streaming state grows in *keys per window*, not
+  in window count;
+- documents.text gets a single replica-marker token appended (replica
+  0 pristine): without it every doc would gain 9 verbatim twins and
+  pair-emitting dedup queries would measure a C(10,2)-inflated
+  workload instead of a 10x corpus; n_chars is recomputed;
+- embeddings get +1e-3 * i on dimension 0 (replica 0 pristine) for the
+  same reason (cosine near-dup pair explosion).
+
+Usage:
+  python tools/scale_probe.py                 # materialize + probe top queries
+  python tools/scale_probe.py --queries a,b   # explicit list
+  python tools/scale_probe.py --mult 10 --out /tmp/sfprobe
+
+Prints a markdown table (for SCALING.md) and writes SCALE_PROBE.json
+next to this repo's bench artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# per-table key columns and the stride keyspace they belong to
+SHIFTS = {
+    "customer": [("c_custkey", "cust")],
+    "supplier": [("s_suppkey", "supp")],
+    "part": [("p_partkey", "part")],
+    "orders": [("o_orderkey", "order"), ("o_custkey", "cust")],
+    "lineitem": [
+        ("l_orderkey", "order"), ("l_partkey", "part"), ("l_suppkey", "supp")
+    ],
+    "events": [("event_id", "event"), ("user_id", "cust")],
+    "documents": [("doc_id", "doc")],
+    "embeddings": [("vec_id", "vec")],
+}
+
+STRIDE_SOURCE = {
+    "cust": ("customer", "c_custkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "order": ("orders", "o_orderkey"),
+    "event": ("events", "event_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+# ten most expensive headline queries by the round-7/8 bench record,
+# plus the round-8 exact-substring dedup (new, scale-interesting)
+DEFAULT_QUERIES = [
+    "embedding_kmeans",
+    "streaming_hotitems_topn",
+    "streaming_allowed_lateness",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "kafka_roundtrip_window",
+    "profile_columns",
+    "cep_order_timeout",
+    "q5_regional_revenue",
+    "similarity_topk",
+    "dedup_exact_substring",
+]
+
+
+def materialize(mult: int, out_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    strides = {}
+    for space, (table, col) in STRIDE_SOURCE.items():
+        t = pq.read_table(os.path.join(SRC, f"{table}.parquet"), columns=[col])
+        strides[space] = int(pc.max(t.column(col)).as_py()) + 1
+
+    for table in TABLES:
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = pq.read_table(os.path.join(SRC, f"{table}.parquet"))
+        if table in ("region", "nation"):
+            pq.write_table(src, dst)
+            continue
+        replicas = []
+        for i in range(mult):
+            rep = src
+            for col, space in SHIFTS.get(table, []):
+                idx = rep.schema.get_field_index(col)
+                shifted = pc.add(rep.column(col), i * strides[space])
+                rep = rep.set_column(idx, col, shifted.cast(src.schema.field(col).type))
+            if table == "documents" and i > 0:
+                idx = rep.schema.get_field_index("text")
+                txt = pc.binary_join_element_wise(
+                    rep.column("text").cast(pa.string()),
+                    pa.scalar(f"zrep{i}"),
+                    " ",
+                )
+                rep = rep.set_column(idx, "text", txt)
+                nidx = rep.schema.get_field_index("n_chars")
+                rep = rep.set_column(
+                    nidx, "n_chars", pc.utf8_length(rep.column("text")).cast(pa.int64())
+                )
+            if table == "embeddings" and i > 0:
+                idx = rep.schema.get_field_index("embedding")
+                col_e = rep.column("embedding").combine_chunks()
+                vals = col_e.values.to_numpy(zero_copy_only=False).copy()
+                offs = col_e.offsets.to_numpy(zero_copy_only=False)
+                vals[offs[:-1]] += np.float32(1e-3 * i)
+                new = pa.ListArray.from_arrays(
+                    col_e.offsets, pa.array(vals, type=pa.float32())
+                ).cast(src.schema.field("embedding").type)
+                rep = rep.set_column(idx, "embedding", new)
+            replicas.append(rep)
+        pq.write_table(pa.concat_tables(replicas), dst)
+        print(f"  materialized {table}: {sum(r.num_rows for r in replicas)} rows",
+              file=sys.stderr)
+
+
+def run_probe(queries: list[str], sf1_dir: str, reps: int) -> dict:
+    from flink_demo_spark.plans.registry import REGISTRY, _load_all
+    from flink_demo_spark.session import get_spark
+
+    _load_all()
+    spark = get_spark("scale_probe")
+    spark.range(1000).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
+
+    out: dict = {"sf_small": SRC, "sf_big": sf1_dir, "mult": 10, "queries": {}}
+    for name in queries:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            print(f"  !! unknown query {name}", file=sys.stderr)
+            continue
+        times = {}
+        for label, d in (("t_small", SRC), ("t_big", sf1_dir)):
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                spec.fn(spark, d).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            times[label] = round(best, 3)
+        e = math.log(times["t_big"] / times["t_small"]) / math.log(10)
+        times["exponent"] = round(e, 3)
+        out["queries"][name] = times
+        print(f"  {name}: {times['t_small']}s -> {times['t_big']}s  "
+              f"e={times['exponent']}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/sfprobe_sf1")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    args = ap.parse_args()
+
+    print("materializing...", file=sys.stderr)
+    materialize(args.mult, args.out)
+    queries = [q for q in args.queries.split(",") if q]
+    result = run_probe(queries, args.out, args.reps)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SCALE_PROBE.json"), "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+
+    print("| query | sf0.1 (s) | sf1 (s) | exponent |")
+    print("|---|---|---|---|")
+    for n, t in result["queries"].items():
+        print(f"| {n} | {t['t_small']} | {t['t_big']} | {t['exponent']} |")
+
+
+if __name__ == "__main__":
+    main()

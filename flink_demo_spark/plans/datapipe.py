@@ -497,7 +497,77 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .select("doc_id", "s.*")
-        
+
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT substr(w, i, 1) AS left_sym,
+             CASE WHEN i < length(w) THEN substr(w, i + 1, 1)
+                  ELSE '</w>' END AS right_sym
+      FROM words, UNNEST(generate_series(1, length(w))) AS g(i)
+    )
+    SELECT left_sym, right_sym, CAST(count(*) AS BIGINT) AS freq
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY freq DESC, left_sym, right_sym
+    LIMIT 50
+    """,
+    doc=(
+        "BPE training round 1: adjacent symbol-pair frequencies over "
+        "the corpus word-frequency table (chars + '</w>' end-of-word "
+        "marker), top 50. The distributed core of operators/bpe.py — "
+        "one corpus-sized pass, then vocab-sized aggregation; fully "
+        "deterministic ordering (freq desc, then pair) so the LIMIT "
+        "window is engine-independent."
+    ),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe.word_freq_table(docs, "text").select(
+        bpe._initial_symbols(F.col("word")).alias("syms"), "freq"
+    )
+    return (
+        bpe._pair_counts(vocab)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "freq",
+        )
+        .orderBy(F.desc("freq"), "left_sym", "right_sym")
+        .limit(50)
+    )
+
+
+@query(
+    "bpe_train_merges",
+    doc=(
+        "full BPE training loop (operators/bpe.py): 12 merge rounds on "
+        "the cached word-frequency vocabulary; returns the learned "
+        "merge table. Oracle-less by design (the argmax-per-round loop "
+        "is not single-statement SQL); exactness is pinned locally by "
+        "test_bpe_train_matches_reference_implementation (char-exact "
+        "vs an independent pure-Python Sennrich trainer, ties "
+        "included)."
+    ),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "text", num_merges=12)
+    return spark.createDataFrame(
+        [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string, freq long",
     )
 
 

@@ -1625,3 +1625,89 @@ def test_duplicate_passages_short_docs_skipped(spark):
         [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
     )
     assert dedup.duplicate_passages(df, "text", "doc_id", k=20).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training (round 8, beyond-reference)
+
+
+def _py_bpe_train(texts, num_merges, min_freq=2):
+    """Independent pure-Python Sennrich-style trainer (golden): word
+    freq dict -> iterative argmax pair merge, ties lexicographic,
+    left-to-right non-overlapping merge application."""
+    import collections
+    import re
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+    wf = collections.Counter()
+    for t in texts:
+        wf.update(pat.findall(t))
+    vocab = collections.Counter()
+    for w, f in wf.items():
+        vocab[tuple(list(w) + ["</w>"])] += f
+    merges = []
+    for _ in range(num_merges):
+        pc = collections.Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), freq = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_freq:
+            break
+        merges.append((left, right, freq))
+        new = collections.Counter()
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new[tuple(out)] += f
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark, sf_dir):
+    """The distributed trainer must be CHAR-EXACT vs the independent
+    pure-Python golden on real corpus text — same merges, same order,
+    same frequencies (tie-breaks included)."""
+    from flink_demo_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    texts = [r.text for r in docs.select("text").collect()]
+    expected = _py_bpe_train(texts, num_merges=8)
+    got = bpe.bpe_train(docs, "text", num_merges=8)
+    assert got == expected
+    assert len(got) == 8  # corpus is rich enough to sustain 8 merges
+
+
+def test_bpe_apply_reconstructs_words(spark):
+    """Applying learned merges must partition each word: concatenating
+    a word's tokens (minus the end-of-word marker) gives the word
+    back, and multi-char tokens only arise from learned merges."""
+    from flink_demo_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low slow"), (2, "low slowest lower")],
+        "doc_id long, text string",
+    )
+    merges = bpe.bpe_train(df, "text", num_merges=6, min_freq=2)
+    assert merges  # 'lo'/'ow' style pairs repeat enough to merge
+    out = bpe.bpe_apply(df, "text", merges).collect()
+    import re
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+    learned = {m[0] + m[1] for m in merges}
+    for r in out:
+        joined = "".join(t for t in r.bpe_tokens)
+        expected = "".join(w + "</w>" for w in pat.findall(r.text))
+        assert joined == expected, r.text
+        for t in r.bpe_tokens:
+            base = t[:-4] if t.endswith("</w>") else t
+            if len(base) > 1 or (t.endswith("</w>") and len(t) > 4):
+                assert t in learned, t

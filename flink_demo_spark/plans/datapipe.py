@@ -308,13 +308,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "suffix-array family, k=20 tokens): maximal token spans whose "
         "every 20-gram repeats corpus-wide; k-gram-seed + interval-merge "
         "formulation, three bounded-key shuffles (see "
-        "operators/dedup.py:duplicate_passages)."
+        "operators/dedup.py:duplicate_passages). The registry plan opts "
+        "into the 128-bit hashed gram key — the 100 TB default (gram-"
+        "text shuffle bytes dominate otherwise); output is pinned "
+        "identical to the exact-text variant by test, and the DuckDB "
+        "oracle compares exact."
     ),
     bench=True,
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.duplicate_passages(docs, "text", "doc_id", k=20)
+    return dedup.duplicate_passages(docs, "text", "doc_id", k=20, hashed=True)
 
 
 @query(

@@ -1711,3 +1711,22 @@ def test_bpe_apply_reconstructs_words(spark):
             base = t[:-4] if t.endswith("</w>") else t
             if len(base) > 1 or (t.endswith("</w>") and len(t) > 4):
                 assert t in learned, t
+
+
+def test_duplicate_passages_single_scan_equals_default(spark, sf_dir):
+    """The window (single-scan) formulation is output-identical to the
+    skew-safe join default on real corpus text, hashed or exact."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def spans(**kw):
+        return {
+            (r.doc_id, r.pass_start, r.pass_len)
+            for r in dedup.duplicate_passages(
+                docs, "text", "doc_id", k=20, **kw
+            ).collect()
+        }
+
+    base = spans()
+    assert base  # corpus contains duplicated passages
+    assert spans(single_scan=True) == base
+    assert spans(single_scan=True, hashed=True) == base

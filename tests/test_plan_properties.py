@@ -400,6 +400,24 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=2,
     ),
+    # exact-substring passage dedup (round 8): seed counts must keep
+    # map-side partial agg (boilerplate-gram skew absorber); no
+    # cartesian/BNLJ anywhere; budget = gram-agg + gram-join +
+    # doc-island shuffles (+1 AQE read slack)
+    "dedup_exact_substring": dict(
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        partial_agg=True,
+        max_exchanges=4,
+    ),
+    # BPE round-1 pair counts: one corpus-sized word agg + vocab-sized
+    # pair agg, both partial; top-50 must be a TakeOrderedAndProject
+    # (never a global Sort of the pair table)
+    "bpe_pair_counts": dict(
+        contains=["TakeOrderedAndProject"],
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        partial_agg=True,
+        max_exchanges=3,
+    ),
 }
 
 

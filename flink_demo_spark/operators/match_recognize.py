@@ -1100,3 +1100,66 @@ def streaming_match_recognize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def match_recognize_state_summary(
+    spark,
+    checkpoint_dir: str,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Operational introspection of a ``streaming_match_recognize``
+    checkpoint (pairs with ``streaming/state_query.py``): one row per
+    partition key with ``buffered_rows`` (events held for undecided
+    partial matches — the state-size signal an on-call watches) and
+    ``match_no`` (last MATCH_NUMBER emitted). Decodes the version-
+    tagged payload; bare v1 row-list payloads read as
+    ``match_no = 0``, matching their restore semantics. Arrow-batched
+    ``mapInPandas`` over the state reader — one task per state
+    partition, nothing on the driver."""
+    import pickle
+
+    import pandas as pd
+
+    from ..streaming.state_query import read_keyed_state
+
+    raw = read_keyed_state(
+        spark, checkpoint_dir, operator_id=operator_id, batch_id=batch_id
+    )
+    if "buf" not in raw.columns and "groupState" in raw.columns:
+        # applyInPandasWithState user state nests one level deeper
+        # (value.groupState.<fields>) than built-in aggregates
+        others = [c for c in raw.columns if c != "groupState"]
+        raw = raw.select(*others, "groupState.*")
+    key_cols = [c for c in raw.columns if c != "buf"]
+    out_schema = ", ".join(
+        f"`{c}` {raw.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    out_schema += ", buffered_rows bigint, match_no bigint"
+    cols = key_cols + ["buffered_rows", "match_no"]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = pickle.loads(r["buf"])
+                if (
+                    isinstance(payload, tuple)
+                    and payload
+                    and payload[0] == "mr2"
+                ):
+                    _tag, buf, mno = payload
+                elif isinstance(payload, list):
+                    buf, mno = payload, 0
+                else:
+                    raise ValueError(
+                        "unrecognized match_recognize state payload "
+                        f"(type {type(payload).__name__})"
+                    )
+                rec = {c: r[c] for c in key_cols}
+                rec["buffered_rows"] = len(buf)
+                rec["match_no"] = mno
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(decode, out_schema)

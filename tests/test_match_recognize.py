@@ -778,3 +778,56 @@ def test_streaming_match_number_continuity_rides_v2_payload(spark):
 
     mnos = sorted(r.mno for r in spark.read.parquet(out_dir).collect())
     assert mnos == list(range(1, len(mnos) + 1)) and len(mnos) >= 2
+
+
+def test_match_recognize_state_summary_introspection(spark):
+    """match_recognize_state_summary reads the checkpointed keyed
+    state: buffered_rows counts the undecided tail held in state and
+    match_no the emitted matches; v1-payload checkpoints read with
+    match_no=0."""
+    import tempfile
+
+    from flink_demo_spark.operators.match_recognize import (
+        match_recognize_state_summary,
+        streaming_match_recognize,
+    )
+
+    sql = _sum_budget_sql("SKIP PAST LAST ROW")
+    schema = "symbol string, ctime timestamp, price bigint, tax bigint, rid bigint"
+    # XYZ (two decided matches) + an undecided A+ tail (sum 7 < 30,
+    # no B row yet) that must stay buffered in state
+    fixture = XYZ + [
+        ("XYZ", "2018-09-17 10:00:08", 3, 1),
+        ("XYZ", "2018-09-17 10:00:09", 4, 1),
+    ]
+    rows = [
+        (sym, _t(ts), price, tax, i)
+        for i, (sym, ts, price, tax) in enumerate(fixture)
+    ]
+    src = tempfile.mkdtemp(prefix="mr_summ_src_")
+    ckpt = tempfile.mkdtemp(prefix="mr_summ_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="mr_summ_out_") + "/data"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+    q = (
+        streaming_match_recognize(
+            spark.readStream.schema(schema).parquet(f"{src}/*"), sql
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    emitted = spark.read.parquet(out_dir).count()
+    summ = match_recognize_state_summary(spark, ckpt).collect()
+    assert len(summ) == 1  # one partition key: XYZ
+    r = summ[0]
+    assert r.symbol == "XYZ"
+    assert r.match_no == emitted  # MATCH_NUMBER counter == emitted rows
+    # the greedy A+ tail after the last decided match stays buffered
+    assert r.buffered_rows > 0

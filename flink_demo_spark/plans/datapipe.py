@@ -1410,6 +1410,90 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_html_strip",
+    # deterministic synthetic markup wrapped around the corpus text
+    # (same synthesize->transform pattern as text_pii_redact), then
+    # script/style removal, tag stripping, entity unescape, whitespace
+    # collapse — identical lookahead-free regexes in both engines
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             '<html><head><style>p{color:red}</style></head><body><h1>Doc '
+               || CAST(doc_id AS VARCHAR)
+               || '</h1><p class="body">' || text
+               || ' &amp; more &lt;raw&gt; &quot;quoted&quot;&nbsp;end</p>'
+               || '<script>var x=' || CAST(doc_id AS VARCHAR)
+               || ';</script></body></html>' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '<[^>]+>')) AS INT) AS n_tags,
+           CAST(len(regexp_extract_all(raw, '&[A-Za-z]+;|&#[0-9]+;'))
+             AS INT) AS n_entities,
+           md5(trim(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(
+               raw,
+               '<script[^>]*>[\\s\\S]*?</script>', ' ', 'g'),
+               '<style[^>]*>[\\s\\S]*?</style>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+               '&#39;', CHR(39), 'g'),
+               '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g'),
+               '\\s+', ' ', 'g'))) AS stripped_digest
+    FROM synth
+    ORDER BY doc_id
+    """,
+    doc=(
+        "HTML/markup stripping for crawled corpora (beyond-reference "
+        "LLM pipeline surface): script/style block removal, tag "
+        "stripping, entity unescape (&amp; last so no double-unescape), "
+        "whitespace collapse — a single-pass JVM regexp chain, zero "
+        "UDFs; digest of the cleaned text is oracle-exact."
+    ),
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="body">'),
+        F.col("text"),
+        F.lit(' &amp; more &lt;raw&gt; &quot;quoted&quot;&nbsp;end</p>'),
+        F.lit("<script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></body></html>"),
+    )
+    staged = docs.select("doc_id", raw.alias("raw"))
+    cleaned = F.col("raw")
+    for pat, rep in [
+        (r"<script[^>]*>[\s\S]*?</script>", " "),
+        (r"<style[^>]*>[\s\S]*?</style>", " "),
+        (r"<[^>]+>", " "),
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", '"'),
+        (r"&#39;", "'"),
+        (r"&nbsp;", " "),
+        (r"&amp;", "&"),
+        (r"\s+", " "),
+    ]:
+        cleaned = F.regexp_replace(cleaned, pat, rep)
+    return staged.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(r"<[^>]+>")).cast("int").alias("n_tags"),
+        F.regexp_count("raw", F.lit(r"&[A-Za-z]+;|&#[0-9]+;"))
+        .cast("int")
+        .alias("n_entities"),
+        F.md5(F.encode(F.trim(cleaned), "UTF-8")).alias("stripped_digest"),
+    )
+
+
+@query(
     "url_canonicalize_dedup",
     # deterministic synthetic URLs from doc_id; canonicalization
     # rebuilds from whitelisted parts (lowercased host, path, the id

@@ -1730,3 +1730,65 @@ def test_duplicate_passages_single_scan_equals_default(spark, sf_dir):
     assert base  # corpus contains duplicated passages
     assert spans(single_scan=True) == base
     assert spans(single_scan=True, hashed=True) == base
+
+
+def test_duplicate_passages_randomized_vs_bruteforce(spark):
+    """Randomized cross-validation against an independent brute-force
+    reference: 40 small corpora (3-symbol alphabet, k=3, doc lengths
+    0..14 — heavy overlap, short-doc edges) stacked into ONE operator
+    run with trial-prefixed tokens so gram spaces stay disjoint."""
+    import random
+
+    K = 3
+    rng = random.Random(1234)
+    corpora = {}  # trial -> {doc_id: [tokens]}
+    rows = []
+    for trial in range(40):
+        docs = {}
+        for d in range(rng.randint(1, 4)):
+            doc_id = trial * 100 + d
+            toks = [
+                f"t{trial}_{rng.choice('abc')}"
+                for _ in range(rng.randint(0, 14))
+            ]
+            docs[doc_id] = toks
+            rows.append((doc_id, " ".join(toks)))
+        corpora[trial] = docs
+
+    def brute(docs):
+        from collections import Counter
+
+        grams = Counter()
+        for toks in docs.values():
+            for i in range(len(toks) - K + 1):
+                grams[tuple(toks[i : i + K])] += 1
+        spans = set()
+        for d, toks in docs.items():
+            cov = [
+                i
+                for i in range(len(toks) - K + 1)
+                if grams[tuple(toks[i : i + K])] >= 2
+            ]
+            run = []
+            for p in cov + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    spans.add((d, run[0], run[-1] - run[0] + K))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        return spans
+
+    expected = set()
+    for docs in corpora.values():
+        expected |= brute(docs)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in ({}, {"hashed": True}, {"single_scan": True}):
+        got = {
+            (r.doc_id, r.pass_start, r.pass_len)
+            for r in dedup.duplicate_passages(
+                df, "text", "doc_id", k=K, **kw
+            ).collect()
+        }
+        assert got == expected, (kw, got ^ expected)
+    assert expected  # the random mix must actually produce duplicates

@@ -938,9 +938,19 @@ def _partial_bindings(
             return bindings if bindings else None
         run = [found]
         j = found + 1
+        # the horizon guard must apply to the RUN extension exactly as
+        # it does to the seek above: the NFA never accepts a row past
+        # t0 + within, so neither may the timeout partial — without it
+        # the reported partial depended on how many (unacceptable)
+        # rows happened to be buffered, breaking micro-batch split
+        # invariance (found by tools/deep_fuzz_cep.py, round 8)
         while (
             (step.max_times is None or len(run) < step.max_times)
             and j < n
+            and not (
+                pattern.within is not None
+                and recs[j][ts_col] - t0 > pattern.within
+            )
             and _invoke(step.predicate, recs[j], recs, bindings, step.name, run)
         ):
             run.append(j)

@@ -193,7 +193,14 @@ def test_drain_in_order_split_fuzz_equals_batch(spark, pname):
         assert got == golden, (pname, i, got, golden)
 
 
-@pytest.mark.parametrize("pname", ["followed_by", "skip_to_next"])
+@pytest.mark.parametrize(
+    "pname",
+    # relaxed_loop_mid joined in round 8: its greedy-loop timeout
+    # partial bound beyond-horizon rows buffer-dependently (the
+    # _partial_bindings run-extension loop lacked the WITHIN guard,
+    # found by tools/deep_fuzz_cep.py) — keep it fuzzed here forever
+    ["followed_by", "skip_to_next", "relaxed_loop_mid", "until_stop"],
+)
 def test_drain_in_order_timeout_split_fuzz_equals_batch(spark, pname):
     rng = random.Random(99 + hash(pname) % 100)
     rows = _gen_rows(rng)
@@ -455,3 +462,84 @@ def test_iterative_begin_predicate_not_fail_fasted():
         steps=[optional_begin, plain.steps[1]], within=plain.within
     )
     assert _anchor_dead_now(pat2, recs) is False  # optional begin: keep
+
+
+def test_timeout_partial_never_binds_beyond_horizon(spark):
+    """Round-8 regression (deep-fuzz find): a timeout partial's greedy
+    loop must stop at the WITHIN horizon exactly like the NFA's accept
+    rule — binding a row with ts - anchor_ts > within made the
+    reported partial depend on how many unacceptable rows were
+    buffered, breaking split invariance. Deterministic repro from the
+    fuzzer: four 'a' rows at t=1,4,7,8 with a 5s horizon — the anchor
+    at t=1 may bind only t=1 and t=4."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (3, "a", at(1), 21),
+        (3, "a", at(4), 22),
+        (3, "a", at(7), 23),
+        (3, "a", at(8), 24),
+        (3, "c", at(10), 25),
+        (3, "c", at(12), 26),
+    ]
+    p = (
+        cep.Pattern.begin("x", lambda r: r["event_type"] == "a")
+        .one_or_more()
+        .relaxed()
+        .followed_by("y", lambda r: r["event_type"] == "c")
+        .within_time("5s")
+    )
+
+    def spans(rows_df, b):
+        bound = sorted(i for idxs in b.values() for i in idxs)
+        return {
+            "a_id": int(rows_df.iloc[bound[0]]["event_id"]),
+            "b_last": int(rows_df.iloc[bound[-1]]["event_id"]),
+        }
+
+    got = {
+        (r.a_id, r.b_last, r.is_timeout)
+        for r in cep.match_pattern_with_timeouts(
+            spark.createDataFrame(rows, SCHEMA), p, ["k"], "ts",
+            spans, spans, OUT_TO, order_cols=["ts", "event_id"],
+        ).collect()
+    }
+    # every anchor times out (no c lands inside any anchor's horizon
+    # after a bound loop); partials stop AT the horizon:
+    #   anchor 21 (t1): loop binds 21,22 (t7 is 6s away — excluded)
+    #   anchor 22 (t4): loop binds 22,23,24; c@10 is 6s away
+    #   anchor 23 (t7): loop binds 23,24; c@10 in horizon but a c
+    #     match completes -> 23 and 24 anchor full matches instead
+    full = {(a, b, it) for (a, b, it) in got if not it}
+    touts = got - full
+    assert (21, 22, True) in touts
+    assert (22, 24, True) in touts
+    # and the split replay through the drain core agrees exactly
+    recs = [
+        {"k": k, "event_type": e, "ts": ts, "event_id": i}
+        for k, e, ts, i in rows
+    ]
+    single, _ = drain_in_order(
+        recs, p, "ts", ["k"], (3,), spans,
+        timeout_measures=spans, eos=True,
+    )
+    split_out = []
+    state: list = []
+    for chunk in [recs[:3], recs[3:5], recs[5:]]:
+        state = state + chunk
+        emitted, state = drain_in_order(
+            state, p, "ts", ["k"], (3,), spans, timeout_measures=spans
+        )
+        split_out.extend(emitted)
+    emitted, _ = drain_in_order(
+        state, p, "ts", ["k"], (3,), spans,
+        timeout_measures=spans, eos=True,
+    )
+    split_out.extend(emitted)
+    canon = lambda rs: Counter(tuple(sorted(r.items())) for r in rs)
+    assert canon(split_out) == canon(single)

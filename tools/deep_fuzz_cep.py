@@ -41,6 +41,23 @@ def _timed_out(rows_df, b):
     return _measures(rows_df, b)
 
 
+def _gen_rows_ties(rng, n_keys=4, lo=8, hi=14):
+    """Adversarial twin of the suite's _gen_rows: timestamp TIES within
+    a key (increment may be 0) and ties exactly AT the within horizon —
+    the boundary cases an always-advancing clock never produces."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for k in range(1, n_keys + 1):
+        t = t0
+        for _ in range(rng.randrange(lo, hi)):
+            t += dt.timedelta(seconds=rng.randrange(0, 4))  # 0 => tie
+            rows.append((k, rng.choice(["a", "a", "b", "c"]), t, eid))
+            eid += 1
+    return rows
+
+
 def _run(rows_sorted, pattern_fn, drain, chunks, **kw):
     """Replay rows through drain in the given chunking; final eos flush."""
     out = []
@@ -81,6 +98,12 @@ def main() -> int:
         "out-of-order watermarked vs in-order; mr: MATCH_RECOGNIZE "
         "stream increment; all: everything",
     )
+    ap.add_argument(
+        "--ties",
+        action="store_true",
+        help="use the tie-heavy row generator (equal timestamps within "
+        "a key, horizon-boundary ties) for the inorder surface",
+    )
     args = ap.parse_args()
 
     if args.surface in ("wm", "mr", "all"):
@@ -108,10 +131,11 @@ def main() -> int:
     ]
     failures = 0
     total = 0
+    gen = _gen_rows_ties if args.ties else _gen_rows
     for pname, pattern_fn in sorted(pats.items()):
         for trial in range(args.trials):
             rng = random.Random(args.seed * 1_000_003 + hash(pname) % 99991 + trial)
-            rows = sorted(_gen_rows(rng), key=lambda r: (r[2], r[3]))
+            rows = sorted(gen(rng), key=lambda r: (r[2], r[3]))
             for cname, drain, kw in configs:
                 golden = _run(rows, pattern_fn, drain, [rows], **kw)
                 for s in range(args.splits):

@@ -720,3 +720,43 @@ from sensor
 group by id,SESSION(t,INTERVAL '3' SECOND)
 """,
     )
+
+
+@query(
+    "group_window_sql_clicks",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type AS name,
+           CAST(count(props) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Flink TUMBLE group-window SQL run verbatim (reference "
+        "TableSQLFunc.scala:951-963 hourly click counts): plural "
+        "'HOURS' interval unit, COUNT over a nullable column, "
+        "multi-line GROUP BY with leading-comma style."
+    ),
+)
+def group_window_sql_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.group_window_sql import group_window_sql
+
+    _events(spark, sf_dir).select(
+        F.col("event_type").alias("name"),
+        F.col("ts").alias("ctime"),
+        F.col("props").alias("url"),
+    ).createOrReplaceTempView("clicks")
+    # reference TableSQLFunc.scala:951-963, verbatim
+    return group_window_sql(
+        spark,
+        """
+select
+ TUMBLE_START(ctime, INTERVAL '1' HOURS) as window_start
+ ,name
+ ,count(url) as cnt
+from clicks
+group by TUMBLE(ctime, INTERVAL '1' HOURS)
+,name
+
+""",
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import davg, dsum, oavg, osum
+from ._util import davg, davg_r, dsum, dsum_r, oavg, oavg_r, osum, osum_r
 from .registry import query
 
 
@@ -43,13 +43,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round({osum('l_quantity')}, 2)                                       AS sum_qty,
-           round({osum('l_extendedprice')}, 2)                                  AS sum_base_price,
-           round({osum('l_extendedprice * (1 - l_discount)', 6)}, 2)            AS sum_disc_price,
-           round({osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}, 2) AS sum_charge,
-           round({oavg('l_quantity')}, 4)                                       AS avg_qty,
-           round({oavg('l_extendedprice')}, 4)                                  AS avg_price,
-           round({oavg('l_discount', 6)}, 4)                                    AS avg_disc,
+           {osum_r('l_quantity', out=2)}                                       AS sum_qty,
+           {osum_r('l_extendedprice', out=2)}                                  AS sum_base_price,
+           {osum_r('l_extendedprice * (1 - l_discount)', 6, out=2)}            AS sum_disc_price,
+           {osum_r('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6, out=2)} AS sum_charge,
+           {oavg_r('l_quantity', out=4)}                                        AS avg_qty,
+           {oavg_r('l_extendedprice', out=4)}                                   AS avg_price,
+           {oavg_r('l_discount', 6, out=4)}                                     AS avg_disc,
            count(*)                                                             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -67,13 +67,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(dsum("l_quantity"), 2).alias("sum_qty"),
-            F.round(dsum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(dsum(disc_price, 6), 2).alias("sum_disc_price"),
-            F.round(dsum(charge, 6), 2).alias("sum_charge"),
-            F.round(davg("l_quantity"), 4).alias("avg_qty"),
-            F.round(davg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(davg(F.col("l_discount"), 6), 4).alias("avg_disc"),
+            dsum_r("l_quantity", out=2).alias("sum_qty"),
+            dsum_r("l_extendedprice", out=2).alias("sum_base_price"),
+            dsum_r(disc_price, 6, out=2).alias("sum_disc_price"),
+            dsum_r(charge, 6, out=2).alias("sum_charge"),
+            davg_r("l_quantity", out=4).alias("avg_qty"),
+            davg_r("l_extendedprice", out=4).alias("avg_price"),
+            davg_r(F.col("l_discount"), 6, out=4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -84,7 +84,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue",
     oracle=f"""
     SELECT l_orderkey,
-           round({osum('l_extendedprice * (1 - l_discount)', 6)}, 2) AS revenue,
+           {osum_r('l_extendedprice * (1 - l_discount)', 6, out=2)} AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -112,7 +112,7 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(dsum(disc_price, 6), 2).alias("revenue"))
+        .agg(dsum_r(disc_price, 6, out=2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -123,7 +123,7 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_regional_revenue",
     oracle=f"""
     SELECT n_name,
-           round({osum('l_extendedprice * (1 - l_discount)', 6)}, 2) AS revenue
+           {osum_r('l_extendedprice * (1 - l_discount)', 6, out=2)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -161,7 +161,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(dsum(disc_price, 6), 2).alias("revenue"))
+        .agg(dsum_r(disc_price, 6, out=2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -171,7 +171,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_nationkey,
            count(*)                         AS n_customers,
-           round({oavg('c_acctbal')}, 4)    AS avg_balance
+           {oavg_r('c_acctbal', out=4)}    AS avg_balance
     FROM customer
     GROUP BY c_nationkey
     HAVING count(*) > 5 AND avg(c_acctbal) > 0
@@ -185,7 +185,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(davg("c_acctbal"), 4).alias("avg_balance"),
+            davg_r("c_acctbal", out=4).alias("avg_balance"),
             F.avg("c_acctbal").alias("_avg_raw"),
         )
         .where((F.col("n_customers") > 5) & (F.col("_avg_raw") > 0))
@@ -200,7 +200,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(DISTINCT o_custkey)             AS n_customers,
            count(*)                              AS n_orders,
-           round({osum('o_totalprice')}, 2)      AS sum_price
+           {osum_r('o_totalprice', out=2)}      AS sum_price
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -214,7 +214,7 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(dsum("o_totalprice"), 2).alias("sum_price"),
+            dsum_r("o_totalprice", out=2).alias("sum_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -262,7 +262,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_priority_status",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders, round({osum('o_totalprice')}, 2) AS sum_price
+           count(*) AS n_orders, {osum_r('o_totalprice', out=2)} AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -274,7 +274,7 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(dsum("o_totalprice"), 2).alias("sum_price"),
+            dsum_r("o_totalprice", out=2).alias("sum_price"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -287,7 +287,7 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_flag_status",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           count(*) AS n_items, round({osum('l_quantity')}, 2) AS sum_qty
+           count(*) AS n_items, {osum_r('l_quantity', out=2)} AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -299,7 +299,7 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(dsum("l_quantity"), 2).alias("sum_qty"),
+            dsum_r("l_quantity", out=2).alias("sum_qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -938,7 +938,7 @@ def natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           round({osum('l_extendedprice * (1 - l_discount)', 6)}, 2) AS revenue,
+           {osum_r('l_extendedprice * (1 - l_discount)', 6, out=2)} AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -972,7 +972,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(dsum(disc_price, 6), 2).alias("revenue"))
+        .agg(dsum_r(disc_price, 6, out=2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -983,7 +983,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle=f"""
     SELECT c_custkey, o_orderkey, o_orderdate,
-           round({osum('l_quantity')}, 2) AS total_qty
+           {osum_r('l_quantity', out=2)} AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -1015,7 +1015,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
-        .agg(F.round(dsum("l_quantity"), 2).alias("total_qty"))
+        .agg(dsum_r("l_quantity", out=2).alias("total_qty"))
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
@@ -1126,7 +1126,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT CAST(c_nationkey % 5 AS INT) AS code,
            count(*) AS n_customers,
-           round({osum('c_acctbal')}, 2) AS total_balance
+           {osum_r('c_acctbal', out=2)} AS total_balance
     FROM customer
     WHERE c_acctbal > (SELECT {oavg('c_acctbal')} FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1148,7 +1148,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT CAST(c_nationkey % 5 AS INT) AS code,
                count(*) AS n_customers,
-               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
                  AS total_balance
         FROM customer
         WHERE c_acctbal > (

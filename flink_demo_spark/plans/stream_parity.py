@@ -25,7 +25,7 @@ from .registry import query
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            count(*)             AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -74,7 +74,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_sliding_window",
     oracle="""
-    SELECT window_start, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    SELECT window_start, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM (
       SELECT time_bucket(INTERVAL 30 MINUTES, CAST(e.ts AS TIMESTAMP))
                - (o.off * INTERVAL 30 MINUTES) AS window_start,
@@ -117,7 +117,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_lookup_join",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_events,
-           round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment
@@ -138,8 +138,8 @@ def streaming_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
-        ).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("sum_value"),
     )
     return run_available_now(agg, output_mode="complete").orderBy("c_mktsegment")
 
@@ -196,7 +196,7 @@ def streaming_pattern_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, min(ts) AS session_start,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_start
     """,
@@ -213,8 +213,8 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+                ).cast("double").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -707,7 +707,7 @@ def streaming_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            count(*)             AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -744,8 +744,8 @@ def streaming_kafka_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+                ).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

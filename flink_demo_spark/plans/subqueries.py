@@ -19,7 +19,7 @@ from .registry import query
     "subquery_scalar_correlated",
     oracle=f"""
     SELECT l.l_partkey,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS below_avg_revenue
     FROM lineitem l
     WHERE l.l_quantity < (
@@ -41,7 +41,7 @@ def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l.l_partkey,
-               round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                  AS below_avg_revenue
         FROM lineitem l
         WHERE l.l_quantity < (
@@ -114,7 +114,7 @@ def subquery_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST((rn - 1) // 10 AS BIGINT) AS window_no,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM numbered
     GROUP BY user_id, (rn - 1) // 10
     ORDER BY user_id, window_no
@@ -137,8 +137,8 @@ def count_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+                ).cast("double").alias("sum_value"),
         )
         
     )

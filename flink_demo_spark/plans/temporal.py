@@ -29,7 +29,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            count(*)             AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -46,7 +46,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -61,7 +61,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_sliding",
     oracle="""
-    SELECT window_start, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    SELECT window_start, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM (
       SELECT time_bucket(INTERVAL 30 MINUTES, CAST(e.ts AS TIMESTAMP))
                - (o.off * INTERVAL 30 MINUTES) AS window_start,
@@ -82,7 +82,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
         
@@ -107,7 +107,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked
     )
     SELECT user_id, min(ts) AS session_start,
-           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+           count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_start
     """,
@@ -123,7 +123,7 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -351,7 +351,7 @@ def sessionize_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, min(ts) AS session_start,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_start
     """,
@@ -372,8 +372,8 @@ def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+                ).cast("double").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -419,7 +419,7 @@ def _kafka_demo_topic(spark, sf_dir: str) -> tuple:
            event_type,
            count(*)             AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -456,8 +456,8 @@ def kafka_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+                ).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from ..catalog import load_table
-from ._util import dsum, osum
+from ._util import dratio_r, dsum, dsum_r, oratio_r, osum, osum_r
 from .registry import query
 
 
@@ -83,7 +83,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT round({osum('l_extendedprice * l_discount', 6)}, 2) AS revenue
+    SELECT {osum_r('l_extendedprice * l_discount', 6, out=2)} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -104,8 +104,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                dsum(F.col("l_extendedprice") * F.col("l_discount"), 6), 2
+            dsum_r(
+                F.col("l_extendedprice") * F.col("l_discount"), 6, out=2
             ).alias("revenue")
         )
     )
@@ -114,7 +114,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_volume_shipping",
     oracle=f"""
-    SELECT supp_nation, cust_nation, l_year, round({osum('volume', 6)}, 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, {osum_r('volume', 6, out=2)} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -165,7 +165,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(dsum(_rev(), 6), 2).alias("revenue"))
+        .agg(dsum_r(_rev(), 6, out=2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -174,8 +174,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           round({osum("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END", 6)}
-                 / {osum('volume', 6)}, 6) AS mkt_share
+           {oratio_r("sum(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END AS DECIMAL(18,6)))",
+                      "sum(CAST(volume AS DECIMAL(18,6)))", 6, 6, 6)} AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
              {_OREV} AS volume,
@@ -232,7 +232,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     share_num = F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0)
     return (
         base.groupBy("o_year")
-        .agg(F.round(dsum(share_num, 6) / dsum(F.col("volume"), 6), 6).alias("mkt_share"))
+        .agg(
+            dratio_r(
+                F.sum(share_num.cast(DecimalType(18, 6))),
+                F.sum(F.col("volume").cast(DecimalType(18, 6))),
+                6, 6, 6,
+            ).alias("mkt_share")
+        )
         .orderBy("o_year")
     )
 
@@ -240,7 +246,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle=f"""
-    SELECT nation, o_year, round({osum('amount', 6)}, 2) AS sum_profit
+    SELECT nation, o_year, {osum_r('amount', 6, out=2)} AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
@@ -277,7 +283,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("nation", "o_year")
-        .agg(F.round(dsum(_rev(), 6), 2).alias("sum_profit"))
+        .agg(dsum_r(_rev(), 6, out=2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -362,7 +368,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name,
-           round(CAST(total_rev_dec AS DOUBLE), 2) AS total_revenue
+           CAST(round(total_rev_dec, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_rev_dec = (SELECT max(total_rev_dec) FROM revenue)
     ORDER BY s_suppkey
@@ -390,7 +396,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev_dec").cast("double"), 2).alias("total_revenue"),
+            F.round(F.col("total_rev_dec"), 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -431,7 +437,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_revenue",
     oracle=f"""
-    SELECT round({osum('l_extendedprice')} / 7.0, 2) AS avg_yearly
+    SELECT {oratio_r('sum(CAST(l_extendedprice AS DECIMAL(18,4)))', 'CAST(7 AS DECIMAL(18,0))', 4, 0, 2)} AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN (
@@ -467,14 +473,20 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         branded.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("avg_pk"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(dsum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            dratio_r(
+                F.sum(F.col("l_extendedprice").cast(DecimalType(18, 4))),
+                F.lit(7).cast(DecimalType(18, 0)),
+                4, 0, 2,
+            ).alias("avg_yearly")
+        )
     )
 
 
 @query(
     "q19_discounted_revenue",
     oracle=f"""
-    SELECT round({osum(_OREV, 6)}, 2) AS revenue
+    SELECT {osum_r(_OREV, 6, out=2)} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -500,7 +512,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
-        .agg(F.round(dsum(_rev(), 6), 2).alias("revenue"))
+        .agg(dsum_r(_rev(), 6, out=2).alias("revenue"))
     )
 
 

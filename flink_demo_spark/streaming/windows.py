@@ -22,7 +22,7 @@ def tumbling_agg(
         events.groupBy(F.window(ts_col, duration).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), *keys, "n_events", "sum_value")
     )
@@ -38,7 +38,7 @@ def sliding_agg(
         events.groupBy(F.window(ts_col, duration, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )

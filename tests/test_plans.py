@@ -156,3 +156,60 @@ def test_token_quantiles_approx_rank_bound(spark, sf_dir):
             lo = vals[max(0, rk - 1 - err)]
             hi = vals[min(n - 1, rk - 1 + err)]
             assert lo <= got <= hi, (lang, p, got, lo, hi)
+
+
+def test_decimal_rounding_helpers_engine_parity_at_boundaries(spark, oracle_con):
+    """Round-8 regression (sf1 probe find): Spark round(double, n)
+    rounds the SHORTEST DECIMAL RENDERING half-up while DuckDB rounds
+    the binary value, so sums/avgs/ratios landing on half boundaries
+    flip (q9 lost a cent at sf1). dsum_r/davg_r/dratio_r and their
+    oracle twins round on exact decimal/integer arithmetic — pin a
+    boundary-rich fixture to byte-equality across engines."""
+    from flink_demo_spark.plans._util import (
+        davg_r,
+        dratio_r,
+        dsum_r,
+        oavg_r,
+        oratio_r,
+        osum_r,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType
+
+    # values whose sums/averages hit .xx5 boundaries exactly, plus
+    # negatives for the away-from-zero branch
+    rows = [
+        (1, 162629711.075), (1, 0.005), (1, -0.005), (1, 2.675),
+        (2, 1.075), (2, -1.085), (2, 0.015), (2, 100.0),
+        (3, -162629711.075), (3, 0.045),
+    ]
+    df = spark.createDataFrame(rows, "k int, v double")
+    oracle_con.register("tbound", __import__("pandas").DataFrame(
+        rows, columns=["k", "v"]))
+
+    got = {
+        (r.k, r.s, r.a, r.ratio)
+        for r in df.groupBy("k").agg(
+            dsum_r("v", 4, out=2).alias("s"),
+            davg_r("v", 4, out=2).alias("a"),
+            dratio_r(
+                F.sum(F.col("v").cast(DecimalType(18, 4))),
+                F.lit(7).cast(DecimalType(18, 0)),
+                4, 0, 2,
+            ).alias("ratio"),
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in oracle_con.execute(f"""
+            SELECT k, {osum_r('v', 4, out=2)} AS s,
+                   {oavg_r('v', 4, out=2)} AS a,
+                   {oratio_r("sum(CAST(v AS DECIMAL(18,4)))",
+                             "CAST(7 AS DECIMAL(18,0))", 4, 0, 2)} AS ratio
+            FROM tbound GROUP BY k
+        """).fetchall()
+    }
+    assert got == want
+    # the half-cent boundary that flipped at sf1 rounds away from zero
+    by_k = {k: (s, a, r) for k, s, a, r in got}
+    assert by_k[2][0] == 100.01  # 1.075-1.085+0.015+100 = 100.005 -> .01

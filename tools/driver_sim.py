@@ -48,9 +48,16 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
+    # defaults mirror the real verification driver's plain session; the
+    # heap knob exists for off-gate scale checks (sf1 probes need more
+    # than the 1g default purely because the DATA is 100x the gate's)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("DRIVER_SIM_DRIVER_MEM", "1g"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.topn import top_n_per_group
+from ._util import dratio_r, oratio_r
 from .registry import query
 
 
@@ -25,10 +26,10 @@ from .registry import query
     "over_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
     FROM orders
     WHERE o_custkey < 100
     ORDER BY o_custkey, o_orderkey
@@ -46,7 +47,9 @@ def over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w), 2
+            ).cast("double").alias("running_total"),
         )
         
     )
@@ -54,14 +57,17 @@ def over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "over_moving_avg",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           round(avg(o_totalprice) OVER (
-             PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+           {oratio_r(
+               "sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w_ma",
+               "CAST(count(o_totalprice) OVER w_ma AS DECIMAL(18,0))",
+               4, 0, 4)} AS moving_avg
     FROM orders
     WHERE o_custkey < 100
+    WINDOW w_ma AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, o_orderkey
     """,
     doc="OVER ... ROWS 2 PRECEDING (reference QueryTest.scala:899-927).",
@@ -77,7 +83,11 @@ def over_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
+            dratio_r(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w),
+                F.count("o_totalprice").over(w).cast("decimal(18,0)"),
+                4, 0, 4,
+            ).alias("moving_avg"),
         )
         
     )
@@ -197,8 +207,8 @@ def over_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ntile_quartiles",
     oracle="""
-    SELECT q, count(*) AS n, round(min(o_totalprice), 2) AS min_price,
-           round(max(o_totalprice), 2) AS max_price
+    SELECT q, count(*) AS n, CAST(round(CAST(min(o_totalprice) AS DECIMAL(18,4)), 2) AS DOUBLE) AS min_price,
+           CAST(round(CAST(max(o_totalprice) AS DECIMAL(18,4)), 2) AS DOUBLE) AS max_price
     FROM (
       SELECT o_totalprice,
              CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS q
@@ -216,8 +226,8 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.min("o_totalprice").cast("decimal(18,4)"), 2).cast("double").alias("min_price"),
+            F.round(F.max("o_totalprice").cast("decimal(18,4)"), 2).cast("double").alias("max_price"),
         )
         .orderBy("q")
     )

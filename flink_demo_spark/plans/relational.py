@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import davg, davg_r, dsum, dsum_r, oavg, oavg_r, osum, osum_r
+from ._util import (davg, davg_r, dratio_r, dsum, dsum_r, oavg, oavg_r,
+                    oratio_r, osum, osum_r)
 from .registry import query
 
 
@@ -1084,13 +1085,13 @@ def predicate_between_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_promo_share",
-    oracle="""
-    SELECT round(
-             100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
-                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
-             4) AS economy_share_pct
+    oracle=f"""
+    SELECT {oratio_r(
+              "sum(CASE WHEN p_type = 'ECONOMY' "
+              "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) "
+              "ELSE CAST(0 AS DECIMAL(18,6)) END) * 100",
+              "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))",
+              6, 6, 4)} AS economy_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -1112,11 +1113,8 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,6)")
     promo = F.when(F.col("p_type") == "ECONOMY", disc).otherwise(zero)
     return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
-        F.round(
-            F.lit(100.0)
-            * F.sum(promo).cast("double")
-            / F.sum(disc).cast("double"),
-            4,
+        dratio_r(
+            F.sum(promo) * F.lit(100), F.sum(disc), 6, 6, 4
         ).alias("economy_share_pct")
     )
 

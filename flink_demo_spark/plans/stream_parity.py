@@ -1294,17 +1294,25 @@ group by id,HOP(t,INTERVAL '5' SECOND,INTERVAL '10' SECOND)
     oracle="""
     WITH sensor AS (
       SELECT event_type AS id, CAST(ts AS TIMESTAMP) AS t,
-             CAST(round(value * 100) AS BIGINT) AS vc
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             event_id AS eid
       FROM events
     ), marked AS (
+      -- both window passes MUST share one deterministic total order:
+      -- with tied timestamps (common at 10x density) an ORDER BY t
+      -- alone lets LAG and the running SUM break ties differently and
+      -- garble session labels (caught by the sf1 sweep); the tiebreak
+      -- does not change session CONTENT (tied rows merge either way,
+      -- delta 0 <= gap)
       SELECT id, t, vc,
-             CASE WHEN t - LAG(t) OVER (PARTITION BY id ORDER BY t)
+             CASE WHEN t - LAG(t) OVER (PARTITION BY id ORDER BY t, eid)
                        <= INTERVAL 3 SECOND
-                  THEN 0 ELSE 1 END AS new_s
+                  THEN 0 ELSE 1 END AS new_s,
+             eid
       FROM sensor
     ), gs AS (
       SELECT *, SUM(new_s) OVER (
-        PARTITION BY id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        PARTITION BY id ORDER BY t, eid ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     )
     SELECT id,

@@ -93,16 +93,20 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session",
     oracle="""
     WITH marked AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      -- (event_id tiebreak in BOTH window passes: tied timestamps must
+      -- see one shared total order or the marking and numbering passes
+      -- can disagree — the instability class the sf1 sweep exposed in
+      -- the sensor-keyed session oracle)
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
              CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
                   WHEN CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w
                        + INTERVAL 30 MINUTES THEN 1
                   ELSE 0 END AS is_new
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     ), sess AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )
@@ -328,24 +332,25 @@ def sessionize_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session_dynamic",
     oracle="""
     WITH g AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
              CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTES
                   ELSE INTERVAL 45 MINUTES END AS gap
       FROM events
     ), marked AS (
-      SELECT user_id, ts, value,
+      -- shared (ts, event_id) order in both passes: see window_session
+      SELECT user_id, ts, value, event_id,
              CASE WHEN max(ts + gap) OVER (
-                    PARTITION BY user_id ORDER BY ts
+                    PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                   ) IS NULL THEN 1
                   WHEN ts >= max(ts + gap) OVER (
-                    PARTITION BY user_id ORDER BY ts
+                    PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                   ) THEN 1 ELSE 0 END AS is_new
       FROM g
     ), sess AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )

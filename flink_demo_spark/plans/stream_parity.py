@@ -1356,3 +1356,67 @@ group by id,SESSION(t,INTERVAL '3' SECOND)
     )
     result = run_available_now(sdf, output_mode="complete")
     return result.orderBy("id", "window_start")
+
+
+@query(
+    "streaming_session_dynamic",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+             CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTES
+                  ELSE INTERVAL 45 MINUTES END AS gap
+      FROM events
+    ), marked AS (
+      -- shared (ts, event_id) order in both passes: see window_session
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN max(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL THEN 1
+                  WHEN ts >= max(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) THEN 1 ELSE 0 END AS is_new
+      FROM g
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc=(
+        "STREAMING dynamic-gap session window (reference Window.scala:157 "
+        "SessionWindowTimeGapExtractor runs on an unbounded stream): "
+        "session_window(ts, CASE WHEN ...) over readStream + watermark — "
+        "per-event gaps merge in state exactly as in batch; equals the "
+        "batch twin window_session_dynamic and the running-max-end oracle."
+    ),
+)
+def streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("45 minutes")
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    result = run_available_now(agg, output_mode="complete")
+    return result.orderBy("user_id", "session_start")

@@ -72,3 +72,68 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Hilbert curve index of a 2-D point (the classic iterative xy2d
+    walk, public domain — e.g. Wikipedia "Hilbert curve", Warren's
+    Hacker's Delight treatment): like :func:`z_value` a space-filling
+    clustering key, but with strictly better locality — every unit
+    step along the curve moves to a 4-adjacent cell, so a box query
+    decomposes into FEWER contiguous index ranges than under Morton
+    order (no Z-shaped jumps), i.e. fewer files touched per box at
+    equal file count (Delta OPTIMIZE supports both for this reason).
+
+    Implementation: the per-level rotate/flip state walk rides in a
+    single JVM ``F.aggregate`` fold over the descending bit weights —
+    the (x, y, d) state is an ``array<long>`` lambda variable, so each
+    level evaluates once (no exponential expression blowup) and the
+    whole key stays inside whole-stage codegen; no UDF, exact 64-bit
+    integer math, oracle-checkable."""
+    x = x.cast("long")
+    y = y.cast("long")
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)]
+    )
+    init = F.array(x, y, F.lit(0).cast("long"))
+
+    def step(acc: Column, s: Column) -> Column:
+        xx = F.element_at(acc, 1)
+        yy = F.element_at(acc, 2)
+        dd = F.element_at(acc, 3)
+        one = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+        rx = F.when(xx.bitwiseAND(s) > 0, one).otherwise(zero)
+        ry = F.when(yy.bitwiseAND(s) > 0, one).otherwise(zero)
+        dd2 = dd + s * s * ((rx * 3).bitwiseXOR(ry))
+        fx = F.when(rx == 1, s - 1 - xx).otherwise(xx)
+        fy = F.when(rx == 1, s - 1 - yy).otherwise(yy)
+        nx = F.when(ry == 0, fy).otherwise(xx)
+        ny = F.when(ry == 0, fx).otherwise(yy)
+        return F.array(nx, ny, dd2)
+
+    return F.element_at(F.aggregate(powers, init, step), 3)
+
+
+def hilbert_value_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB oracle twin of :func:`hilbert_value`: the same fold via
+    ``list_reduce`` — the (x, y, d) state and the per-level weights are
+    all LIST(BIGINT), so accumulator and element types line up."""
+    weights = ", ".join(
+        f"[CAST({1 << i} AS BIGINT), 0, 0]" for i in range(bits - 1, -1, -1)
+    )
+    return (
+        "list_reduce("
+        f"list_prepend([CAST({x} AS BIGINT), CAST({y} AS BIGINT), 0], [{weights}]), "
+        "(acc, el) -> ["
+        "CASE WHEN (CASE WHEN (acc[2] & el[1]) > 0 THEN 1 ELSE 0 END) = 0 "
+        "THEN (CASE WHEN (CASE WHEN (acc[1] & el[1]) > 0 THEN 1 ELSE 0 END) = 1 "
+        "THEN el[1] - 1 - acc[2] ELSE acc[2] END) ELSE acc[1] END, "
+        "CASE WHEN (CASE WHEN (acc[2] & el[1]) > 0 THEN 1 ELSE 0 END) = 0 "
+        "THEN (CASE WHEN (CASE WHEN (acc[1] & el[1]) > 0 THEN 1 ELSE 0 END) = 1 "
+        "THEN el[1] - 1 - acc[1] ELSE acc[1] END) ELSE acc[2] END, "
+        "acc[3] + el[1] * el[1] * "
+        "xor((CASE WHEN (acc[1] & el[1]) > 0 THEN 1 ELSE 0 END) * 3, "
+        "(CASE WHEN (acc[2] & el[1]) > 0 THEN 1 ELSE 0 END))"
+        "])[3]"
+    )

@@ -1059,3 +1059,35 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         hour.alias("hour_bucket"),
         layout.z_value(F.col("user_id"), hour).alias("zvalue"),
     )
+
+
+@query(
+    "hilbert_values",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {_HOUR_SQL} AS hour_bucket,
+           {layout.hilbert_value_sql("user_id", _HOUR_SQL)} AS hvalue
+    FROM events
+    ORDER BY event_id
+    """,
+    doc=(
+        "Hilbert-curve clustering key over (user_id, event hour): the "
+        "better-locality companion to zorder_values — every unit step "
+        "along the curve is a 4-adjacent cell, so box queries decompose "
+        "into fewer contiguous key ranges (fewer files per box than "
+        "Morton at equal file count; Delta OPTIMIZE offers both). "
+        "Single JVM F.aggregate fold per row (operators/layout.py, "
+        "exhaustively pinned vs an independent xy2d reference); "
+        "write-side persistence reuses write_zordered's range "
+        "partition + in-file sort."
+    ),
+)
+def hilbert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hour = F.expr("unix_timestamp(ts) div 3600 % 65536")
+    return ev.select(
+        "event_id",
+        "user_id",
+        hour.alias("hour_bucket"),
+        layout.hilbert_value(F.col("user_id"), hour).alias("hvalue"),
+    )

@@ -1792,3 +1792,68 @@ def test_duplicate_passages_randomized_vs_bruteforce(spark):
         }
         assert got == expected, (kw, got ^ expected)
     assert expected  # the random mix must actually produce duplicates
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve layout key (round 8)
+
+
+def _xy2d(x, y, bits):
+    """Independent reference implementation (classic xy2d walk)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_exhaustive_and_locality(spark):
+    """Exhaustive 16x16 grid equality vs the independent reference,
+    plus the property Z-order lacks: consecutive curve indices are
+    4-adjacent cells (|dx| + |dy| == 1) — the reason a box decomposes
+    into fewer contiguous ranges under Hilbert."""
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.operators.layout import hilbert_value
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r.x, r.y): r.h
+        for r in df.select(
+            "x", "y", hilbert_value(F.col("x"), F.col("y"), 4).alias("h")
+        ).collect()
+    }
+    assert got == {(x, y): _xy2d(x, y, 4) for x, y in rows}
+    # bijection onto 0..255 and unit-step adjacency along the curve
+    by_d = {d: xy for xy, d in got.items()}
+    assert sorted(by_d) == list(range(256))
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_value_16bit_matches_reference(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.operators.layout import hilbert_value
+
+    rng = random.Random(11)
+    pts = [(rng.randrange(0, 65536), rng.randrange(0, 65536)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = [
+        (r.x, r.y, r.h)
+        for r in df.select(
+            "x", "y", hilbert_value(F.col("x"), F.col("y"), 16).alias("h")
+        ).collect()
+    ]
+    assert all(h == _xy2d(x, y, 16) for x, y, h in got)

@@ -175,3 +175,55 @@ def test_z_value_matches_python_morton(spark):
     }
     for a, b in pairs:
         assert got[(a, b)] == morton(a, b), (a, b)
+
+def test_hilbert_layout_skips_at_least_as_well_as_zorder(spark, sf_dir, tmp_path):
+    """The locality claim, measured: for a panel of box queries over
+    Hilbert-clustered vs Z-order-clustered files (same writer, same
+    file count), the Hilbert layout touches no more files in total —
+    unit-step curve adjacency means a box decomposes into fewer
+    contiguous key ranges than Morton's Z-jumps."""
+    from flink_demo_spark.operators.layout import (
+        hilbert_value,
+        write_zordered,
+        z_value,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr("unix_timestamp(ts) div 3600 % 65536")
+    base = ev.select("event_id", "user_id", hour.alias("hour_bucket"))
+    keyed = base.withColumn(
+        "z", z_value(F.col("user_id"), F.col("hour_bucket"))
+    ).withColumn("h", hilbert_value(F.col("user_id"), F.col("hour_bucket")))
+
+    zpath, hpath = str(tmp_path / "zorder"), str(tmp_path / "hilbert")
+    write_zordered(keyed, zpath, "z", n_files=8)
+    write_zordered(keyed, hpath, "h", n_files=8)
+
+    lo, hi, hlo, hhi = keyed.agg(
+        F.min("user_id"), F.max("user_id"),
+        F.min("hour_bucket"), F.max("hour_bucket"),
+    ).collect()[0]
+
+    def files_touched(path, box):
+        return (
+            spark.read.parquet(path)
+            .where(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    hour_span = max(1, (hhi - hlo) // 8)
+    user_span = max(1, (hi - lo) // 8)
+    total_z = total_h = 0
+    for i in range(4):
+        box = (
+            (F.col("user_id") >= lo + i * user_span)
+            & (F.col("user_id") < lo + (i + 1) * user_span)
+            & (F.col("hour_bucket") >= hlo + i * hour_span)
+            & (F.col("hour_bucket") < hlo + (i + 1) * hour_span)
+        )
+        total_z += files_touched(zpath, box)
+        total_h += files_touched(hpath, box)
+    assert total_h <= total_z, (total_h, total_z)
+    assert total_h < 4 * 8  # and it really skips (not all files)

@@ -235,6 +235,129 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR hashed-n-gram feature space: bucket count B and the fixed-point
+# scale S for the integer likelihood-ratio weights. B=256 keeps the
+# bucket-stats frame a literal broadcast at any corpus size; S=1e6
+# gives 6 decimal digits of ratio resolution in pure integer math.
+_DSIR_B = 256
+_DSIR_S = 1_000_000
+
+
+@query(
+    "sample_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, lang,
+             list_reduce(list_transform(generate_series(1, 15),
+               i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+               (a, b) -> a * 16 + b) % {_DSIR_B} AS bucket
+      FROM toks
+    ), stats AS (
+      SELECT bucket, count(*) AS r_b,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+      FROM tb GROUP BY bucket
+    ), tot AS (SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM stats),
+    w AS (
+      -- add-one-smoothed likelihood ratio per hashed feature bucket,
+      -- exact fixed-point: S * [(t_b+1)/(t_tot+B)] / [(r_b+1)/(r_tot+B)]
+      SELECT bucket,
+             CAST((CAST(t_b + 1 AS HUGEINT) * (t.r_tot + {_DSIR_B}) * {_DSIR_S})
+                  // (CAST(r_b + 1 AS HUGEINT) * (t.t_tot + {_DSIR_B})) AS BIGINT)
+               AS w_b
+      FROM stats, tot t
+    ), scored AS (
+      SELECT tb.doc_id, count(*) AS n_tokens, sum(w.w_b) AS s
+      FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(s // n_tokens AS BIGINT) AS dsir_score
+    FROM scored
+    WHERE ((doc_id % 1000003) * 2654435761 + 12345) % 1000000007 % {_DSIR_S}
+          * 4 < s // n_tokens
+    ORDER BY doc_id
+    """,
+    doc=(
+        "DSIR-style importance resampling (Xie et al. 2023, 'Data "
+        "Selection for Language Models via Importance Resampling'): "
+        "estimate target (lang='en') and raw unigram distributions "
+        "over a hashed feature space of B=256 buckets (the portable "
+        "md5-fold digest, so the oracle reproduces buckets exactly), "
+        "weight each bucket by the add-one-smoothed likelihood ratio "
+        "in fixed-point integer arithmetic (DECIMAL(38) intermediates "
+        "- no float drift between engines), score each document by "
+        "its per-token mean ratio, and resample with acceptance "
+        "probability proportional to the score via the same "
+        "multiplicative integer hash as sample_importance. The "
+        "canonical paper uses log-ratio sums; the ratio-mean here is "
+        "the integer-exact twin (same target-skewed selection, "
+        "oracle-verifiable bit-for-bit) - swap the bucket weights to "
+        "floor(S*log ratio) at deployment if log-space is wanted. "
+        "Plan: the two passes DSIR inherently needs and nothing more - "
+        "token scan #1 collapses map-side into the 256-row bucket "
+        "census (totals via a global window over the census, NOT a "
+        "separate agg branch, so the scan is not recomputed), the "
+        "weights re-join token scan #2 as a broadcast, one doc_id "
+        "shuffle for the per-doc sum. The importance model itself "
+        "never leaves 256 rows, so the whole thing holds at 100 TB; "
+        "persisting per-(doc,bucket) counts would make it single-scan "
+        "at the cost of caching a docs-by-256 frame."
+    ),
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    tb = toks.select(
+        "doc_id", "lang", (dedup.portable_hash60("tok") % _DSIR_B).alias("bucket")
+    )
+    stats = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
+    )
+    # totals as a global window over the 256-row census — keeps the
+    # whole importance model inside ONE branch of the plan (a separate
+    # agg branch would recompute the token scan a third time)
+    everything = Window.partitionBy()
+    w = (
+        stats.withColumn("r_tot", F.sum("r_b").over(everything))
+        .withColumn("t_tot", F.sum("t_b").over(everything))
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST((CAST(t_b + 1 AS DECIMAL(38,0)) * (r_tot + {_DSIR_B})"
+                f" * {_DSIR_S}) DIV (CAST(r_b + 1 AS DECIMAL(38,0))"
+                f" * (t_tot + {_DSIR_B})) AS BIGINT)"
+            ).alias("w_b"),
+        )
+    )
+    scored = (
+        tb.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_b").alias("s"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "n_tokens", F.expr("s DIV n_tokens").alias("dsir_score")
+        )
+        .where(
+            F.expr(
+                f"((doc_id % 1000003) * 2654435761 + 12345) % 1000000007"
+                f" % {_DSIR_S} * 4 < dsir_score"
+            )
+        )
+    )
+
+
 _LANGS = ["de", "en", "es", "fr", "zh"]
 
 

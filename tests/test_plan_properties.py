@@ -241,6 +241,19 @@ EXPECT = {
     "sample_importance": dict(
         absent=["Exchange", "HashAggregate", "SortAggregate", "MapInPandas"],
     ),
+    # DSIR two-pass shape: census pass (fan-out RR + 256-row bucket agg
+    # + single-partition totals window) + scoring pass (doc_id agg);
+    # the 256-row weights frame must re-enter as a BROADCAST — a
+    # sort-merge join here would shuffle the whole token stream on the
+    # bucket key, and any third Exchange chain means the token scan
+    # got recomputed for the totals
+    "sample_dsir": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+                "MapInPandas"],
+        partial_agg=True,
+        max_exchanges=4,
+    ),
     # synthesize + canonicalize are map-side; the only shuffle is the
     # canonical-form dedup groupBy (partial agg before it)
     "url_canonicalize_dedup": dict(

@@ -243,9 +243,48 @@ _DSIR_B = 256
 _DSIR_S = 1_000_000
 
 
-@query(
-    "sample_dsir",
-    oracle=f"""
+def _dsir_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per token, bucketed into the
+    hashed feature space by the portable md5-fold digest."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    return toks.select(
+        "doc_id", "lang", (dedup.portable_hash60("tok") % _DSIR_B).alias("bucket")
+    )
+
+
+def _dsir_stats(tb: DataFrame) -> DataFrame:
+    """256-row bucket census: raw count r_b and target (lang='en')
+    count t_b per hashed feature bucket — map-side partial agg, the
+    shuffle moves at most B rows per partition."""
+    return tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
+    )
+
+
+def dsir_weight_vector(stats_rows: list) -> list[int]:
+    """Fixed-point likelihood-ratio weight per bucket, computed from
+    collected census rows with Python big-int floor division — the
+    SAME integer result as the in-plan DECIMAL(38) DIV expression, so
+    a driver-side weight table (for the streaming literal) and the
+    distributed weights frame are interchangeable. Buckets absent
+    from the census get the add-one-smoothed empty-bucket weight."""
+    r = {int(row["bucket"]): int(row["r_b"]) for row in stats_rows}
+    t = {int(row["bucket"]): int(row["t_b"]) for row in stats_rows}
+    r_tot = sum(r.values())
+    t_tot = sum(t.values())
+    return [
+        ((t.get(b, 0) + 1) * (r_tot + _DSIR_B) * _DSIR_S)
+        // ((r.get(b, 0) + 1) * (t_tot + _DSIR_B))
+        for b in range(_DSIR_B)
+    ]
+
+
+_DSIR_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, lang,
              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
@@ -279,7 +318,12 @@ _DSIR_S = 1_000_000
     WHERE ((doc_id % 1000003) * 2654435761 + 12345) % 1000000007 % {_DSIR_S}
           * 4 < s // n_tokens
     ORDER BY doc_id
-    """,
+    """
+
+
+@query(
+    "sample_dsir",
+    oracle=_DSIR_ORACLE,
     doc=(
         "DSIR-style importance resampling (Xie et al. 2023, 'Data "
         "Selection for Language Models via Importance Resampling'): "
@@ -309,18 +353,8 @@ _DSIR_S = 1_000_000
 )
 def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.explode_outer(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
-    ).where(F.col("tok").isNotNull())
-    tb = toks.select(
-        "doc_id", "lang", (dedup.portable_hash60("tok") % _DSIR_B).alias("bucket")
-    )
-    stats = tb.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("r_b"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
-    )
+    tb = _dsir_tokens(docs)
+    stats = _dsir_stats(tb)
     # totals as a global window over the 256-row census — keeps the
     # whole importance model inside ONE branch of the plan (a separate
     # agg branch would recompute the token scan a third time)

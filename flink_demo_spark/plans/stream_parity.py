@@ -1175,6 +1175,64 @@ def streaming_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(kept, output_mode="append")
 
 
+def _dsir_oracle():
+    from .corpus import _DSIR_ORACLE
+
+    return _DSIR_ORACLE
+
+
+@query(
+    "streaming_sample_dsir",
+    oracle=_dsir_oracle(),
+    doc=(
+        "DSIR importance resampling on a live document FEED - the "
+        "online-filtering production shape: the 256-bucket importance "
+        "model is estimated once from the STATIC corpus (the batch "
+        "census, collected driver-side - 256 rows, the same bounded-"
+        "collect contract as the IVF centroid list - and re-derived "
+        "with Python big-int floor division, bit-identical to the "
+        "in-plan DECIMAL DIV), then every arriving document is scored "
+        "by ONE per-row JVM expression: F.aggregate over its token "
+        "array folding the weight-array literal, no explode, no "
+        "stream aggregation, ZERO stream state, append mode. Equals "
+        "the batch sample_dsir result - and shows the two-pass batch "
+        "algorithm collapsing to a stateless map once the model is "
+        "frozen, which is exactly how a 100 TB/day crawl filter runs."
+    ),
+)
+def streaming_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..sources.streams import documents_stream
+    from .corpus import _DSIR_B, _DSIR_S, _dsir_stats, _dsir_tokens, dsir_weight_vector
+    from ..operators.dedup import portable_hash60
+
+    static_docs = load_table(spark, sf_dir, "documents")
+    stats_rows = _dsir_stats(_dsir_tokens(static_docs)).collect()
+    weights = dsir_weight_vector(stats_rows)
+    warr = F.array(*[F.lit(w).cast("long") for w in weights])
+
+    feed = documents_stream(spark, sf_dir)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    score_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr, ((portable_hash60(t) % _DSIR_B) + 1).cast("int")),
+    )
+    scored = feed.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score_sum.alias("s"),
+    ).select("doc_id", "n_tokens", F.expr("s DIV n_tokens").alias("dsir_score"))
+    kept = scored.where(
+        F.expr(
+            f"((doc_id % 1000003) * 2654435761 + 12345) % 1000000007"
+            f" % {_DSIR_S} * 4 < dsir_score"
+        )
+    )
+    return run_available_now(kept, output_mode="append")
+
+
 @query(
     "streaming_queryable_state",
     oracle="""

@@ -392,6 +392,192 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trained quality classifier (perceptron over hashed bag-of-words) — the
+# discriminative complement to sample_dsir's generative importance weights:
+# GPT-3 (Brown et al. 2020 §A) and CCNet filter CommonCrawl with a linear
+# classifier over hashed token features; fastText (Joulin et al. 2016) is
+# the canonical architecture. The perceptron variant keeps every update in
+# INTEGER arithmetic (no sigmoid/exp), so training is bit-for-bit
+# reproducible in the DuckDB oracle with the epochs unrolled as CTEs —
+# same pattern as the embedding_kmeans Lloyd-iteration oracle.
+_PCT_EPOCHS = 3
+
+
+def _pct_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket, x, y) — hashed bag-of-words counts per
+    document over the shared 256-bucket md5-fold feature space, with
+    the ±1 target label (lang='en' is the positive class, matching
+    sample_dsir's target distribution)."""
+    return (
+        _dsir_tokens(docs)
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .withColumn(
+            "y", F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long")
+        )
+    )
+
+
+def _pct_epoch(feats: DataFrame, w: list[int], b: int) -> tuple[list[int], int]:
+    """One full-batch perceptron epoch: margin per doc via a window
+    over the cached features (ONE doc_id shuffle), then the gradient
+    collapses map-side into ≤256 (bucket, g, yb) rows — the only rows
+    that ever reach the driver, the same bounded-collect contract as
+    kmeans_update. The bias term rides along by tagging each
+    misclassified doc's first feature row (row_number within the same
+    window partitioning, so no extra exchange)."""
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    wdoc = Window.partitionBy("doc_id")
+    dot = F.sum(
+        F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("x")
+    ).over(wdoc)
+    rn = F.row_number().over(wdoc.orderBy("bucket"))
+    mis = (
+        feats.withColumn("dot", dot)
+        .withColumn("rn", rn)
+        .where(F.col("y") * (F.lit(int(b)) + F.col("dot")) <= 0)
+    )
+    rows = (
+        mis.groupBy("bucket")
+        .agg(
+            F.sum(F.col("y") * F.col("x")).alias("g"),
+            F.sum(
+                F.col("y") * F.when(F.col("rn") == 1, 1).otherwise(0)
+            ).alias("yb"),
+        )
+        .collect()
+    )
+    g = {int(r["bucket"]): int(r["g"]) for r in rows}
+    return (
+        [w[i] + g.get(i, 0) for i in range(_DSIR_B)],
+        b + sum(int(r["yb"]) for r in rows),
+    )
+
+
+def pct_train(docs: DataFrame) -> tuple[list[int], int]:
+    """Train the hashed-feature perceptron for _PCT_EPOCHS full-batch
+    epochs and return (weights, bias) as plain Python ints — a frozen
+    model the streaming twin can embed as a literal. The compact
+    hashed-features frame (≤256 rows per doc, no text) is persisted so
+    each epoch re-reads the projection, not the raw corpus — at 100 TB
+    that persist is the difference between E and 1 corpus scans."""
+    feats = _pct_feats(docs).persist()
+    w, b = [0] * _DSIR_B, 0
+    for _ in range(_PCT_EPOCHS):
+        w, b = _pct_epoch(feats, w, b)
+    return w, b
+
+
+def _pct_oracle() -> str:
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, lang,
+             list_reduce(list_transform(generate_series(1, 15),
+               i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+               (a, b) -> a * 16 + b) % {_DSIR_B} AS bucket
+      FROM toks
+    ), feats AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             bucket, count(*) AS x
+      FROM tb GROUP BY doc_id, lang, bucket
+    ),
+    -- epoch 1 from w=0, b=0: margin is 0 for every doc, so every doc
+    -- is misclassified and the update is the full label-weighted sum
+    w1 AS (
+      SELECT bucket, sum(y * x) AS w FROM feats GROUP BY bucket
+    ), b1 AS (
+      SELECT COALESCE(sum(y), 0) AS b
+      FROM (SELECT DISTINCT doc_id, y FROM feats) d
+    )"""
+    for e in range(2, _PCT_EPOCHS + 1):
+        p = e - 1
+        sql += f""", m{e} AS (
+      SELECT f.doc_id, f.y,
+             (SELECT b FROM b{p}) + sum(w{p}.w * f.x) AS dot
+      FROM feats f JOIN w{p} USING (bucket)
+      GROUP BY f.doc_id, f.y
+    ), mis{e} AS (
+      SELECT doc_id, y FROM m{e} WHERE y * dot <= 0
+    ), w{e} AS (
+      SELECT w{p}.bucket, w{p}.w + COALESCE(g.g, 0) AS w
+      FROM w{p} LEFT JOIN (
+        SELECT f.bucket, sum(f.y * f.x) AS g
+        FROM feats f JOIN mis{e} USING (doc_id) GROUP BY f.bucket
+      ) g USING (bucket)
+    ), b{e} AS (
+      SELECT (SELECT b FROM b{p}) + COALESCE(sum(y), 0) AS b FROM mis{e}
+    )"""
+    ep = _PCT_EPOCHS
+    sql += f"""
+    SELECT f.doc_id, f.lang,
+           CAST((SELECT b FROM b{ep}) + sum(w{ep}.w * f.x) AS BIGINT)
+             AS clf_score,
+           CAST(CASE WHEN (SELECT b FROM b{ep}) + sum(w{ep}.w * f.x) > 0
+                THEN 1 ELSE 0 END AS INT) AS pred_en
+    FROM feats f JOIN w{ep} USING (bucket)
+    GROUP BY f.doc_id, f.lang
+    ORDER BY doc_id
+    """
+    return sql
+
+
+_PCT_ORACLE = _pct_oracle()
+
+
+@query(
+    "quality_perceptron",
+    oracle=_PCT_ORACLE,
+    doc=(
+        "Trained quality-classifier filtering - the GPT-3/CCNet "
+        "pipeline stage (Brown et al. 2020 SA: a linear classifier "
+        "over hashed token features scores every CommonCrawl page; "
+        "fastText, Joulin et al. 2016, is the canonical model): a "
+        "full-batch perceptron over the shared 256-bucket hashed "
+        "bag-of-words, target class lang='en', trained for 3 epochs "
+        "and then scoring every document in one pass. The perceptron "
+        "keeps training in pure INTEGER arithmetic (no sigmoid), so "
+        "the DuckDB oracle replays the whole training run bit-for-bit "
+        "with the epochs unrolled as CTEs - the same oracle pattern "
+        "as embedding_kmeans. Plan: the hashed-features projection "
+        "(<=256 rows/doc, no text) is persisted once; each epoch is "
+        "ONE doc_id-window shuffle whose gradient collapses map-side "
+        "to <=256 rows before reaching the driver (bounded-collect "
+        "contract); the model is 256 longs + a bias regardless of "
+        "corpus size, so training cost is E compact scans and the "
+        "serve pass is a broadcast of a 256-element literal - holds "
+        "at 100 TB. streaming_quality_perceptron serves the SAME "
+        "frozen model over the live feed."
+    ),
+)
+def quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    w, b = pct_train(docs)
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    feats = _pct_feats(docs)
+    score = F.lit(int(b)).cast("long") + F.sum(
+        F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("x")
+    )
+    return (
+        feats.groupBy("doc_id", "lang")
+        .agg(score.alias("clf_score"))
+        .select(
+            "doc_id",
+            "lang",
+            "clf_score",
+            F.when(F.col("clf_score") > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("pred_en"),
+        )
+    )
+
+
 _LANGS = ["de", "en", "es", "fr", "zh"]
 
 

@@ -1233,6 +1233,57 @@ def streaming_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(kept, output_mode="append")
 
 
+def _pct_oracle_ref():
+    from .corpus import _PCT_ORACLE
+
+    return _PCT_ORACLE
+
+
+@query(
+    "streaming_quality_perceptron",
+    oracle=_pct_oracle_ref(),
+    doc=(
+        "Trained quality classifier SERVING on a live document feed - "
+        "the deploy half of the GPT-3/CCNet filtering stage: the "
+        "perceptron is trained once on the STATIC corpus (pct_train - "
+        "3 full-batch integer epochs, 256-long weight vector + bias "
+        "on the driver, the bounded-collect contract), then every "
+        "arriving document is scored by ONE per-row JVM expression - "
+        "F.aggregate over its token array folding the frozen weight "
+        "literal, no explode, no stream aggregation, ZERO stream "
+        "state, append mode. Bit-identical to batch "
+        "quality_perceptron because training and serving share the "
+        "same integer arithmetic. This train-batch/serve-stream split "
+        "is exactly how a quality filter runs in front of a 100 "
+        "TB/day crawl ingest."
+    ),
+)
+def streaming_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators.dedup import portable_hash60
+    from ..sources.streams import documents_stream
+    from .corpus import _DSIR_B, pct_train
+
+    w, b = pct_train(load_table(spark, sf_dir, "documents"))
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+
+    feed = documents_stream(spark, sf_dir)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    score = F.aggregate(
+        toks,
+        F.lit(int(b)).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr, ((portable_hash60(t) % _DSIR_B) + 1).cast("int")),
+    )
+    scored = feed.select(
+        "doc_id",
+        "lang",
+        score.alias("clf_score"),
+        F.when(score > 0, 1).otherwise(0).cast("int").alias("pred_en"),
+    )
+    return run_available_now(scored, output_mode="append")
+
+
 @query(
     "streaming_queryable_state",
     oracle="""

@@ -254,6 +254,15 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=4,
     ),
+    # perceptron serve pass: the hashed-features projection must come
+    # from the persisted frame (training already paid for it), the
+    # 256-long model enters as an array literal (no join of any kind),
+    # and the per-doc score is one partial-agg shuffle
+    "quality_perceptron": dict(
+        contains=["InMemoryTableScan"],
+        absent=["Join", "CartesianProduct", "MapInPandas"],
+        partial_agg=True,
+    ),
     # synthesize + canonicalize are map-side; the only shuffle is the
     # canonical-form dedup groupBy (partial agg before it)
     "url_canonicalize_dedup": dict(

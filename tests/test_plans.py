@@ -213,3 +213,47 @@ def test_decimal_rounding_helpers_engine_parity_at_boundaries(spark, oracle_con)
     # the half-cent boundary that flipped at sf1 rounds away from zero
     by_k = {k: (s, a, r) for k, s, a, r in got}
     assert by_k[2][0] == 100.01  # 1.075-1.085+0.015+100 = 100.005 -> .01
+
+
+def test_perceptron_learns_separable_corpus(spark):
+    """The synthetic documents table is UNLEARNABLE by construction
+    (all five langs draw from the identical 31-word vocabulary), so
+    quality_perceptron correctly converging to the majority class
+    there says nothing about the trainer. This pins that on a
+    linearly separable corpus the same 3-epoch training drives
+    training error to zero: positive docs carry a marker token absent
+    from negatives, and every doc must end up on the correct side."""
+    from flink_demo_spark.plans.corpus import _pct_feats, pct_train, _DSIR_B
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "de",
+         ("alpha beta gamma wiki " if i % 2 == 0 else "alpha beta gamma spam ")
+         + f"noise{i % 7}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w, b = pct_train(docs)
+    assert any(v != 0 for v in w)
+
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    scored = (
+        _pct_feats(docs)
+        .groupBy("doc_id", "y")
+        .agg(
+            (
+                F.lit(int(b)).cast("long")
+                + F.sum(
+                    F.element_at(warr, (F.col("bucket") + 1).cast("int"))
+                    * F.col("x")
+                )
+            ).alias("s")
+        )
+        .collect()
+    )
+    assert len(scored) == 40
+    for r in scored:
+        assert int(r["y"]) * int(r["s"]) > 0, (
+            f"doc {r['doc_id']} misclassified after training on a "
+            f"separable corpus (y={r['y']}, score={r['s']})"
+        )

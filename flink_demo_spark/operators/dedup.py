@@ -210,6 +210,93 @@ def minhash_signatures(
     )
 
 
+def lsh_band_table(sigs: DataFrame, num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(doc_id, band, bucket) LSH index rows from a minhash_table
+    frame: each band's minhashes fold into one bucket key via a
+    polynomial hash, int64-safe and engine-portable (the same
+    expression reproduces in the DuckDB oracle)."""
+    rows = num_hashes // bands
+
+    def band_bucket(b: int) -> Column:
+        acc: Column = F.lit(0).cast("long")
+        for r in range(rows):
+            acc = (acc * BAND_M + F.col(f"h{b * rows + r}")) % BAND_Q
+        return acc
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_signature_expr(
+    shingle_arr: Column, num_hashes: int = 16
+) -> Column:
+    """Per-ROW MinHash signature as one array<long> expression — the
+    stateless twin of :func:`minhash_table` for streams, where a
+    groupBy(doc) aggregation would need a watermarked stateful stage
+    just to reassemble rows that were never split. ONE md5 digest per
+    shingle (the digests fold through an array-state lambda carrying
+    all ``num_hashes`` running minima, the hilbert_value pattern), so
+    per-row cost matches the batch path's per-shingle cost. Empty
+    shingle arrays yield the all-identity signature (MINHASH_P in
+    every slot) — callers must filter them out to mirror the batch
+    path, where such docs simply have no signature row."""
+    a_arr = F.array(
+        *[F.lit(a).cast("long") for a, _ in MINHASH_COEF[:num_hashes]]
+    )
+    b_arr = F.array(
+        *[F.lit(b).cast("long") for _, b in MINHASH_COEF[:num_hashes]]
+    )
+    xs = F.transform(shingle_arr, lambda s: portable_hash60(s) % MINHASH_P)
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+    return F.aggregate(
+        xs,
+        init,
+        lambda acc, x: F.transform(
+            acc,
+            lambda v, i: F.least(
+                v,
+                (
+                    x * F.element_at(a_arr, (i + 1).cast("int"))
+                    + F.element_at(b_arr, (i + 1).cast("int"))
+                )
+                % MINHASH_P,
+            ),
+        ),
+    )
+
+
+def lsh_band_entries_expr(sig: Column, num_hashes: int = 16, bands: int = 4) -> Column:
+    """Per-row array of (band, bucket) structs from a signature array —
+    the stateless twin of :func:`lsh_band_table`, same polynomial fold."""
+    rows = num_hashes // bands
+
+    def bucket(b: int) -> Column:
+        return F.aggregate(
+            F.slice(sig, b * rows + 1, rows),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * BAND_M + h) % BAND_Q,
+        )
+
+    return F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -227,30 +314,8 @@ def minhash_lsh_pairs(
     fan-out, no all-pairs stage).
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
     sigs = minhash_table(df, text_col, id_col, num_hashes, k)
-    def band_bucket(b: int) -> Column:
-        # polynomial fold of the band's minhashes, int64-safe and
-        # engine-portable (same expression reproduces in the oracle)
-        acc: Column = F.lit(0).cast("long")
-        for r in range(rows):
-            acc = (acc * BAND_M + F.col(f"h{b * rows + r}")) % BAND_Q
-        return acc
-
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = lsh_band_table(sigs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

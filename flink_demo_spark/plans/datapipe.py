@@ -45,12 +45,21 @@ def _lsh_bucket_sql(vec: str) -> str:
 
 
 def _minhash_lsh_oracle(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.3
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+    directed: bool = False,
+    names: tuple[str, str] = ("doc1", "doc2"),
 ) -> str:
     """DuckDB SQL reproducing minhash_lsh_pairs bit-for-bit: the
     portable md5-fold digest, the same affine MinHash family
     (operators/dedup.MINHASH_COEF), the same polynomial band buckets,
-    then exact-Jaccard verification of the candidates."""
+    then exact-Jaccard verification of the candidates.
+
+    ``directed=True`` emits BOTH orientations of every colliding pair
+    (a != b instead of a < b) — the shape of the incremental feed-vs-
+    index dedup, where each arriving doc reports every index doc it
+    collides with. ``names`` renames the two id columns."""
     rows = num_hashes // bands
     hcols = ",\n             ".join(
         f"min((x * {a} + {b}) % {dedup.MINHASH_P}) AS h{i}"
@@ -93,7 +102,8 @@ def _minhash_lsh_oracle(
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id {"<>" if directed else "<"} b.doc_id
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), common AS (
@@ -103,7 +113,7 @@ def _minhash_lsh_oracle(
       JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
       GROUP BY 1, 2
     )
-    SELECT doc1, doc2,
+    SELECT doc1 AS {names[0]}, doc2 AS {names[1]},
            round(n_common / (n1.n + n2.n - n_common), 4) AS jaccard
     FROM common
     JOIN sizes n1 ON n1.doc_id = doc1

@@ -1233,6 +1233,88 @@ def streaming_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(kept, output_mode="append")
 
 
+def _minhash_directed_oracle():
+    from .datapipe import _minhash_lsh_oracle
+
+    return _minhash_lsh_oracle(
+        num_hashes=16,
+        bands=4,
+        threshold=0.3,
+        directed=True,
+        names=("doc_new", "doc_idx"),
+    )
+
+
+@query(
+    "streaming_dedup_minhash",
+    oracle=_minhash_directed_oracle(),
+    doc=(
+        "Incremental near-dup detection against a STATIC MinHash-LSH "
+        "index - how near-dedup actually runs in front of a 100 "
+        "TB/day crawl: the existing corpus is indexed ONCE (batch "
+        "minhash_table + lsh_band_table, the same frames "
+        "dedup_minhash_lsh builds), then every arriving document "
+        "computes its own signature per-row (minhash_signature_expr: "
+        "one md5 per shingle folded through an array-state lambda "
+        "carrying all 16 running minima - no explode, no streaming "
+        "aggregation), explodes into its 4 band buckets, and "
+        "stream-static joins the index. Candidates dedup through "
+        "dropDuplicates - the persistent pair registry an incremental "
+        "deduper must keep anyway - and only candidates pay the exact "
+        "Jaccard verify (second stream-static join pulls the index "
+        "doc's shingle set). Emits BOTH orientations (feed doc vs "
+        "index doc), the directed twin of dedup_minhash_lsh's "
+        "undirected pairs; the oracle replays signature, banding, "
+        "candidates, and verification bit-for-bit."
+    ),
+)
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators import dedup
+    from ..operators.text import shingles
+    from ..sources.streams import documents_stream
+
+    static_docs = load_table(spark, sf_dir, "documents")
+    index = dedup.lsh_band_table(
+        dedup.minhash_table(static_docs, "text", "doc_id", 16, 3), 16, 4
+    ).select(
+        F.col("doc_id").alias("doc_idx"), "band", "bucket"
+    )
+    index_sets = static_docs.select(
+        F.col("doc_id").alias("doc_idx"), shingles("text", 3).alias("sh_idx")
+    )
+
+    feed = documents_stream(spark, sf_dir)
+    rows = feed.select(
+        F.col("doc_id").alias("doc_new"), shingles("text", 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    sig = dedup.minhash_signature_expr(F.col("sh"), 16)
+    banded = rows.select(
+        "doc_new",
+        "sh",
+        F.explode(dedup.lsh_band_entries_expr(sig, 16, 4)).alias("bb"),
+    ).select("doc_new", "sh", "bb.band", "bb.bucket")
+
+    cand = (
+        banded.join(
+            index,
+            ["band", "bucket"],
+        )
+        .where(F.col("doc_new") != F.col("doc_idx"))
+        .select("doc_new", "doc_idx", "sh")
+        .dropDuplicates(["doc_new", "doc_idx"])
+    )
+    inter = F.size(F.array_intersect("sh", "sh_idx"))
+    union = F.size("sh") + F.size("sh_idx") - inter
+    jac = inter / union
+    verified = (
+        cand.join(index_sets, "doc_idx")
+        .where(jac >= 0.3)
+        .select("doc_new", "doc_idx", F.round(jac, 4).alias("jaccard"))
+    )
+    return run_available_now(verified, output_mode="append")
+
+
 def _pct_oracle_ref():
     from .corpus import _PCT_ORACLE
 

@@ -1857,3 +1857,46 @@ def test_hilbert_value_16bit_matches_reference(spark):
         ).collect()
     ]
     assert all(h == _xy2d(x, y, 16) for x, y, h in got)
+
+
+def test_minhash_rowwise_signature_matches_agg_path(spark, sf_dir):
+    """The stateless per-row signature (minhash_signature_expr, the
+    streaming path) must equal the batch explode+groupBy signature
+    (minhash_table) hash-for-hash on every document, and the per-row
+    band entries must equal lsh_band_table's — the streaming index
+    probe is only sound if both paths compute the identical LSH key."""
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.operators import dedup
+    from flink_demo_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg_sig = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(16))
+        for r in dedup.minhash_table(docs, "text", "doc_id", 16, 3).collect()
+    }
+    sig = dedup.minhash_signature_expr(F.col("sh"), 16)
+    row_rows = (
+        docs.select("doc_id", shingles("text", 3).alias("sh"))
+        .where(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            sig.alias("sig"),
+            dedup.lsh_band_entries_expr(sig, 16, 4).alias("bb"),
+        )
+        .collect()
+    )
+    assert {r.doc_id for r in row_rows} == set(agg_sig)
+    for r in row_rows:
+        assert tuple(r.sig) == agg_sig[r.doc_id], r.doc_id
+
+    agg_bands = {
+        (r.doc_id, r.band): r.bucket
+        for r in dedup.lsh_band_table(
+            dedup.minhash_table(docs, "text", "doc_id", 16, 3), 16, 4
+        ).collect()
+    }
+    for r in row_rows:
+        for e in r.bb:
+            assert agg_bands[(r.doc_id, e.band)] == e.bucket

@@ -301,6 +301,58 @@ def ivf_top_k(
     )
 
 
+def pack_cells(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(cell, members) — each IVF cell's vectors packed into ONE array
+    row, the memory-resident index shard a vector-search service keeps
+    per cell. Bounded by design: IVF sizes K so cells stay ~constant
+    (the sqrt(N) rule); at 100 TB you train more centroids, not bigger
+    cells, so the packed row never outgrows the row-size budget."""
+    return assigned.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+        ).alias("members")
+    )
+
+
+def packed_topk_expr(
+    qvec: Column,
+    members: Column,
+    query_id: Column,
+    k: int = 5,
+    round_to: int = 6,
+) -> Column:
+    """Exact cosine top-k inside a packed cell as ONE per-row
+    expression: score every member (same cosine + round as the batch
+    rank, so results are bit-identical), drop the self-match, sort by
+    (sim DESC, id ASC) with an array_sort comparator — the same order
+    ivf_top_k's row_number uses — and keep k. Stateless, so an
+    arriving query vector is served append-mode with zero stream
+    state."""
+    scored = F.transform(
+        members,
+        lambda m: F.struct(
+            m["nid"].alias("nid"),
+            F.round(cosine(qvec, m["v"]), round_to).alias("sim"),
+        ),
+    )
+    scored = F.filter(scored, lambda s: s["nid"] != query_id)
+    ranked = F.array_sort(
+        scored,
+        lambda l, r: F.when(l["sim"] > r["sim"], -1)
+        .when(l["sim"] < r["sim"], 1)
+        .when(l["nid"] < r["nid"], -1)
+        .when(l["nid"] > r["nid"], 1)
+        .otherwise(0)
+        .cast("int"),
+    )
+    return F.slice(ranked, 1, k)
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

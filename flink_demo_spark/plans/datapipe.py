@@ -795,9 +795,7 @@ _IVF_COS = (
 )
 
 
-@query(
-    "similarity_ivf_topk",
-    oracle=f"""
+_IVF_TOPK_ORACLE = f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
       FROM embeddings WHERE vec_id < 8
@@ -824,7 +822,12 @@ _IVF_COS = (
       FROM scored
     ) WHERE rk <= 5
     ORDER BY query_id, rk
-    """,
+    """
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
     doc=(
         "IVF(nprobe=1) ANN: 8 fixed centroids (vec_id<8), nearest-"
         "centroid cell assignment, exact cosine top-5 within the query's "

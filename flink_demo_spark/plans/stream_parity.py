@@ -1233,6 +1233,70 @@ def streaming_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(kept, output_mode="append")
 
 
+def _ivf_topk_oracle_ref():
+    from .datapipe import _IVF_TOPK_ORACLE
+
+    return _IVF_TOPK_ORACLE
+
+
+@query(
+    "streaming_similarity_ivf",
+    oracle=_ivf_topk_oracle_ref(),
+    doc=(
+        "Online vector search: a stream of query vectors served "
+        "against a static IVF index - how ANN actually runs as a "
+        "service. The corpus is assigned to cells once (batch "
+        "ivf_assign over the 8 literal centroids) and each cell is "
+        "PACKED into one array row (pack_cells - the memory-resident "
+        "index shard; bounded because IVF sizes K so cells stay "
+        "~constant, at 100 TB you train more centroids, not bigger "
+        "cells). Each arriving query vector computes its nprobe=1 "
+        "cell per-row from the same centroid literals, stream-static "
+        "joins the ONE packed cell row, and ranks the whole cell "
+        "inside a single JVM expression (packed_topk_expr: cosine + "
+        "round, self-match dropped, array_sort comparator matching "
+        "the batch row_number order, slice k, posexplode) - append "
+        "mode, ZERO stream state, no per-query aggregation. "
+        "Bit-identical to batch similarity_ivf_topk."
+    ),
+)
+def streaming_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators import similarity
+    from ..sources.streams import embeddings_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    index = similarity.pack_cells(similarity.ivf_assign(emb, cents))
+
+    feed = embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 5)
+    probed = similarity.ivf_assign(
+        feed.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+        ),
+        cents,
+        id_col="query_id",
+        vec_col="__qvec",
+    )
+    top = similarity.packed_topk_expr(
+        F.col("__qvec"), F.col("members"), F.col("query_id"), k=5, round_to=6
+    )
+    served = (
+        probed.join(index, "cell")
+        .select("query_id", F.posexplode(top).alias("pos", "hit"))
+        .select(
+            "query_id",
+            (F.col("pos") + 1).cast("int").alias("rk"),
+            F.col("hit.nid").alias("neighbor_id"),
+            F.col("hit.sim").alias("cosine_sim"),
+        )
+    )
+    return run_available_now(served, output_mode="append")
+
+
 def _minhash_directed_oracle():
     from .datapipe import _minhash_lsh_oracle
 

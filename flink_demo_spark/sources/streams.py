@@ -129,6 +129,31 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the embeddings table as a stream — the query-vector feed
+    of an online vector-search service (no event-time column; ANN
+    serving is arrival-order)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    apply_runtime_confs(spark)
+    return spark.readStream.schema(schema).parquet(
+        _stage_stream_dir(sf_dir, "embeddings")
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     """Built-in rate source: (timestamp, value) rows."""
     return (

@@ -1900,3 +1900,48 @@ def test_minhash_rowwise_signature_matches_agg_path(spark, sf_dir):
     for r in row_rows:
         for e in r.bb:
             assert agg_bands[(r.doc_id, e.band)] == e.bucket
+
+
+def test_packed_cell_topk_matches_ivf_topk(spark, sf_dir):
+    """The per-row packed-cell serve path (pack_cells +
+    packed_topk_expr, the streaming ANN formulation) must reproduce
+    batch ivf_top_k exactly — same cosine op order, same rounding,
+    same (sim DESC, id ASC) tie rule — over a 10x larger query set
+    than the registry query, to exercise rounded-tie ordering."""
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    queries = emb.where(F.col("vec_id") < 50)
+    want = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cosine_sim)
+        for r in similarity.ivf_top_k(
+            emb, queries, cents, k=5, round_to=6
+        ).collect()
+    }
+
+    index = similarity.pack_cells(similarity.ivf_assign(emb, cents))
+    probed = similarity.ivf_assign(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+        ),
+        cents,
+        id_col="query_id",
+        vec_col="__qvec",
+    )
+    top = similarity.packed_topk_expr(
+        F.col("__qvec"), F.col("members"), F.col("query_id"), k=5, round_to=6
+    )
+    got = {
+        (r.query_id, r.pos + 1): (r.hit.nid, r.hit.sim)
+        for r in probed.join(index, "cell")
+        .select("query_id", F.posexplode(top).alias("pos", "hit"))
+        .collect()
+    }
+    assert got == want

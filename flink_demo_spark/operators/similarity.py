@@ -229,6 +229,27 @@ def kmeans_lloyd(
     return centroids
 
 
+def probe_cells_expr(
+    vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
+    """Per-row array of the ``nprobe`` nearest centroid cell ids (by
+    cosine, ties to the smaller centroid id) — the query-side
+    multi-probe expression, usable on batch and streaming rows alike."""
+    v = _as_double(vec)
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = dot(v, c) / (l2_norm(v) * l2_norm(c))
+        entries.append(
+            F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_cid"))
+        )
+    # sort desc: highest sim first; tie -> larger neg_cid = smaller cid
+    arr = F.sort_array(F.array(*entries), asc=False)
+    return F.transform(
+        F.slice(arr, 1, nprobe), lambda s: (-s["neg_cid"]).cast("int")
+    )
+
+
 def ivf_probe_cells(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -239,20 +260,9 @@ def ivf_probe_cells(
     """Explode each row into its ``nprobe`` nearest centroid cells
     (by cosine, ties to the smaller centroid id) — the query-side
     multi-probe of an IVF index. One row per probed cell."""
-    v = _as_double(F.col(vec_col))
-    entries = []
-    for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = dot(v, c) / (l2_norm(v) * l2_norm(c))
-        entries.append(
-            F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_cid"))
-        )
-    # sort desc: highest sim first; tie -> larger neg_cid = smaller cid
-    arr = F.sort_array(F.array(*entries), asc=False)
-    cells = F.transform(
-        F.slice(arr, 1, nprobe), lambda s: (-s["neg_cid"]).cast("int")
+    return df.withColumn(
+        cell_col, F.explode(probe_cells_expr(F.col(vec_col), centroids, nprobe))
     )
-    return df.withColumn(cell_col, F.explode(cells))
 
 
 def ivf_top_k(

@@ -533,6 +533,7 @@ _PCT_ORACLE = _pct_oracle()
 @query(
     "quality_perceptron",
     oracle=_PCT_ORACLE,
+    bench=True,
     doc=(
         "Trained quality-classifier filtering - the GPT-3/CCNet "
         "pipeline stage (Brown et al. 2020 SA: a linear classifier "

@@ -1297,6 +1297,79 @@ def streaming_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(served, output_mode="append")
 
 
+def _ivf_nprobe_oracle_ref():
+    from . import datapipe  # noqa: F401 — ensures registration ran
+    from .registry import REGISTRY
+
+    return REGISTRY["similarity_ivf_nprobe"].oracle
+
+
+@query(
+    "streaming_similarity_ivf_nprobe",
+    oracle=_ivf_nprobe_oracle_ref(),
+    doc=(
+        "Multi-probe streaming ANN serve (nprobe=2, the standard IVF "
+        "recall knob): each arriving query vector computes its TWO "
+        "nearest cells per-row (probe_cells_expr over the centroid "
+        "literals), stream-static LEFT joins the packed index once "
+        "per probe slot - a FIXED number of joins, so multi-probe "
+        "stays stateless: no explode-then-regroup aggregation on the "
+        "stream - concatenates the two member arrays (a vector lives "
+        "in exactly one cell, so the union never duplicates a "
+        "candidate), and ranks the merged candidates in the same "
+        "single JVM expression as the nprobe=1 serve. Left joins keep "
+        "a query alive when one probed cell is empty. Bit-identical "
+        "to batch similarity_ivf_nprobe."
+    ),
+)
+def streaming_similarity_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators import similarity
+    from ..sources.streams import embeddings_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    index = similarity.pack_cells(similarity.ivf_assign(emb, cents))
+
+    feed = embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 5)
+    cells = similarity.probe_cells_expr(F.col("embedding"), cents, nprobe=2)
+    probed = feed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        F.element_at(cells, 1).alias("cell1"),
+        F.element_at(cells, 2).alias("cell2"),
+    )
+    i1 = index.select(F.col("cell").alias("cell1"), F.col("members").alias("m1"))
+    i2 = index.select(F.col("cell").alias("cell2"), F.col("members").alias("m2"))
+    empty = F.array().cast(index.schema["members"].dataType)
+    merged = (
+        probed.join(i1, "cell1", "left")
+        .join(i2, "cell2", "left")
+        .select(
+            "query_id",
+            "__qvec",
+            F.concat(
+                F.coalesce(F.col("m1"), empty), F.coalesce(F.col("m2"), empty)
+            ).alias("members"),
+        )
+    )
+    top = similarity.packed_topk_expr(
+        F.col("__qvec"), F.col("members"), F.col("query_id"), k=5, round_to=6
+    )
+    served = merged.select(
+        "query_id", F.posexplode(top).alias("pos", "hit")
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rk"),
+        F.col("hit.nid").alias("neighbor_id"),
+        F.col("hit.sim").alias("cosine_sim"),
+    )
+    return run_available_now(served, output_mode="append")
+
+
 def _minhash_directed_oracle():
     from .datapipe import _minhash_lsh_oracle
 
@@ -1312,6 +1385,7 @@ def _minhash_directed_oracle():
 @query(
     "streaming_dedup_minhash",
     oracle=_minhash_directed_oracle(),
+    bench=True,
     doc=(
         "Incremental near-dup detection against a STATIC MinHash-LSH "
         "index - how near-dedup actually runs in front of a 100 "

@@ -789,6 +789,144 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hybrid_search_rrf",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+      FROM documents
+    ), lex_scored AS (
+      SELECT q.doc_id AS query_id, d.doc_id, count(*) AS n_common
+      FROM dt q JOIN dt d ON q.tok = d.tok AND d.doc_id <> q.doc_id
+      WHERE q.doc_id < 5
+      GROUP BY 1, 2
+    ), lex AS (
+      SELECT query_id, doc_id, lex_rk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY n_common DESC, doc_id) AS lex_rk
+        FROM lex_scored
+      ) WHERE lex_rk <= 20
+    ), vec_scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+             round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))), 6)
+               AS cosine_sim
+      FROM embeddings e CROSS JOIN embeddings q
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ), vec AS (
+      SELECT query_id, doc_id, vec_rk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, doc_id) AS vec_rk
+        FROM vec_scored
+      ) WHERE vec_rk <= 20
+    ), fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rk, v.vec_rk,
+             COALESCE(1.0 / (60 + l.lex_rk), 0.0)
+               + COALESCE(1.0 / (60 + v.vec_rk), 0.0) AS rrf_score
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, rk, doc_id,
+           CAST(lex_rk AS INT) AS lex_rk, CAST(vec_rk AS INT) AS vec_rk,
+           rrf_score
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_score DESC, doc_id) AS INT) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "Hybrid retrieval with reciprocal-rank fusion - the "
+        "lexical+vector search shape modern retrieval stacks ship "
+        "(RRF, Cormack/Clarke/Buettcher 2009): for each query doc, a "
+        "lexical ranking (distinct-token overlap count - integer-"
+        "exact - via an exploded token self-join with the 5-doc query "
+        "side broadcast) and a vector ranking (the brute_force_top_k "
+        "rounded-cosine order) are each truncated to 20, full-outer "
+        "merged, and fused by rrf = 1/(60+lex_rk) + 1/(60+vec_rk). "
+        "The fusion arithmetic is two IEEE divisions and one "
+        "addition in a fixed order, so the score is bit-identical "
+        "across engines with no rounding step. Plan: both rankings "
+        "are WindowGroupLimit top-k over ONE shuffle each; the merge "
+        "joins two 100-row frames - at 100 TB the cost is the two "
+        "rankings, which scale exactly like text_tfidf_topk and "
+        "similarity_topk do."
+    ),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).alias("tok"),
+    )
+    qt = dt.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    lex_w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_common"), F.asc("doc_id")
+    )
+    lex = (
+        dt.join(F.broadcast(qt), "tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn("lex_rk", F.row_number().over(lex_w))
+        .where(F.col("lex_rk") <= 20)
+        .select("query_id", "doc_id", "lex_rk")
+    )
+    vec = similarity.brute_force_top_k(
+        emb, emb.where(F.col("vec_id") < 5), k=20, round_to=6
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("vec_rk"),
+    )
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_rk",
+            "vec_rk",
+            (
+                F.coalesce(1.0 / (60 + F.col("lex_rk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rk")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    rrf_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(rrf_w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            F.col("rk").cast("int"),
+            "doc_id",
+            F.col("lex_rk").cast("int").alias("lex_rk"),
+            F.col("vec_rk").cast("int").alias("vec_rk"),
+            "rrf_score",
+        )
+    )
+
+
 _IVF_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"

@@ -790,6 +790,170 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_int8_topk",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), mm AS (
+      SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM ev
+    ), qz AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(((x - mn) * 254) / (mx - mn))
+                                         AS BIGINT)) AS qv
+      FROM ev, mm
+    ), q AS (
+      SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(c.qv)),
+               i -> c.qv[i] * q.qq[i])) AS BIGINT) AS dot_q
+      FROM qz c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, rk, neighbor_id, dot_q FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot_q DESC, neighbor_id) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "ANN over the int8-QUANTIZED corpus - retrieval on the "
+        "quarter-size index embedding_int8_quant produces: every "
+        "vector maps onto the global 255-level grid (the same "
+        "deterministic IEEE floor sequence as the audit query), and "
+        "ranking is the INTEGER dot product of quantized codes - "
+        "pure BIGINT arithmetic after quantization, so the whole "
+        "ranking is engine-exact with no float-ordering hazard at "
+        "all. The 100 TB serving trade: 4x less index memory and "
+        "SIMD int8 dot products for a small recall loss; the global "
+        "min/max is one scalar row broadcast back over the scan, the "
+        "5-query side broadcasts, one WindowGroupLimit shuffle."
+    ),
+)
+def similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    mm = emb.agg(
+        F.min(F.array_min(ev)).alias("mn"), F.max(F.array_max(ev)).alias("mx")
+    )
+    qv = F.transform(
+        ev, lambda x: F.floor(((x - F.col("mn")) * 254) / (F.col("mx") - F.col("mn")))
+    )
+    qz = emb.crossJoin(F.broadcast(mm)).select("vec_id", qv.alias("qv"))
+    q = qz.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("qv", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        qz.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), dot_q.alias("dot_q")
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "rk", "neighbor_id", "dot_q")
+    )
+
+
+_MAT_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "similarity_matryoshka",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_slice(embedding::DOUBLE[], 1, 16) AS h
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, h AS qh FROM ev WHERE vec_id < 5
+    ), stage1 AS (
+      SELECT query_id, neighbor_id, v FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.v,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_MAT_COS.format(a='q.qh', b='c.h')}, 6) DESC,
+                          c.vec_id) AS rk1
+        FROM ev c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rk1 <= 50
+    )
+    SELECT query_id, rk, neighbor_id, cosine_sim FROM (
+      SELECT s.query_id, s.neighbor_id,
+             round({_MAT_COS.format(a='q.qv', b='s.v')}, 6) AS cosine_sim,
+             CAST(row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round({_MAT_COS.format(a='q.qv', b='s.v')}, 6) DESC,
+                        s.neighbor_id) AS INT) AS rk
+      FROM stage1 s JOIN q ON q.query_id = s.query_id
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "Matryoshka-style two-stage retrieval (Kusupati et al. 2022: "
+        "nested representations let a 16-dim prefix stand in for the "
+        "full vector): stage 1 ranks the corpus by cosine over the "
+        "FIRST 16 dims only and keeps 50 candidates per query - at "
+        "100 TB this is the pass that touches every vector, at 1/4 "
+        "the flops and memory bandwidth - and stage 2 re-ranks just "
+        "those 50 by full-dimension cosine. Both stages order by the "
+        "round-6 cosine with vec_id tiebreak, the established "
+        "engine-exact float contract of the ANN family; the stage-1 "
+        "survivors carry their vectors through the shuffle so stage "
+        "2 re-reads nothing."
+    ),
+)
+def similarity_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id", ev.alias("v"), F.slice(ev, 1, 16).alias("h")
+    )
+    q = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("h").alias("qh"),
+    )
+    sim1 = F.round(similarity.cosine(F.col("qh"), F.col("h")), 6)
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("sim1"), F.asc("neighbor_id"))
+    stage1 = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "v",
+            "qv",
+            sim1.alias("sim1"),
+        )
+        .withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= 50)
+    )
+    sim2 = F.round(similarity.cosine(F.col("qv"), F.col("v")), 6)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        stage1.select("query_id", "neighbor_id", sim2.alias("cosine_sim"))
+        .withColumn("rk", F.row_number().over(w2).cast("int"))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "rk", "neighbor_id", "cosine_sim")
+    )
+
+
+@query(
     "hybrid_search_rrf",
     oracle="""
     WITH dt AS (

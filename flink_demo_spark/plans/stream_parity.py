@@ -1413,14 +1413,21 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.streams import documents_stream
 
     static_docs = load_table(spark, sf_dir, "documents")
-    index = dedup.lsh_band_table(
-        dedup.minhash_table(static_docs, "text", "doc_id", 16, 3), 16, 4
-    ).select(
-        F.col("doc_id").alias("doc_idx"), "band", "bucket"
+    # persist both static index frames: a stream-static join re-evaluates
+    # the static subplan EVERY microbatch, and the LSH index is an
+    # agg+explode over the whole corpus — without the persist the index
+    # is rebuilt per batch. (Production keeps these on disk; persist is
+    # the in-session equivalent.)
+    index = (
+        dedup.lsh_band_table(
+            dedup.minhash_table(static_docs, "text", "doc_id", 16, 3), 16, 4
+        )
+        .select(F.col("doc_id").alias("doc_idx"), "band", "bucket")
+        .persist()
     )
     index_sets = static_docs.select(
         F.col("doc_id").alias("doc_idx"), shingles("text", 3).alias("sh_idx")
-    )
+    ).persist()
 
     feed = documents_stream(spark, sf_dir)
     rows = feed.select(

@@ -195,7 +195,17 @@ def main() -> None:
     result = run_probe(queries, args.out, args.reps)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SCALE_PROBE.json"), "w") as f:
+    out_path = os.path.join(here, "SCALE_PROBE.json")
+    # merge per-query rows into the existing record so a partial probe
+    # (e.g. only newly added queries) extends the artifact instead of
+    # truncating it to the probed subset
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        merged = dict(prior.get("queries", {}))
+        merged.update(result["queries"])
+        result["queries"] = merged
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
 

@@ -100,6 +100,81 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ),
+    qs AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n,
+             CAST(len(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS d,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      x -> lower(x) IN ({_SW_LIST}))) AS BIGINT) AS sw
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(5000 * least(n, 50) // 50
+                  + (3000 * d) // n
+                  + (2000 * least(n, 10 * sw)) // n AS BIGINT) AS quality_bp
+      FROM qs
+    )
+    SELECT c.doc_id, c.cluster_id, q.quality_bp,
+           (row_number() OVER (PARTITION BY c.cluster_id
+              ORDER BY q.quality_bp DESC, c.doc_id) = 1) AS keep
+    FROM clusters c JOIN q USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "keep-BEST near-dup resolution - the keeper-selection policy "
+        "real curation pipelines use instead of keep-first: cluster "
+        "near-dups (Jaccard>=0.3 pairs -> connected components, the "
+        "dedup_cluster_assign machinery) and keep the member with the "
+        "HIGHEST quality score (text_quality_score's integer basis-"
+        "point heuristic; doc_id breaks ties), so deduplication "
+        "removes the low-quality copies rather than whichever "
+        "happened to sort first. Composition of two verified stages "
+        "plus one quality join and a per-cluster WindowGroupLimit-"
+        "shaped argmax; the quality frame is a map-side projection, "
+        "so the extra cost over cluster assignment is one doc_id "
+        "broadcast-or-shuffle join - holds at 100 TB."
+    ),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe import quality_bp_frame
+
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    edges = dedup.jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+    )
+    labels = graph.connected_components(
+        edges, "doc1", "doc2", nodes=docs.select("doc_id")
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    quality = quality_bp_frame(docs).select("doc_id", "quality_bp")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_bp"), F.asc("doc_id")
+    )
+    return (
+        labels.join(quality, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality_bp", "keep")
+    )
+
+
+@query(
     "sample_stratified",
     oracle="""
     WITH s AS (

@@ -161,6 +161,36 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_bp_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, quality_bp) — the integer basis-point quality
+    heuristic, shared by text_quality_score and the keep-best dedup
+    composition. One split per row (see text_token_stats);
+    distinct-token count is case-folded, matching the oracle."""
+    toks_stage = docs.select(
+        "doc_id", "lang", text.tokens("text").alias("toks")
+    )
+    sw_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    n = F.size("toks").cast("long")
+    d = F.size(
+        F.array_distinct(F.transform("toks", lambda t: F.lower(t)))
+    ).cast("long")
+    s = F.size(
+        F.filter("toks", lambda t: F.array_contains(sw_arr, F.lower(t)))
+    ).cast("long")
+    staged = toks_stage.select(
+        "doc_id", "lang", n.alias("n"), d.alias("d"), s.alias("sw")
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(5000 * least(n, 50) div 50"
+            " + (3000 * d) div n"
+            " + (2000 * least(n, 10 * sw)) div n AS BIGINT)"
+        ).alias("quality_bp"),
+    )
+
+
 @query(
     "text_quality_score",
     oracle=f"""
@@ -188,31 +218,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    # one split per row (see text_token_stats); distinct-token count is
-    # case-folded, matching the oracle
-    toks_stage = docs.select(
-        "doc_id", "lang", text.tokens("text").alias("toks")
-    )
-    sw_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
-    n = F.size("toks").cast("long")
-    d = F.size(
-        F.array_distinct(F.transform("toks", lambda t: F.lower(t)))
-    ).cast("long")
-    s = F.size(
-        F.filter("toks", lambda t: F.array_contains(sw_arr, F.lower(t)))
-    ).cast("long")
-    staged = toks_stage.select(
-        "doc_id", "lang", n.alias("n"), d.alias("d"), s.alias("sw")
-    )
-    return staged.select(
-        "doc_id",
-        "lang",
-        F.expr(
-            "CAST(5000 * least(n, 50) div 50"
-            " + (3000 * d) div n"
-            " + (2000 * least(n, 10 * sw)) div n AS BIGINT)"
-        ).alias("quality_bp"),
-    )
+    return quality_bp_frame(docs)
 
 
 @query(

@@ -467,6 +467,91 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTES},
+    nd AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), cand AS (
+      SELECT query_id, neighbor_id, cosine_sim FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))), 6)
+                 AS cosine_sim,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))), 6)
+                   DESC, e.vec_id) AS rk1
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rk1 <= 20
+    ), filt AS (
+      SELECT c.query_id, c.neighbor_id, c.cosine_sim
+      FROM cand c LEFT JOIN nd
+        ON nd.a = c.query_id AND nd.b = c.neighbor_id
+      WHERE nd.a IS NULL
+    )
+    SELECT query_id, rk, neighbor_id, cosine_sim FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rk
+      FROM filt
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "Hard-negative mining for contrastive embedding training: for "
+        "each query, the most semantically similar corpus items "
+        "(brute-force rounded-cosine top-20, the verified ANN "
+        "machinery) MINUS actual near-duplicates (Jaccard>=0.3 pairs "
+        "with the oracle-mirrored posting cap, both orientations) - "
+        "close-but-not-the-same examples, re-ranked to the top 5. "
+        "This is the pair-mining step of contrastive pretraining "
+        "(e.g. SimCSE/E5-style): negatives must be hard (similar) "
+        "but clean (not dups, which would be false negatives). "
+        "Composition of two verified stages + one anti-join; the "
+        "near-dup side is exactly the dedup index a curation "
+        "pipeline already maintains - holds at 100 TB."
+    ),
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    cand = similarity.brute_force_top_k(
+        emb, emb.where(F.col("vec_id") < 5), k=20, round_to=6
+    ).select("query_id", "neighbor_id", "cosine_sim")
+    nd = dedup.jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+    )
+    ndd = nd.select(F.col("doc1").alias("a"), F.col("doc2").alias("b")).union(
+        nd.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+    )
+    filt = cand.join(
+        ndd,
+        (cand["query_id"] == ndd["a"]) & (cand["neighbor_id"] == ndd["b"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        filt.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "rk", "neighbor_id", "cosine_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Trained quality classifier (perceptron over hashed bag-of-words) — the
 # discriminative complement to sample_dsir's generative importance weights:

@@ -1091,3 +1091,83 @@ def hilbert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         hour.alias("hour_bucket"),
         layout.hilbert_value(F.col("user_id"), hour).alias("hvalue"),
     )
+
+
+_DRIFT_S = 1_000_000  # chi-square reported in micro-units
+
+
+_DRIFT_ORACLE = f"""
+    WITH ev AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w, event_type
+      FROM events
+    ), census AS (
+      SELECT event_type, count(*) AS g FROM ev GROUP BY 1
+    ), tot AS (SELECT sum(g) AS gt FROM census),
+    wins AS (SELECT w, count(*) AS n FROM ev GROUP BY 1),
+    o AS (SELECT w, event_type, count(*) AS o FROM ev GROUP BY 1, 2),
+    grid AS (
+      SELECT wins.w, wins.n, c.event_type, c.g, t.gt
+      FROM wins CROSS JOIN census c CROSS JOIN tot t
+    ), terms AS (
+      SELECT w, n,
+             CAST(({_DRIFT_S} * CAST(o0 * gt - n * g AS HUGEINT)
+                             * CAST(o0 * gt - n * g AS HUGEINT))
+                  // (CAST(n AS HUGEINT) * g * gt) AS BIGINT) AS term
+      FROM (
+        SELECT grid.*, COALESCE(o.o, 0) AS o0
+        FROM grid LEFT JOIN o
+          ON o.w = grid.w AND o.event_type = grid.event_type
+      )
+    )
+    SELECT w AS window_start, CAST(n AS BIGINT) AS n_events,
+           CAST(sum(term) AS BIGINT) AS chi2_micro
+    FROM terms GROUP BY 1, 2 ORDER BY 1
+    """
+
+
+@query(
+    "drift_chi2_hourly",
+    oracle=_DRIFT_ORACLE,
+    doc=(
+        "Windowed distribution-drift monitor - the data-quality watch "
+        "a production ingest runs continuously: each hourly window's "
+        "event-type distribution is scored against the global census "
+        "with a chi-square statistic sum((o-e)^2/e), computed in "
+        "EXACT integer arithmetic (each term is S*(o*G - n*g)^2 DIV "
+        "(n*g*G) in DECIMAL(38)/HUGEINT fixed-point micro-units, so "
+        "both engines agree bit-for-bit - the same contract as the "
+        "DSIR weights). Absent (window, type) combos contribute their "
+        "full expected-count penalty via the windows-x-census grid "
+        "(5-row census broadcast), not silently skipped. Plan: three "
+        "partial-agg shuffles on bounded keys (census, per-window "
+        "totals, per-(window,type) counts) + one broadcast grid join; "
+        "the census never exceeds the type-domain size - holds at "
+        "100 TB."
+    ),
+)
+def drift_chi2_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", "1 hour").alias("w")
+    census = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("g"))
+    census = census.withColumn("gt", F.sum("g").over(Window.partitionBy()))
+    wins = ev.groupBy(w).agg(F.count(F.lit(1)).alias("n"))
+    o = ev.groupBy(w, F.col("event_type")).agg(F.count(F.lit(1)).alias("o"))
+    grid = wins.crossJoin(F.broadcast(census))
+    j = grid.join(o, ["w", "event_type"], "left").withColumn(
+        "o0", F.coalesce(F.col("o"), F.lit(0).cast("long"))
+    )
+    term = F.expr(
+        f"CAST(({_DRIFT_S} * CAST(o0 * gt - n * g AS DECIMAL(38,0))"
+        f" * CAST(o0 * gt - n * g AS DECIMAL(38,0)))"
+        f" DIV (CAST(n AS DECIMAL(38,0)) * g * gt) AS BIGINT)"
+    )
+    return (
+        j.select("w", "n", term.alias("term"))
+        .groupBy("w", "n")
+        .agg(F.sum("term").alias("chi2_micro"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("n").alias("n_events"),
+            "chi2_micro",
+        )
+    )

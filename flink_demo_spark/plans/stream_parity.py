@@ -1297,6 +1297,79 @@ def streaming_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(served, output_mode="append")
 
 
+def _drift_oracle_ref():
+    from .behavior import _DRIFT_ORACLE
+
+    return _DRIFT_ORACLE
+
+
+@query(
+    "streaming_drift_chi2",
+    oracle=_drift_oracle_ref(),
+    doc=(
+        "Distribution-drift monitoring on the LIVE event stream: the "
+        "per-(hourly window, event_type) counts run as the single "
+        "watermarked streaming aggregation (complete mode, the "
+        "repo's contract for bounded-replay window aggs - append "
+        "would hold back the final window the watermark never "
+        "passes), and the "
+        "chi-square reduction against the static global census - the "
+        "dashboard-side math - runs on the bounded sink output "
+        "(#windows x #types rows, the frame a monitoring UI reads). "
+        "Same exact integer micro-unit arithmetic as batch "
+        "drift_chi2_hourly, so the streamed result is bit-identical "
+        "to the batch twin; absent (window,type) combos still pay "
+        "their full expected-count penalty via the windows-x-census "
+        "grid."
+    ),
+)
+def streaming_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..sources.streams import events_stream
+    from .behavior import _DRIFT_S
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    w = F.window("ts", "1 hour").alias("w")
+    counts = run_available_now(
+        ev.groupBy(w, F.col("event_type")).agg(F.count(F.lit(1)).alias("o")),
+        output_mode="complete",
+    )
+
+    static = load_table(spark, sf_dir, "events")
+    census = static.groupBy("event_type").agg(F.count(F.lit(1)).alias("g"))
+    from pyspark.sql import Window as W
+
+    census = census.withColumn("gt", F.sum("g").over(W.partitionBy()))
+    # wins derives from counts, so the grid-to-counts join below is a
+    # self-join on the sink output — give the probe side fresh
+    # attribute ids via aliases so the equi-join keys can't collide
+    wins = counts.groupBy("w").agg(F.sum("o").alias("n"))
+    grid = wins.crossJoin(F.broadcast(census))
+    o_side = counts.select(
+        F.col("w").alias("wo"), F.col("event_type").alias("eto"), "o"
+    )
+    j = grid.join(
+        o_side,
+        (grid["w"] == o_side["wo"]) & (grid["event_type"] == o_side["eto"]),
+        "left",
+    ).withColumn("o0", F.coalesce(F.col("o"), F.lit(0).cast("long")))
+    term = F.expr(
+        f"CAST(({_DRIFT_S} * CAST(o0 * gt - n * g AS DECIMAL(38,0))"
+        f" * CAST(o0 * gt - n * g AS DECIMAL(38,0)))"
+        f" DIV (CAST(n AS DECIMAL(38,0)) * g * gt) AS BIGINT)"
+    )
+    return (
+        j.select("w", "n", term.alias("term"))
+        .groupBy("w", "n")
+        .agg(F.sum("term").alias("chi2_micro"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("n").alias("n_events"),
+            "chi2_micro",
+        )
+    )
+
+
 def _ivf_nprobe_oracle_ref():
     from . import datapipe  # noqa: F401 — ensures registration ran
     from .registry import REGISTRY

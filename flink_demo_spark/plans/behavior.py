@@ -1171,3 +1171,110 @@ def drift_chi2_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_micro",
         )
     )
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_oracle() -> str:
+    """Chained-min funnel SQL. Deliberately NOT the list_sort +
+    list_reduce formulation: on the sf1 probe DuckDB 1.0.0's large
+    grouped list aggregation returned internally inconsistent folds
+    (10 of 15,000 users mis-staged; `WHERE stage < 3` even returned
+    rows whose projected stage was 3), while a pure-Python replay and
+    Spark both agree on the chained-min result. The set-based
+    formulation is equivalent to the per-user ordered fold: stage i is
+    reached at the FIRST step-i event strictly after the stage-(i-1)
+    position, encoded on a single sortable HUGEINT key
+    (epoch_us * 1e9 + event_id — event_id is the unique tiebreak)."""
+    steps = _FUNNEL_STEPS
+    ctes = [
+        """e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))::HUGEINT * 1000000000
+               + event_id AS k,
+             CASE event_type """
+        + " ".join(f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(steps))
+        + """ ELSE 0 END AS si
+      FROM events
+    )""",
+        "t1 AS (SELECT user_id, min(k) AS k1 FROM e WHERE si = 1"
+        " GROUP BY user_id)",
+    ]
+    for i in range(2, len(steps) + 1):
+        ctes.append(
+            f"t{i} AS (SELECT e.user_id, min(e.k) AS k{i}"
+            f" FROM e JOIN t{i - 1} USING (user_id)"
+            f" WHERE e.si = {i} AND e.k > t{i - 1}.k{i - 1}"
+            f" GROUP BY e.user_id)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{s}' AS step_name,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM t{i + 1}) AS n_users_reached"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {selects}\n    ORDER BY step"
+
+
+@query(
+    "funnel_conversion",
+    oracle=_funnel_oracle(),
+    doc=(
+        "Funnel conversion analysis (view -> click -> purchase) - the "
+        "ordered-step behavioral query every product-analytics stack "
+        "ships: per user, events sort by (ts, event_id) and a single "
+        "integer fold walks the funnel (advance only when the NEXT "
+        "step arrives, later out-of-order repeats ignored), then one "
+        "conditional aggregate counts users reaching each cumulative "
+        "stage. Engine-exact: the per-user event list folds "
+        "identically in Spark (array_sort + F.aggregate) and DuckDB "
+        "(list_sort + list_reduce), ties broken by the unique "
+        "event_id. Plan: ONE user_id shuffle carrying (ts, eid, "
+        "step-index) triples, map-side partial collect; per-task "
+        "state is one user's event list - bound it with a time window "
+        "per funnel in production (the standard funnel-scope knob) if "
+        "single users reach millions of events."
+    ),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    si = F.lit(0).cast("long")
+    for i, s in enumerate(_FUNNEL_STEPS):
+        si = F.when(F.col("event_type") == s, i + 1).otherwise(si)
+    per_user = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id").alias("eid"), si.alias("si")).alias(
+                "e"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("evts"))
+        .select(
+            "user_id",
+            F.aggregate(
+                F.transform("evts", lambda s: s["si"]),
+                F.lit(0).cast("long"),
+                lambda a, b: F.when(b == a + 1, b).otherwise(a),
+            ).alias("stage"),
+        )
+    )
+    agg = per_user.agg(
+        *[
+            F.sum(F.when(F.col("stage") >= i + 1, 1).otherwise(0))
+            .cast("long")
+            .alias(f"r{i + 1}")
+            for i in range(len(_FUNNEL_STEPS))
+        ]
+    )
+    stack = ", ".join(
+        f"{i + 1}, '{s}', r{i + 1}" for i, s in enumerate(_FUNNEL_STEPS)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_FUNNEL_STEPS)}, {stack})"
+            " AS (step, step_name, n_users_reached)"
+        )
+    ).select(
+        F.col("step").cast("int"), "step_name", F.col("n_users_reached").cast("long")
+    )

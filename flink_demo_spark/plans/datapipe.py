@@ -870,6 +870,264 @@ def similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_D, _PQ_K = 8, 8, 16
+
+
+def _pq_oracle() -> str:
+    """Product-quantization oracle: per subspace, one L2 Lloyd
+    iteration from the fixed seeds (vec_id<16 subvectors), then every
+    vector encodes to its nearest updated sub-centroid, and queries
+    rank the corpus by the sum of per-subspace quantized distances
+    (ADC). Every float op is EXPLICIT flat arithmetic (per-element
+    products summed ascending, left-associated) — no fold primitives —
+    so the Spark side uses the same flat expressions (codegen-friendly,
+    unlike nested lambda folds which fall back to interpreted
+    evaluation) and the driver-precomputed ADC table (plain C-double
+    Python arithmetic in the identical order) is bit-exact too. The
+    nearest-centroid criterion drops the candidate-independent
+    ||x||^2 term: argmin of ||c||^2 - 2<x,c>, identical ranking,
+    mirrored on both sides. Codebook update is the decimal-exact mean
+    of embedding_kmeans."""
+
+    def ssum(terms):
+        return "(" + " + ".join(terms) + ")"
+
+    parts = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_D + 1, (m + 1) * _PQ_D
+        ev = "(e.embedding::DOUBLE[])"
+        b = ssum(f"{ev}[{lo + i}]*c.cv[{i + 1}]" for i in range(_PQ_D))
+        cc = ssum(f"c.cv[{i + 1}]*c.cv[{i + 1}]" for i in range(_PQ_D))
+        crit = f"({cc} - 2.0*{b})"
+
+        parts.append(f"""cent{m} AS (
+      SELECT vec_id AS cid, list_slice(embedding::DOUBLE[], {lo}, {hi}) AS cv
+      FROM embeddings WHERE vec_id < {_PQ_K}
+    ), a{m} AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT e.vec_id,
+               list_slice(e.embedding::DOUBLE[], {lo}, {hi}) AS sub, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {crit} ASC, c.cid) AS crk
+        FROM embeddings e CROSS JOIN cent{m} c
+      ) WHERE crk = 1
+    ), upd{m} AS (
+      SELECT cid, pos,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mv
+      FROM (SELECT cid, generate_subscripts(sub, 1) AS pos, unnest(sub) AS x
+            FROM a{m})
+      GROUP BY cid, pos
+    ), cb{m} AS (
+      SELECT cid, list(mv ORDER BY pos) AS cv FROM upd{m} GROUP BY cid
+    ), enc{m} AS (
+      SELECT vec_id, cv AS v{m} FROM (
+        SELECT e.vec_id, c.cv,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {crit} ASC, c.cid) AS crk
+        FROM embeddings e CROSS JOIN cb{m} c
+      ) WHERE crk = 1
+    )""")
+    joins = " ".join(f"JOIN enc{m} USING (vec_id)" for m in range(1, _PQ_M))
+    vcols = ", ".join(f"v{m}" for m in range(_PQ_M))
+
+    def qterm(m):
+        lo = m * _PQ_D + 1
+        a = ssum(f"q.qv[{lo + i}]*q.qv[{lo + i}]" for i in range(_PQ_D))
+        b = ssum(f"q.qv[{lo + i}]*c.v{m}[{i + 1}]" for i in range(_PQ_D))
+        cc = ssum(f"c.v{m}[{i + 1}]*c.v{m}[{i + 1}]" for i in range(_PQ_D))
+        return f"({a} - 2.0*{b} + {cc})"
+
+    score = " + ".join(qterm(m) for m in range(_PQ_M))
+    return f"""
+    WITH {", ".join(parts)},
+    codes AS (
+      SELECT vec_id, {vcols} FROM enc0 {joins}
+    ), qs AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({score}, 6) AS pq_dist
+      FROM codes c CROSS JOIN qs q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, rk, neighbor_id, pq_dist FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY pq_dist ASC, neighbor_id) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """
+
+
+def _py_dot(a: list, b: list) -> float:
+    """Left-associated ascending product sum — the SAME IEEE op
+    sequence as the generated flat SQL/Column expressions, so a value
+    computed here on the driver is bit-identical to one computed by
+    either engine from the same doubles."""
+    acc = None
+    for x, y in zip(a, b):
+        t = x * y
+        acc = t if acc is None else acc + t
+    return acc
+
+
+@query(
+    "similarity_pq_topk",
+    oracle=_pq_oracle(),
+    doc=(
+        "Product-quantization ANN (Jegou et al. 2011): the 64-dim "
+        "space splits into 8 subspaces of 8 dims, each trained with "
+        "one L2 Lloyd iteration from fixed seeds (16 sub-centroids "
+        "per subspace, decimal-exact codebook update - the "
+        "embedding_kmeans contract), every vector encodes to 8 "
+        "4-bit-sized codes, and queries rank the corpus by the sum "
+        "of per-subspace quantized distances (asymmetric distance "
+        "computation). The memory story PQ exists for: 64 floats -> "
+        "8 codes per vector, 64x smaller than float32, with the "
+        "codebooks (8x16x8 doubles) a literal broadcast at any "
+        "corpus size. All float ops are the portable sequential-fold "
+        "dot (L2 via the dot identity), so training, encoding, and "
+        "ADC ranking are bit-identical across engines. Plan: "
+        "training is one explode + 1024-row partial agg + bounded "
+        "collect; serving is a map-side encode + 5-query broadcast "
+        "cross join + one WindowGroupLimit shuffle."
+    ),
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = similarity._as_double(F.col("embedding"))
+
+    def flat_dot_lit(off: int, cvec: list):
+        # sum_i embedding[off+i] * c_i — explicit flat arithmetic
+        # (stays in whole-stage codegen; a nested fold of this size
+        # falls back to interpreted evaluation, measured ~30x slower)
+        acc = None
+        for i, c in enumerate(cvec):
+            t = F.element_at("embedding", off + i + 1).cast("double") * F.lit(
+                float(c)
+            )
+            acc = t if acc is None else acc + t
+        return acc
+
+    def assign_idx(m: int, cents: list):
+        # 1-based index of the argmin centroid: criterion drops the
+        # candidate-independent ||x||^2 — argmin ||c||^2 - 2<x,c> —
+        # ties to the smaller centroid id (cents sorted by cid)
+        off = m * _PQ_D
+        entries = []
+        for i, (_cid, cv) in enumerate(cents):
+            cc = _py_dot(cv, cv)
+            crit = F.lit(cc) - F.lit(2.0) * flat_dot_lit(off, cv)
+            entries.append(
+                F.struct((-crit).alias("nd"), F.lit(-(i + 1)).alias("neg_i"))
+            )
+        return (-F.array_max(F.array(*entries))["neg_i"]).cast("int")
+
+    seed_rows = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < _PQ_K).collect()
+    )
+    seeds = [
+        [(cid, vec[m * _PQ_D : (m + 1) * _PQ_D]) for cid, vec in seed_rows]
+        for m in range(_PQ_M)
+    ]
+
+    # train: one Lloyd iteration per subspace in a single pass —
+    # explode (m, cell, sub) then a 1024-row (m, cell, pos) partial agg
+    parts = []
+    for m in range(_PQ_M):
+        idx = assign_idx(m, seeds[m])
+        cids = F.array(*[F.lit(cid) for cid, _ in seeds[m]])
+        parts.append(
+            F.struct(
+                F.lit(m).alias("m"),
+                F.element_at(cids, idx).alias("cell"),
+                F.slice(ev, m * _PQ_D + 1, _PQ_D).alias("sub"),
+            )
+        )
+    longf = emb.select(F.explode(F.array(*parts)).alias("p")).select(
+        "p.m", "p.cell", F.posexplode("p.sub").alias("pos", "x")
+    )
+    mean_rows = (
+        longf.groupBy("m", "cell", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast(DecimalType(28, 12))).cast("double")
+                / F.count("x")
+            ).alias("c")
+        )
+        .collect()
+    )
+    cb: dict = {}
+    for r in mean_rows:
+        cb.setdefault((int(r.m), int(r.cell)), [0.0] * _PQ_D)[int(r.pos)] = float(
+            r.c
+        )
+    books = [
+        sorted((cid, vec) for (m2, cid), vec in cb.items() if m2 == m)
+        for m in range(_PQ_M)
+    ]
+
+    # precompute the ADC tables on the driver: dt[m][qslot][code-1] =
+    # ||q_sub||^2 - 2<q_sub, c> + ||c||^2, identical op order to the
+    # oracle's flat SQL, so the looked-up distance is bit-exact
+    q_rows = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    )
+    qids = [qid for qid, _ in q_rows]
+    dt = []
+    for m in range(_PQ_M):
+        lo = m * _PQ_D
+        per_q = []
+        for _qid, qv in q_rows:
+            qs = qv[lo : lo + _PQ_D]
+            a = _py_dot(qs, qs)
+            per_q.append(
+                [
+                    a - 2.0 * _py_dot(qs, cv) + _py_dot(cv, cv)
+                    for _cid, cv in books[m]
+                ]
+            )
+        dt.append(per_q)
+
+    # serve: per corpus row, encode (argmin index per subspace) and
+    # sum the 8 table lookups — all flat, zero higher-order functions
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"))
+    qslot = F.array_position(
+        F.array(*[F.lit(int(x)) for x in qids]), F.col("query_id")
+    ).cast("int")
+    score = None
+    for m in range(_PQ_M):
+        dt_m = F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in per_q])
+                for per_q in dt[m]
+            ]
+        )
+        term = F.element_at(F.element_at(dt_m, qslot), assign_idx(m, books[m]))
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(score, 6).alias("pq_dist"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "rk", "neighbor_id", "pq_dist")
+    )
+
+
 _MAT_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"

@@ -254,6 +254,31 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=4,
     ),
+    # RRF hybrid: the query-token side broadcasts into the lexical
+    # overlap join; both top-k cuts ride WindowGroupLimit. The ONE
+    # SortMergeJoin is the fusion full-outer of the two ~(queries x
+    # 20)-row rank lists — full outer is never broadcastable in Spark
+    # and the inputs are k-bounded, so it is by construction tiny
+    "hybrid_search_rrf": dict(
+        contains=["BroadcastHashJoin", "WindowGroupLimit"],
+        absent=["CartesianProduct", "MapInPandas"],
+        partial_agg=True,
+    ),
+    # int8 ANN: 1-row min/max + 5-query broadcasts over the scan,
+    # integer-dot ranking cut by WindowGroupLimit; the 3 exchanges are
+    # the ranking shuffle + two single-row global-agg exchanges for
+    # the min/max grid (corpus and query branches each derive it)
+    "similarity_int8_topk": dict(
+        contains=["WindowGroupLimit"],
+        absent=["CartesianProduct", "SortMergeJoin", "MapInPandas"],
+        max_exchanges=3,
+    ),
+    # funnel: no join anywhere — one user_id shuffle (map-side partial
+    # collect) + the scalar conditional-count agg
+    "funnel_conversion": dict(
+        absent=["Join", "CartesianProduct", "MapInPandas"],
+        max_exchanges=2,
+    ),
     # perceptron serve pass: the hashed-features projection must come
     # from the persisted frame (training already paid for it), the
     # 256-long model enters as an array literal (no join of any kind),

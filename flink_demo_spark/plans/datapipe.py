@@ -1788,6 +1788,66 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webdataset_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars_txt
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "WebDataset tar-shard round trip - the de-facto storage "
+        "format for multimodal training corpora (tar shards of "
+        "grouped sample members keyed by basename), implemented with "
+        "no external library: the documents table SHARDS out "
+        "executor-side (key % num_shards, whole shards co-located by "
+        "a repartition on the shard id, each task writes its tars "
+        "with zeroed metadata and key-sorted members - byte-"
+        "deterministic), then reads BACK through a binaryFile scan "
+        "(one task per shard, the format's parallelism unit) + "
+        "Arrow-batched mapInPandas tar walk emitting one row per "
+        "member, and regroups members into samples by key. A green "
+        "row proves the whole shard/write/scan/walk/regroup chain "
+        "lossless against the source table. At 100 TB: num_shards "
+        "scales to keep shards at the ~1 GB streaming unit, writers "
+        "target shared storage, and the reader topology is unchanged."
+    ),
+)
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import wds
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = sf_dir.strip("/").replace("/", "_")
+    out_dir = os.path.join(tempfile.gettempdir(), "flink_demo_spark_wds", key)
+    wds.write_tar_shards(
+        docs.select(
+            "doc_id",
+            F.encode("text", "UTF-8").alias("tb"),
+            F.encode("lang", "UTF-8").alias("lb"),
+        ),
+        out_dir,
+        "doc_id",
+        {"txt": "tb", "cls": "lb"},
+        num_shards=4,
+    )
+    members = wds.read_tar_shards(spark, os.path.join(out_dir, "*.tar"))
+    parsed = members.groupBy("key").agg(
+        F.max(
+            F.when(F.col("ext") == "txt", F.decode("data", "UTF-8"))
+        ).alias("text"),
+        F.max(
+            F.when(F.col("ext") == "cls", F.decode("data", "UTF-8"))
+        ).alias("lang"),
+    )
+    return parsed.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "lang",
+        F.length("text").cast("int").alias("n_chars_txt"),
+    )
+
+
+@query(
     "multimodal_ppm_decode",
     oracle="""
     WITH d AS (

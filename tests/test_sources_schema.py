@@ -134,3 +134,34 @@ def test_planstats_estimate_override_and_fallback(spark):
         warnings.simplefilter("always")
         assert estimated_plan_bytes(Broken(), default=99) == 99
     assert any("planStats.overrideBytes" in str(x.message) for x in w)
+
+
+def test_wds_tar_shards_byte_deterministic(spark, sf_dir, tmp_path):
+    """Two independent shard writes of the same frame must produce
+    byte-identical tars (zeroed tar metadata, key-sorted members,
+    stable key->shard map) — the property that makes shard-level
+    checksums usable for incremental corpus syncs."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.sources import wds
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("tb"),
+        F.encode("lang", "UTF-8").alias("lb"),
+    )
+    sums = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        wds.write_tar_shards(docs, out, "doc_id", {"txt": "tb", "cls": "lb"}, 3)
+        names = sorted(os.listdir(out))
+        assert names == [f"shard-{i:05d}.tar" for i in range(3)]
+        sums.append(
+            [hashlib.sha256(open(os.path.join(out, n), "rb").read()).hexdigest()
+             for n in names]
+        )
+    assert sums[0] == sums[1]

@@ -257,3 +257,68 @@ def test_perceptron_learns_separable_corpus(spark):
             f"doc {r['doc_id']} misclassified after training on a "
             f"separable corpus (y={r['y']}, score={r['s']})"
         )
+
+
+def test_funnel_fold_matches_python_model(spark):
+    """Property: the engine's per-user sorted-array funnel fold equals
+    a direct Python replay on randomized event sets — including heavy
+    (ts) ties, which the unique event_id tiebreak must resolve
+    identically. (The sf1 probe caught DuckDB's own list aggregation
+    mis-folding at scale, so the fold path deserves its own model
+    check against randomized inputs.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.plans.behavior import _FUNNEL_STEPS
+
+    rng = random.Random(20240815)
+    types = _FUNNEL_STEPS + ["error", "signup"]
+    rows = []
+    eid = 0
+    for user in range(60):
+        for _ in range(rng.randrange(0, 25)):
+            # small ts domain -> many exact ties, eid breaks them
+            rows.append((user, eid, rng.randrange(0, 6), rng.choice(types)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsn long, event_type string"
+    )
+
+    si = F.lit(0).cast("long")
+    for i, s in enumerate(_FUNNEL_STEPS):
+        si = F.when(F.col("event_type") == s, i + 1).otherwise(si)
+    got = {
+        r.user_id: r.stage
+        for r in df.select(
+            "user_id",
+            F.struct(
+                F.col("tsn"), F.col("event_id").alias("eid"), si.alias("si")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("evts"))
+        .select(
+            "user_id",
+            F.aggregate(
+                F.transform("evts", lambda s: s["si"]),
+                F.lit(0).cast("long"),
+                lambda a, b: F.when(b == a + 1, b).otherwise(a),
+            ).alias("stage"),
+        )
+        .collect()
+    }
+
+    sim = {s: i + 1 for i, s in enumerate(_FUNNEL_STEPS)}
+    want: dict = {}
+    by_user: dict = {}
+    for user, e, t, ty in rows:
+        by_user.setdefault(user, []).append((t, e, sim.get(ty, 0)))
+    for user, evs in by_user.items():
+        acc = 0
+        for _, _, s in sorted(evs):
+            if s == acc + 1:
+                acc = s
+        want[user] = acc
+    assert got == {u: want[u] for u in got}
+    assert set(got) == set(want)

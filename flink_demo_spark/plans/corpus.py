@@ -23,37 +23,43 @@ from .registry import query
 
 _SW_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
-# the shingle->pairs CTE chain shared with dedup_jaccard_pairs
-_JACCARD_PAIRS_CTES = """
-    toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
+# the shingle->pairs CTE chain shared with dedup_jaccard_pairs;
+# parameterized so compositions can run it over an upstream CTE (src)
+# with name-prefixed CTEs (p) to avoid collisions in assembled oracles
+def _jaccard_pairs_ctes(src: str = "documents", p: str = "") -> str:
+    return f"""
+    {p}toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM {src}
+    ), {p}sh AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(
                  generate_series(1, greatest(len(t) - 2, 0)),
                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
-        FROM toks
+        FROM {p}toks
       )
-    ), keep_sh AS (
+    ), {p}keep_sh AS (
       -- mirror of the engine's posting-list skew cap (max_posting=64):
       -- ultra-frequent boilerplate shingles are dropped from the index
-      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-    ), common AS (
+      SELECT shingle FROM {p}sh GROUP BY shingle HAVING count(*) <= 64
+    ), {p}sizes AS (
+      SELECT doc_id, count(*) AS n FROM {p}sh GROUP BY doc_id
+    ), {p}common AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      JOIN keep_sh k ON k.shingle = a.shingle
+      FROM {p}sh a JOIN {p}sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN {p}keep_sh k ON k.shingle = a.shingle
       GROUP BY 1, 2
-    ), pairs AS (
+    ), {p}pairs AS (
       SELECT doc1, doc2
-      FROM common
-      JOIN sizes n1 ON n1.doc_id = doc1
-      JOIN sizes n2 ON n2.doc_id = doc2
+      FROM {p}common
+      JOIN {p}sizes n1 ON n1.doc_id = doc1
+      JOIN {p}sizes n2 ON n2.doc_id = doc2
       WHERE n_common / (n1.n + n2.n - n_common) >= 0.3
     )
 """
+
+
+_JACCARD_PAIRS_CTES = _jaccard_pairs_ctes()
 
 
 @query(
@@ -359,34 +365,40 @@ def dsir_weight_vector(stats_rows: list) -> list[int]:
     ]
 
 
-_DSIR_ORACLE = f"""
-    WITH toks AS (
+def _dsir_ctes(src: str = "documents", p: str = "") -> str:
+    """DSIR scoring CTE chain over ``src`` (must expose doc_id, lang,
+    text); final CTE ``{p}scored`` carries (doc_id, n_tokens, s)."""
+    return f"""{p}toks AS (
       SELECT doc_id, lang,
              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-      FROM documents
-    ), tb AS (
+      FROM {src}
+    ), {p}tb AS (
       SELECT doc_id, lang,
              list_reduce(list_transform(generate_series(1, 15),
                i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
                (a, b) -> a * 16 + b) % {_DSIR_B} AS bucket
-      FROM toks
-    ), stats AS (
+      FROM {p}toks
+    ), {p}stats AS (
       SELECT bucket, count(*) AS r_b,
              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
-      FROM tb GROUP BY bucket
-    ), tot AS (SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM stats),
-    w AS (
+      FROM {p}tb GROUP BY bucket
+    ), {p}tot AS (SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM {p}stats),
+    {p}w AS (
       -- add-one-smoothed likelihood ratio per hashed feature bucket,
       -- exact fixed-point: S * [(t_b+1)/(t_tot+B)] / [(r_b+1)/(r_tot+B)]
       SELECT bucket,
              CAST((CAST(t_b + 1 AS HUGEINT) * (t.r_tot + {_DSIR_B}) * {_DSIR_S})
                   // (CAST(r_b + 1 AS HUGEINT) * (t.t_tot + {_DSIR_B})) AS BIGINT)
                AS w_b
-      FROM stats, tot t
-    ), scored AS (
-      SELECT tb.doc_id, count(*) AS n_tokens, sum(w.w_b) AS s
-      FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id
-    )
+      FROM {p}stats, {p}tot t
+    ), {p}scored AS (
+      SELECT {p}tb.doc_id, count(*) AS n_tokens, sum({p}w.w_b) AS s
+      FROM {p}tb JOIN {p}w USING (bucket) GROUP BY {p}tb.doc_id
+    )"""
+
+
+_DSIR_ORACLE = f"""
+    WITH {_dsir_ctes()}
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(s // n_tokens AS BIGINT) AS dsir_score
     FROM scored
@@ -428,6 +440,13 @@ _DSIR_ORACLE = f"""
 )
 def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    return dsir_resample(docs)
+
+
+def dsir_score_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dsir_score) over ``docs`` — the reusable
+    scoring core of sample_dsir (census, fixed-point weights, per-doc
+    mean), shared with the composed curation pipeline."""
     tb = _dsir_tokens(docs)
     stats = _dsir_stats(tb)
     # totals as a global window over the 256-row census — keeps the
@@ -454,16 +473,159 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_b").alias("s"),
         )
     )
-    return (
-        scored.select(
-            "doc_id", "n_tokens", F.expr("s DIV n_tokens").alias("dsir_score")
+    return scored.select(
+        "doc_id", "n_tokens", F.expr("s DIV n_tokens").alias("dsir_score")
+    )
+
+
+def dsir_resample(docs: DataFrame) -> DataFrame:
+    """sample_dsir's full semantics over an arbitrary docs frame:
+    score then keep with acceptance probability proportional to the
+    per-token mean ratio via the shared integer hash."""
+    return dsir_score_frame(docs).where(
+        F.expr(
+            f"((doc_id % 1000003) * 2654435761 + 12345) % 1000000007"
+            f" % {_DSIR_S} * 4 < dsir_score"
         )
+    )
+
+
+_PIPE2_ORACLE = f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, lang, text,
+             md5(array_to_string(
+                   list_sort(list_distinct(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+               AS fp
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM fp
+      ) WHERE rk = 1
+    ),
+    {_jaccard_pairs_ctes("s1", "j")},
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM jpairs
+      UNION ALL
+      SELECT doc2, doc1 FROM jpairs
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM s1
+      UNION
+      SELECT e.b, wk.comp FROM walk wk JOIN edges e ON e.a = wk.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(5000 * least(n, 50) // 50
+                  + (3000 * d) // n
+                  + (2000 * least(n, 10 * sw)) // n AS BIGINT) AS quality_bp
+      FROM (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n,
+               CAST(len(list_distinct(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS d,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> lower(x) IN ({_SW_LIST}))) AS BIGINT) AS sw
+        FROM s1
+      ) t
+    ),
+    s2 AS (
+      SELECT doc_id, lang, text, quality_bp FROM (
+        SELECT s1.doc_id, s1.lang, s1.text, q.quality_bp,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY q.quality_bp DESC, s1.doc_id) AS rk
+        FROM clusters c
+        JOIN q ON q.doc_id = c.doc_id
+        JOIN s1 ON s1.doc_id = c.doc_id
+      ) t WHERE rk = 1
+    ),
+    s3 AS (SELECT * FROM s2 WHERE quality_bp >= 6000),
+    {_dsir_ctes("s3", "d")}
+    SELECT s3.doc_id, s3.lang, s3.quality_bp,
+           CAST(s // n_tokens AS BIGINT) AS dsir_score
+    FROM dscored JOIN s3 ON s3.doc_id = dscored.doc_id
+    WHERE ((dscored.doc_id % 1000003) * 2654435761 + 12345) % 1000000007
+          % {_DSIR_S} * 4 < s // n_tokens
+    ORDER BY s3.doc_id
+    """
+
+
+@query(
+    "pipeline_corpus_curation_v2",
+    oracle=_PIPE2_ORACLE,
+    doc=(
+        "The FULL modern curation pipeline as one composed query - "
+        "the v2 of pipeline_corpus_curation with the round-8 stages "
+        "in their production order: exact-dedup keep-first "
+        "(fingerprint row_number) -> near-dup clustering with "
+        "keep-BEST resolution (Jaccard>=0.3 pairs -> connected "
+        "components -> highest-quality keeper) -> Gopher-style "
+        "integer quality gate >= 6000 -> DSIR importance resampling "
+        "over the SURVIVORS (the census is re-estimated on the "
+        "cleaned corpus, as the paper prescribes - filtering first "
+        "changes the raw distribution). Every stage is a verified "
+        "standalone query and the oracle is assembled from the same "
+        "parameterized CTE generators the standalone oracles use, so "
+        "the composition is oracle-exact end to end. Plan: the "
+        "fingerprint shuffle, the posting-list pair stage, O(log^2 n) "
+        "label-propagation rounds, one quality projection, and the "
+        "two DSIR passes - each scale-audited under its own entry in "
+        "SCALING.md."
+    ),
+)
+def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe import quality_bp_frame
+
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "doc_id", "lang", "text", text.fingerprint("text").alias("fp")
+    )
+    s1 = (
+        fp.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk", "fp")
+    )
+    quality = quality_bp_frame(s1).select("doc_id", "quality_bp")
+    edges = dedup.jaccard_pairs(
+        s1, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+    )
+    labels = graph.connected_components(
+        edges, "doc1", "doc2", nodes=s1.select("doc_id")
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    s2 = (
+        labels.join(quality, "doc_id")
+        .join(s1, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("quality_bp"), F.asc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    s3 = s2.where(F.col("quality_bp") >= 6000).select(
+        "doc_id", "lang", "text", "quality_bp"
+    )
+    scored = dsir_score_frame(s3)
+    return (
+        scored.join(s3.select("doc_id", "lang", "quality_bp"), "doc_id")
         .where(
             F.expr(
                 f"((doc_id % 1000003) * 2654435761 + 12345) % 1000000007"
                 f" % {_DSIR_S} * 4 < dsir_score"
             )
         )
+        .select("doc_id", "lang", "quality_bp", "dsir_score")
     )
 
 

@@ -42,14 +42,6 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def l2sq(a: Column, b: Column) -> Column:
-    """Squared L2 distance via the dot-product identity
-    ``<a,a> - 2<a,b> + <b,b>`` — engine-portable because each dot is
-    the sequential fold DuckDB's list_dot_product reproduces bit-for-
-    bit (the same contract the cosine family rests on)."""
-    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
-
-
 def brute_force_top_k(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,165 @@
+"""Python-model checks for the round-8 composed operators: each
+engine result is replayed by an independent pure-Python implementation
+on randomized inputs (the DuckDB list-aggregation incident showed the
+oracle engine itself can be the wrong party, so a third, dependency-
+free referee earns its keep on every order- or arithmetic-sensitive
+composition)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_drift_chi2_matches_python_model(spark):
+    """Integer micro-unit chi-square per window vs a big-int Python
+    replay — including windows missing some event types entirely
+    (their expected-count penalty must appear, not be skipped)."""
+    from flink_demo_spark.plans.behavior import _DRIFT_S
+
+    rng = random.Random(8157)
+    types = ["a", "b", "c"]
+    rows = []
+    for w in range(6):
+        # window 3 intentionally lacks type 'c'; window 5 only has 'a'
+        for t in types:
+            if (w == 3 and t == "c") or (w == 5 and t != "a"):
+                continue
+            for _ in range(rng.randrange(1, 9)):
+                rows.append((w, t))
+    df = spark.createDataFrame(rows, "w long, event_type string")
+
+    census = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("g"))
+    from pyspark.sql import Window as W
+
+    census = census.withColumn("gt", F.sum("g").over(W.partitionBy()))
+    wins = df.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    o = df.groupBy("w", "event_type").agg(F.count(F.lit(1)).alias("o"))
+    grid = wins.crossJoin(F.broadcast(census))
+    j = grid.join(o, ["w", "event_type"], "left").withColumn(
+        "o0", F.coalesce(F.col("o"), F.lit(0).cast("long"))
+    )
+    term = F.expr(
+        f"CAST(({_DRIFT_S} * CAST(o0 * gt - n * g AS DECIMAL(38,0))"
+        f" * CAST(o0 * gt - n * g AS DECIMAL(38,0)))"
+        f" DIV (CAST(n AS DECIMAL(38,0)) * g * gt) AS BIGINT)"
+    )
+    got = {
+        r.w: (r.n, r.chi2)
+        for r in j.select("w", "n", term.alias("term"))
+        .groupBy("w", "n")
+        .agg(F.sum("term").alias("chi2"))
+        .collect()
+    }
+
+    g: dict = {}
+    n: dict = {}
+    for w, t in rows:
+        g[t] = g.get(t, 0) + 1
+        n[w] = n.get(w, 0) + 1
+    gt = sum(g.values())
+    want = {}
+    for w in n:
+        chi = 0
+        for t in types:
+            o0 = sum(1 for w2, t2 in rows if w2 == w and t2 == t)
+            d = o0 * gt - n[w] * g[t]
+            chi += (_DRIFT_S * d * d) // (n[w] * g[t] * gt)
+        want[w] = (n[w], chi)
+    assert got == want
+
+
+def test_keep_best_matches_python_model(spark):
+    """Cluster keeper selection vs a Python union-find + argmax replay
+    on a random pair graph with quality ties (doc_id must break them)."""
+    from flink_demo_spark.operators import graph
+    from pyspark.sql import Window as W
+
+    rng = random.Random(4242)
+    n_docs = 40
+    quality = {d: rng.choice([10, 20, 20, 30]) for d in range(n_docs)}
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(n_docs), 2)))
+            for _ in range(25)
+        }
+    )
+    edges = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+    nodes = spark.createDataFrame([(d,) for d in range(n_docs)], "doc_id long")
+    qdf = spark.createDataFrame(
+        [(d, q) for d, q in quality.items()], "doc_id long, quality_bp long"
+    )
+    labels = graph.connected_components(
+        edges, "doc1", "doc2", nodes=nodes
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality_bp"), F.asc("doc_id"))
+    got = {
+        r.doc_id: (r.cluster_id, bool(r.keep))
+        for r in labels.join(qdf, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .collect()
+    }
+
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {d: find(d) for d in range(n_docs)}
+    by_comp: dict = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    want = {}
+    for c, members in by_comp.items():
+        best = min(members, key=lambda d: (-quality[d], d))
+        for d in members:
+            want[d] = (c, d == best)
+    assert got == want
+
+
+def test_rrf_fusion_matches_python_model(spark):
+    """RRF fusion arithmetic and final ranking vs a Python replay —
+    including the swapped-rank score tie (docs with (lex 3, vec 7) and
+    (lex 7, vec 3) fuse to the identical double and must fall back to
+    the doc_id tiebreak identically)."""
+    from pyspark.sql import Window as W
+
+    lex = [(0, 10, 3), (0, 11, 7), (0, 12, 1), (0, 13, 9)]
+    vec = [(0, 10, 7), (0, 11, 3), (0, 13, 2), (0, 14, 5)]
+    ldf = spark.createDataFrame(lex, "query_id long, doc_id long, lex_rk int")
+    vdf = spark.createDataFrame(vec, "query_id long, doc_id long, vec_rk int")
+    fused = ldf.join(vdf, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("lex_rk")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rk")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    got = [
+        (r.doc_id, r.rrf)
+        for r in fused.withColumn("rk", F.row_number().over(w))
+        .orderBy("rk")
+        .collect()
+    ]
+
+    lr = {d: r for _, d, r in lex}
+    vr = {d: r for _, d, r in vec}
+    score = {
+        d: (1.0 / (60 + lr[d]) if d in lr else 0.0)
+        + (1.0 / (60 + vr[d]) if d in vr else 0.0)
+        for d in set(lr) | set(vr)
+    }
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == [(d, s) for d, s in want]
+    # the tie pair fused to the same double and doc_id broke it
+    assert score[10] == score[11]

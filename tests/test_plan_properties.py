@@ -254,6 +254,14 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=4,
     ),
+    # composed v2 curation pipeline: all stages stay JVM-side (no
+    # pandas), nothing degenerates to a cartesian, and the final DSIR
+    # weights re-enter as a broadcast exactly like sample_dsir
+    "pipeline_corpus_curation_v2": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"],
+        partial_agg=True,
+    ),
     # RRF hybrid: the query-token side broadcasts into the lexical
     # overlap join; both top-k cuts ride WindowGroupLimit. The ONE
     # SortMergeJoin is the fusion full-outer of the two ~(queries x

@@ -490,6 +490,64 @@ def dsir_resample(docs: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "text_compression_ratio",
+    oracle=None,  # no SQL engine exposes zlib; pinned instead by an
+    # in-process golden test (tests/test_plans.py) that recompresses
+    # every sf0.001 document with the same zlib level and compares
+    # exactly — DEFLATE output is deterministic for a fixed
+    # level/strategy/library
+    doc=(
+        "Compression-ratio quality signal (Gopher/RefinedWeb family: "
+        "text that compresses too well is repetitive boilerplate, "
+        "text that barely compresses is noise/binary): zlib level-6 "
+        "DEFLATE over each document's UTF-8 bytes in an Arrow-batched "
+        "mapInPandas (stdlib zlib, no per-row Python path), emitting "
+        "raw/compressed byte counts and the integer basis-point "
+        "ratio. Rows-only in the driver gate (no SQL oracle can run "
+        "DEFLATE); the golden test pins the exact integers. Plan: "
+        "pure map over the corpus scan — zero shuffles, trivially "
+        "100 TB-scalable; at cluster scale this is the same shape as "
+        "the multimodal decode stage."
+    ),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_raw", IntegerType()),
+            StructField("n_zlib", IntegerType()),
+            StructField("ratio_bp", LongType()),
+        ]
+    )
+
+    def comp(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            n_raw = [len(b) for b in raw]
+            n_zlib = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_raw": n_raw,
+                    "n_zlib": n_zlib,
+                    "ratio_bp": [
+                        (z * 10000) // r if r else 0
+                        for z, r in zip(n_zlib, n_raw)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(comp, schema)
+
+
 _PIPE2_ORACLE = f"""
     WITH RECURSIVE fp AS (
       SELECT doc_id, lang, text,

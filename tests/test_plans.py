@@ -322,3 +322,25 @@ def test_funnel_fold_matches_python_model(spark):
         want[user] = acc
     assert got == {u: want[u] for u in got}
     assert set(got) == set(want)
+
+
+def test_compression_ratio_matches_zlib_golden(spark, sf_dir):
+    """Exact golden: every document's (n_raw, n_zlib, ratio_bp) must
+    equal an in-process zlib recompression — DEFLATE is deterministic
+    for a fixed level, so this pins the operator's integers exactly
+    (its driver-gate check is rows-only, no SQL oracle runs DEFLATE)."""
+    import zlib
+
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.registry import REGISTRY
+
+    got = {
+        r.doc_id: (r.n_raw, r.n_zlib, r.ratio_bp)
+        for r in REGISTRY["text_compression_ratio"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        b = r.text.encode("utf-8")
+        z = len(zlib.compress(b, 6))
+        assert got[r.doc_id] == (len(b), z, (z * 10000) // len(b)), r.doc_id

@@ -18,6 +18,106 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    cnt: str = "cnt",
+    nodes: DataFrame | None = None,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Weighted PageRank in pure fixed-point integer arithmetic.
+
+    ``edges`` is a weighted edge list ``(src, dst, cnt)`` (multiplicity
+    counts); returns ``(node, rank_fp)`` where ``rank_fp`` is the rank
+    scaled by ``scale`` (BIGINT — no floats anywhere, so the result is
+    bit-identical across engines and the DuckDB oracle can replay it
+    with the iterations unrolled as CTEs, the same contract as
+    embedding_kmeans / quality_perceptron).
+
+    Exact per-iteration arithmetic (every op BIGINT, all positive, so
+    truncating and flooring division agree):
+
+        in(v)  = SUM over edges (u,v) of  cnt * (r(u) DIV outdeg(u))
+        dang   = SUM of r(u) over nodes with no out-edges (else 0)
+        r'(v)  = ((scale*(100-d)) DIV 100) DIV N
+                 + (d * (in(v) + dang DIV N)) DIV 100
+
+    The canonical crawl-frontier/URL-ranking primitive of web-corpus
+    curation (Page et al. 1999; Common Crawl ranks its frontier with
+    harmonic centrality/PageRank over the host graph). Beyond-reference
+    surface like ``connected_components`` above.
+
+    Scale: the rank frame is O(V) and each iteration is two shuffles of
+    O(E) — one src-keyed join carrying ``r DIV outdeg`` per edge, one
+    dst-keyed partial-aggregating groupBy — the standard Pregel-style
+    plan. ``outdeg`` is folded into the edge list once up front (join on
+    src, co-partitioned). The N census and the dangling-mass row are
+    1-row broadcasts (zero driver round-trips). ``localCheckpoint``
+    every ``checkpoint_every`` rounds truncates lineage on long runs;
+    short unrolls (<= checkpoint_every) stay fully declarative so
+    Catalyst sees one plan.
+    """
+    e = edges.select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        F.col(cnt).cast("long").alias("__cnt"),
+    )
+    if nodes is None:
+        nodes = (
+            e.select(F.col("__src").alias("node"))
+            .union(e.select(F.col("__dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+
+    outdeg = e.groupBy("__src").agg(F.sum("__cnt").alias("__outdeg"))
+    ew = e.join(outdeg, "__src")
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    teleport = F.expr(
+        f"(CAST({scale} AS BIGINT) * {100 - damping_pct} DIV 100) DIV __n"
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.expr(f"CAST({scale} AS BIGINT) DIV __n").alias("r")
+    )
+    for i in range(iterations):
+        contrib = (
+            ew.join(ranks, ew["__src"] == ranks["node"])
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("__cnt") * F.expr("r DIV __outdeg")).alias("__m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__m").alias("__m"))
+        )
+        dang_row = (
+            ranks.join(outdeg, ranks["node"] == outdeg["__src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("__dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang_row))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(__m, CAST(0 AS BIGINT))"
+                        " + __dang DIV __n) DIV 100"
+                    )
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -1278,3 +1278,95 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("step").cast("int"), "step_name", F.col("n_users_reached").cast("long")
     )
+
+
+def _pagerank_oracle(iterations: int = 3, scale: int = 10**12, d: int = 85) -> str:
+    """DuckDB replay of pagerank_fixed_point with the iterations
+    unrolled as CTEs — pure integer arithmetic on both sides, so the
+    result is bit-exact (the embedding_kmeans / quality_perceptron
+    oracle pattern)."""
+    parts = [
+        f"""
+    WITH pages AS (
+      SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS page
+      FROM events
+    ), hops AS (
+      SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src,
+             page AS dst
+      FROM pages
+    ), edges AS (
+      SELECT src, dst, count(*) AS cnt FROM hops
+      WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2
+    ), outdeg AS (
+      SELECT src, sum(cnt) AS od FROM edges GROUP BY 1
+    ), nodes AS (SELECT DISTINCT page AS node FROM pages),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(f""",
+    i{k} AS (
+      SELECT e.dst AS node, sum(e.cnt * (r.r // o.od)) AS m
+      FROM edges e JOIN r{p} r ON e.src = r.node
+                   JOIN outdeg o ON e.src = o.src
+      GROUP BY 1
+    ),
+    d{k} AS (
+      SELECT coalesce(sum(r.r), 0) AS dang
+      FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+      WHERE o.src IS NULL
+    ),
+    r{k} AS (
+      SELECT n.node,
+             ({scale} * {100 - d} // 100) // nn.n
+               + {d} * (coalesce(i.m, 0) + dd.dang // nn.n) // 100 AS r
+      FROM nodes n LEFT JOIN i{k} i ON n.node = i.node
+      CROSS JOIN d{k} dd CROSS JOIN nn
+    )""")
+    parts.append(f"""
+    SELECT CAST(node AS INT) AS page, CAST(r AS BIGINT) AS rank_fp
+    FROM r{iterations} ORDER BY page
+    """)
+    return "".join(parts)
+
+
+@query(
+    "pagerank_browse",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "PageRank over the browse graph — the crawl-frontier / URL "
+        "ranking primitive of web-corpus curation (Page et al. 1999; "
+        "Common Crawl ranks its frontier with centrality over the host "
+        "graph). Edges are consecutive page visits per user (lag over "
+        "(user_id, ts, event_id), self-loops dropped) weighted by "
+        "multiplicity; 3 iterations of operators/graph."
+        "pagerank_fixed_point in pure BIGINT fixed-point (scale 1e12, "
+        "damping 85/100, dangling mass redistributed uniformly), so "
+        "the DuckDB oracle replays the whole run bit-for-bit with the "
+        "iterations unrolled as CTEs. Plan per iteration: one src-keyed "
+        "join carrying r DIV outdeg per edge + one dst-keyed partial-"
+        "aggregating groupBy — two O(E) shuffles, the Pregel plan; the "
+        "node census and dangling row are 1-row broadcasts. At 100 TB "
+        "the rank frame is O(V) and never collected."
+    ),
+)
+def pagerank_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pages = ev.select("user_id", "ts", "event_id", page.alias("page"))
+    hops = pages.select(
+        F.lag("page").over(w).alias("src"), F.col("page").alias("dst")
+    )
+    edges = (
+        hops.where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nodes = pages.select(F.col("page").alias("node")).distinct()
+    pr = graph.pagerank_fixed_point(edges, nodes=nodes, iterations=3)
+    return pr.select(F.col("node").alias("page"), "rank_fp")

@@ -163,3 +163,53 @@ def test_rrf_fusion_matches_python_model(spark):
     assert got == [(d, s) for d, s in want]
     # the tie pair fused to the same double and doc_id broke it
     assert score[10] == score[11]
+
+
+def test_pagerank_fixed_point_matches_python_model(spark):
+    """pagerank_fixed_point vs a dependency-free big-int Python replay
+    on a randomized weighted digraph with dangling nodes and an
+    isolated node — every intermediate op is integer, so the match is
+    exact, not approximate."""
+    from flink_demo_spark.operators.graph import pagerank_fixed_point
+
+    rng = random.Random(8191)
+    n_nodes, scale, d, iters = 9, 10**12, 85, 4
+    edges = {}
+    for _ in range(30):
+        u, v = rng.randrange(n_nodes - 1), rng.randrange(n_nodes - 1)
+        if u != v:
+            edges[(u, v)] = edges.get((u, v), 0) + rng.randrange(1, 4)
+    # node 7 dangling-only (incoming edge, no outgoing); node 8 isolated
+    edges[(0, 7)] = 2
+    nodes = list(range(n_nodes))
+
+    # pure-Python replay of the documented arithmetic contract
+    outdeg = {}
+    for (u, _v), c in edges.items():
+        outdeg[u] = outdeg.get(u, 0) + c
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for (u, v), c in edges.items():
+            contrib[v] = contrib.get(v, 0) + c * (r[u] // outdeg[u])
+        dang = sum(rv for v, rv in r.items() if v not in outdeg)
+        r = {
+            v: (scale * (100 - d) // 100) // n
+            + d * (contrib.get(v, 0) + dang // n) // 100
+            for v in nodes
+        }
+
+    edf = spark.createDataFrame(
+        [(u, v, c) for (u, v), c in edges.items()], "src long, dst long, cnt long"
+    )
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    got = {
+        row.node: row.rank_fp
+        for row in pagerank_fixed_point(
+            edf, nodes=ndf, iterations=iters, damping_pct=d, scale=scale
+        ).collect()
+    }
+    assert got == r
+    # rank mass is conserved up to the DIV truncation loss
+    assert 0 < sum(got.values()) <= scale

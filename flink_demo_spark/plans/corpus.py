@@ -316,6 +316,79 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_priority",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             n_chars * 1000000007
+               // ((((doc_id % 1000003) * 2654435761 + 12345) % 1000000007)
+                   + 1) AS priority
+      FROM documents
+    ), topk1 AS (
+      SELECT * FROM s ORDER BY priority DESC, doc_id LIMIT 301
+    ), tau AS (
+      SELECT CASE WHEN count(*) >= 301 THEN min(priority) ELSE 0 END AS tau
+      FROM topk1
+    ), ranked AS (
+      SELECT doc_id, n_chars, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+      FROM topk1
+    )
+    SELECT r.doc_id, r.n_chars, r.priority,
+           CAST(greatest(r.n_chars, t.tau) AS BIGINT) AS est_weight
+    FROM ranked r CROSS JOIN tau t
+    WHERE r.rn <= 300
+    ORDER BY r.doc_id
+    """,
+    doc=(
+        "priority sampling (Duffield-Lund-Thorup, JACM 2007): ONE-PASS "
+        "weighted sampling WITHOUT replacement of k=300 documents with "
+        "weight n_chars — the subsampling primitive that keeps token-"
+        "level corpus statistics nearly unbiased (estimator "
+        "max(w, tau), tau = the (k+1)-th priority, 0 when n <= k). "
+        "The priority w/u is computed as the EXACT integer floor "
+        "w*M DIV (h+1) with u = (h+1)/M from the shared multiplicative "
+        "hash (M = 1000000007), so ordering and output are bit-stable "
+        "across engines - no float keys, ties broken by doc_id. Plan: "
+        "the top-(k+1) cut is TakeOrderedAndProject (map-side partial "
+        "top-k per partition, k+1 rows to the driver stage - the "
+        "scalable global-top-k physical op); tau is a 1-row broadcast; "
+        "the row_number window runs over the already-cut 301-row frame "
+        "only. At 100 TB this is one scan + one O(k) merge."
+    ),
+)
+def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = 300
+    pri = F.expr(
+        "n_chars * 1000000007"
+        " DIV ((((doc_id % 1000003) * 2654435761 + 12345) % 1000000007) + 1)"
+    )
+    s = docs.select("doc_id", "n_chars", pri.alias("priority"))
+    top = s.orderBy(F.desc("priority"), "doc_id").limit(k + 1)
+    tau_row = top.agg(
+        F.when(F.count(F.lit(1)) >= k + 1, F.min("priority"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__tau")
+    )
+    w = Window.orderBy(F.desc("priority"), "doc_id")
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau_row))
+        .select(
+            "doc_id",
+            "n_chars",
+            "priority",
+            F.greatest(F.col("n_chars"), F.col("__tau"))
+            .cast("long")
+            .alias("est_weight"),
+        )
+    )
+
+
 # DSIR hashed-n-gram feature space: bucket count B and the fixed-point
 # scale S for the integer likelihood-ratio weights. B=256 keeps the
 # bucket-stats frame a literal broadcast at any corpus size; S=1e6

@@ -213,3 +213,69 @@ def test_pagerank_fixed_point_matches_python_model(spark):
     assert got == r
     # rank mass is conserved up to the DIV truncation loss
     assert 0 < sum(got.values()) <= scale
+
+
+def test_sample_priority_matches_python_model(spark, sf_dir):
+    """sample_priority vs a big-int Python replay of the floored
+    priority contract on the real documents fixture: same top-k set,
+    same tau, same estimator column; and the n <= k degenerate case
+    keeps everything with tau = 0 (DLT define tau = 0 when the whole
+    population is sampled, so the estimator is exact there)."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.corpus import sample_priority
+
+    M, k = 1000000007, 300
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    # replay with the exact op order: hash first, then % M, then +1
+    pri = {
+        r.doc_id: (r.n_chars * M)
+        // ((((r.doc_id % 1000003) * 2654435761 + 12345) % M) + 1)
+        for r in rows
+    }
+    order = sorted(pri, key=lambda d: (-pri[d], d))
+    expect_ids = set(order[:k])
+    tau = pri[order[k]] if len(order) > k else 0
+    w_by_id = {r.doc_id: r.n_chars for r in rows}
+
+    got = sample_priority(spark, sf_dir).collect()
+    assert {r.doc_id for r in got} == expect_ids
+    for r in got:
+        assert r.priority == pri[r.doc_id]
+        assert r.est_weight == max(w_by_id[r.doc_id], tau)
+    # the global top-k cut must be the scalable TakeOrderedAndProject
+    plan = sample_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_priority_degenerate_small_population(spark):
+    """n <= k: everything kept, tau = 0, estimator equals the raw
+    weight (checked on a 5-row synthetic frame via the same code
+    path as the registry query)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    M, k = 1000000007, 300
+    df = spark.createDataFrame(
+        [(i, 10 * (i + 1)) for i in range(5)], "doc_id long, n_chars long"
+    )
+    pri = F.expr(
+        "n_chars * 1000000007"
+        " DIV ((((doc_id % 1000003) * 2654435761 + 12345) % 1000000007) + 1)"
+    )
+    s = df.select("doc_id", "n_chars", pri.alias("priority"))
+    top = s.orderBy(F.desc("priority"), "doc_id").limit(k + 1)
+    tau_row = top.agg(
+        F.when(F.count(F.lit(1)) >= k + 1, F.min("priority"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__tau")
+    )
+    out = (
+        top.withColumn("rn", F.row_number().over(Window.orderBy(F.desc("priority"), "doc_id")))
+        .where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau_row))
+        .select("doc_id", "n_chars", F.greatest("n_chars", "__tau").alias("est_weight"))
+        .collect()
+    )
+    assert len(out) == 5
+    assert all(r.est_weight == r.n_chars for r in out)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -219,6 +219,65 @@ def quality_bp_frame(docs: DataFrame) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return quality_bp_frame(docs)
+
+
+@query(
+    "quality_stratified_cut",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n,
+             CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+               AS BIGINT) AS d,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      x -> lower(x) IN ({_SW}))) AS BIGINT) AS sw
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, source,
+             CAST(5000 * least(n, 50) // 50
+                  + (3000 * d) // n
+                  + (2000 * least(n, 10 * sw)) // n AS BIGINT) AS quality_bp
+      FROM s
+    ), r AS (
+      SELECT doc_id, lang, source, quality_bp,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY quality_bp DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n_stratum
+      FROM q
+    )
+    SELECT doc_id, lang, source, quality_bp
+    FROM r WHERE rn <= (4 * n_stratum + 9) // 10
+    ORDER BY doc_id
+    """,
+    doc=(
+        "per-stratum quality-quantile cut (the FineWeb/DCLM pipeline "
+        "stage: keep the best X% of each (lang, source) stratum so one "
+        "easy domain cannot crowd out hard ones): rank every document "
+        "by the shared integer quality_bp heuristic inside its stratum "
+        "and keep rank <= ceil(0.4 * stratum size) - the ceiling "
+        "computed as (4n+9) DIV 10 so the cut is integer-exact, ties "
+        "broken by doc_id. Plan: ONE shuffle on (lang, source) serves "
+        "both window functions (row_number + stratum count share the "
+        "partition spec). At 100 TB the rank-exact form is the audit "
+        "tool; production serving swaps in per-stratum approximate "
+        "thresholds (percentile_approx) to avoid ranking the tail."
+    ),
+)
+def quality_stratified_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    q = quality_bp_frame(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("quality_bp"), "doc_id"
+    )
+    wc = Window.partitionBy("lang", "source")
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(wc))
+        .where(F.expr("rn <= (4 * n_stratum + 9) DIV 10"))
+        .select("doc_id", "lang", "source", "quality_bp")
+    )
 
 
 @query(

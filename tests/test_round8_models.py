@@ -279,3 +279,31 @@ def test_sample_priority_degenerate_small_population(spark):
     )
     assert len(out) == 5
     assert all(r.est_weight == r.n_chars for r in out)
+
+
+def test_quality_stratified_cut_keeps_ceil_40pct_per_stratum(spark, sf_dir):
+    """Every (lang, source) stratum keeps exactly ceil(0.4 * n) rows,
+    and the kept rows are the stratum's rank-best by (quality_bp desc,
+    doc_id) — checked against a Python replay on the full fixture."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.datapipe import quality_stratified_cut
+    from flink_demo_spark.plans.datapipe import text_quality_score
+
+    scores = {
+        r.doc_id: r.quality_bp
+        for r in text_quality_score(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    ).collect()
+    strata = {}
+    for r in docs:
+        strata.setdefault((r.lang, r.source), []).append(r.doc_id)
+    expect = set()
+    for ids in strata.values():
+        ids.sort(key=lambda d: (-scores[d], d))
+        expect.update(ids[: (4 * len(ids) + 9) // 10])
+
+    got = quality_stratified_cut(spark, sf_dir).collect()
+    assert {r.doc_id for r in got} == expect
+    assert all(r.quality_bp == scores[r.doc_id] for r in got)

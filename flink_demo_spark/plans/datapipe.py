@@ -161,13 +161,15 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_bp_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, quality_bp) — the integer basis-point quality
-    heuristic, shared by text_quality_score and the keep-best dedup
-    composition. One split per row (see text_token_stats);
-    distinct-token count is case-folded, matching the oracle."""
+def quality_bp_frame(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, lang, *keep, quality_bp) — the integer basis-point
+    quality heuristic, shared by text_quality_score, the keep-best
+    dedup composition, and the stratified-cut pair. One split per row
+    (see text_token_stats); distinct-token count is case-folded,
+    matching the oracle. ``keep`` threads extra passthrough columns
+    (e.g. ``source``) so streaming callers need no post-hoc join."""
     toks_stage = docs.select(
-        "doc_id", "lang", text.tokens("text").alias("toks")
+        "doc_id", "lang", *keep, text.tokens("text").alias("toks")
     )
     sw_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
     n = F.size("toks").cast("long")
@@ -178,11 +180,12 @@ def quality_bp_frame(docs: DataFrame) -> DataFrame:
         F.filter("toks", lambda t: F.array_contains(sw_arr, F.lower(t)))
     ).cast("long")
     staged = toks_stage.select(
-        "doc_id", "lang", n.alias("n"), d.alias("d"), s.alias("sw")
+        "doc_id", "lang", *keep, n.alias("n"), d.alias("d"), s.alias("sw")
     )
     return staged.select(
         "doc_id",
         "lang",
+        *keep,
         F.expr(
             "CAST(5000 * least(n, 50) div 50"
             " + (3000 * d) div n"
@@ -265,9 +268,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_stratified_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    q = quality_bp_frame(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    q = quality_bp_frame(docs, keep=("source",))
     w = Window.partitionBy("lang", "source").orderBy(
         F.desc("quality_bp"), "doc_id"
     )

@@ -10,7 +10,7 @@ query, two runtime modes, same result).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.streams import events_stream
@@ -1887,3 +1887,88 @@ def streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_available_now(agg, output_mode="complete")
     return result.orderBy("user_id", "session_start")
+
+
+def _qcut_serve_oracle() -> str:
+    from .datapipe import _SW
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n,
+             CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+               AS BIGINT) AS d,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      x -> lower(x) IN ({_SW}))) AS BIGINT) AS sw
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, source,
+             CAST(5000 * least(n, 50) // 50
+                  + (3000 * d) // n
+                  + (2000 * least(n, 10 * sw)) // n AS BIGINT) AS quality_bp
+      FROM s
+    ), r AS (
+      SELECT lang, source, quality_bp,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY quality_bp DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n_stratum
+      FROM q
+    ), t AS (
+      SELECT lang, source, quality_bp AS thr
+      FROM r WHERE rn = (4 * n_stratum + 9) // 10
+    )
+    SELECT q.doc_id, q.lang, q.source, q.quality_bp
+    FROM q JOIN t USING (lang, source)
+    WHERE q.quality_bp >= t.thr
+    ORDER BY q.doc_id
+    """
+
+
+@query(
+    "streaming_quality_cut",
+    oracle=_qcut_serve_oracle(),
+    doc=(
+        "per-stratum quality threshold SERVING on a live document feed "
+        "- the deploy half of quality_stratified_cut, the same "
+        "train-batch/serve-stream split as streaming_quality_"
+        "perceptron: the boundary quality_bp of each (lang, source) "
+        "stratum (the value at rank ceil(0.4n)) is computed ONCE on "
+        "the static corpus, then every arriving document is scored by "
+        "the shared integer heuristic and stream-static broadcast-"
+        "joined against the threshold table (strata count is bounded "
+        "by langs x sources - always broadcastable). Serving keeps "
+        "quality_bp >= threshold, so boundary TIES are admitted - the "
+        "honest online semantics (a rank cut needs the whole stratum; "
+        "a threshold does not) - and the oracle encodes exactly that. "
+        "ZERO stream state, append mode; the threshold frame is "
+        "persisted so the stream-static join does not rebuild the "
+        "rank windows every micro-batch."
+    ),
+)
+def streaming_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..sources.streams import documents_stream
+    from .datapipe import quality_bp_frame
+
+    static = load_table(spark, sf_dir, "documents")
+    q_static = quality_bp_frame(static, keep=("source",))
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("quality_bp"), "doc_id"
+    )
+    wc = Window.partitionBy("lang", "source")
+    thresholds = (
+        q_static.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(wc))
+        .where(F.expr("rn = (4 * n_stratum + 9) DIV 10"))
+        .select("lang", "source", F.col("quality_bp").alias("thr"))
+        .persist()
+    )
+
+    feed = documents_stream(spark, sf_dir)
+    q_feed = quality_bp_frame(feed, keep=("source",))
+    kept = (
+        q_feed.join(F.broadcast(thresholds), ["lang", "source"])
+        .where(F.col("quality_bp") >= F.col("thr"))
+        .select("doc_id", "lang", "source", "quality_bp")
+    )
+    return run_available_now(kept, output_mode="append")

@@ -1203,6 +1203,103 @@ def text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final sort). The n-gram LM / contamination-scan primitive."
     ),
 )
+@query(
+    "text_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), c1 AS (
+      SELECT w, count(*) AS c FROM uni GROUP BY 1
+    ), nt AS (
+      SELECT count(*) AS n FROM uni
+    ), bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+      FROM toks
+    ), pairs AS (
+      SELECT p.a AS word1, p.b AS word2, count(*) AS c12
+      FROM bg GROUP BY 1, 2
+    ), scored AS (
+      SELECT word1, word2, c12, ca.c AS n_w1, cb.c AS n_w2,
+             CAST((CAST(c12 - 2 AS HUGEINT) * nt.n * 10000)
+                  // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS pmi_fp
+      FROM pairs JOIN c1 ca ON word1 = ca.w
+                 JOIN c1 cb ON word2 = cb.w
+                 CROSS JOIN nt
+      WHERE c12 >= 3
+    )
+    SELECT word1, word2, c12, n_w1, n_w2, pmi_fp
+    FROM scored WHERE pmi_fp > 0
+    ORDER BY pmi_fp DESC, word1, word2 LIMIT 50
+    """,
+    doc=(
+        "collocation / phrase mining (word2phrase, Mikolov et al. 2013 "
+        "SB: score = (c12 - delta) * N / (c1 * c2) promotes adjacent "
+        "pairs that co-occur more than chance into single phrase "
+        "tokens - the standard vocabulary-prep pass before tokenizer "
+        "training): discounted PMI in fixed-point (scale 1e4, "
+        "delta=2, min count 3) with DECIMAL(38)/HUGEINT intermediates "
+        "so the score is bit-stable at any corpus size. Plan: ONE "
+        "token scan feeds both the unigram census and the adjacent-"
+        "pair explode (no self-join over positions); the bigram table "
+        "joins the unigram counts twice on the word keys (AQE "
+        "broadcasts a small vocabulary side); N is a 1-row broadcast; "
+        "the top-50 cut is TakeOrderedAndProject. At 100 TB the "
+        "unigram/bigram censuses collapse map-side before their "
+        "shuffles - counts, never token rows."
+    ),
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nt = uni.agg(F.count(F.lit(1)).alias("n"))
+    pair_arr = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = (
+        toks.select(F.explode_outer(pair_arr).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select(F.col("p.a").alias("word1"), F.col("p.b").alias("word2"))
+        .groupBy("word1", "word2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= 3)
+    )
+    scored = (
+        pairs.join(
+            c1.select(F.col("w").alias("word1"), F.col("c").alias("n_w1")),
+            "word1",
+        )
+        .join(
+            c1.select(F.col("w").alias("word2"), F.col("c").alias("n_w2")),
+            "word2",
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "word1",
+            "word2",
+            "c12",
+            "n_w1",
+            "n_w2",
+            F.expr(
+                "CAST((CAST(c12 - 2 AS DECIMAL(38,0)) * n * 10000)"
+                " DIV (CAST(n_w1 AS DECIMAL(38,0)) * n_w2) AS BIGINT)"
+            ).alias("pmi_fp"),
+        )
+        .where(F.col("pmi_fp") > 0)
+    )
+    return scored.orderBy(F.desc("pmi_fp"), "word1", "word2").limit(50)
+
+
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(

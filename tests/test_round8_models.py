@@ -307,3 +307,39 @@ def test_quality_stratified_cut_keeps_ceil_40pct_per_stratum(spark, sf_dir):
     got = quality_stratified_cut(spark, sf_dir).collect()
     assert {r.doc_id for r in got} == expect
     assert all(r.quality_bp == scores[r.doc_id] for r in got)
+
+
+def test_text_collocations_matches_python_model(spark, sf_dir):
+    """Discounted-PMI collocation scores vs a big-int Python replay on
+    the real fixture — counts, discount, fixed-point floor, min-count
+    filter, and the top-50 (score desc, word1, word2) cut."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.corpus import text_collocations
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    c1: dict = {}
+    c12: dict = {}
+    n = 0
+    for t in texts:
+        ws = t.strip().lower().split()
+        for w in ws:
+            c1[w] = c1.get(w, 0) + 1
+            n += 1
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    scored = [
+        (a, b, c, c1[a], c1[b], (c - 2) * n * 10000 // (c1[a] * c1[b]))
+        for (a, b), c in c12.items()
+        if c >= 3
+    ]
+    scored = [s for s in scored if s[5] > 0]
+    scored.sort(key=lambda s: (-s[5], s[0], s[1]))
+    want = scored[:50]
+
+    got = [
+        (r.word1, r.word2, r.c12, r.n_w1, r.n_w2, r.pmi_fp)
+        for r in text_collocations(spark, sf_dir).collect()
+    ]
+    assert got == want

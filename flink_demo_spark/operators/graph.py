@@ -56,10 +56,15 @@ def pagerank_fixed_point(
     dst-keyed partial-aggregating groupBy — the standard Pregel-style
     plan. ``outdeg`` is folded into the edge list once up front (join on
     src, co-partitioned). The N census and the dangling-mass row are
-    1-row broadcasts (zero driver round-trips). ``localCheckpoint``
-    every ``checkpoint_every`` rounds truncates lineage on long runs;
-    short unrolls (<= checkpoint_every) stay fully declarative so
-    Catalyst sees one plan.
+    1-row broadcasts (zero driver round-trips). Short unrolls stay
+    fully declarative on purpose: the loop-invariant frames and the
+    twice-referenced rank frame dedupe at runtime via ReusedExchange,
+    and a measured A/B showed eager materialization (localCheckpoint
+    of edges/outdeg/nodes, or of ranks per round) SLOWS a 3-iteration
+    run 1.3-1.7x at sf1 — job barriers cost more than the reuse saves.
+    ``localCheckpoint`` every ``checkpoint_every`` rounds therefore
+    only truncates lineage on long runs, where Catalyst re-planning
+    would otherwise grow quadratically.
     """
     e = edges.select(
         F.col(src).alias("__src"),

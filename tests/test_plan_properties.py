@@ -473,6 +473,30 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=3,
     ),
+    # global top-(k+1) rides the scalable partial-top-k physical op;
+    # ZERO shuffles (the only joins are 1-row broadcasts)
+    "sample_priority": dict(
+        contains=["TakeOrderedAndProject"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        max_exchanges=0,
+    ),
+    # one (lang, source) shuffle serves both window functions; no join
+    # (quality_bp_frame threads `source` through instead)
+    "quality_stratified_cut": dict(
+        absent=["CartesianProduct", "SortMergeJoin", "HashAggregate"],
+        max_exchanges=2,
+    ),
+    # unigram census + pair census + two vocab joins + final top-50;
+    # the N census is a 1-row broadcast
+    "text_collocations": dict(
+        contains=["TakeOrderedAndProject"],
+        absent=["CartesianProduct"],
+        partial_agg=True,
+        max_exchanges=8,
+    ),
+    # iterative, fully declarative: every crossJoin is a 1-row
+    # broadcast; no cartesian anywhere in the 3-round unroll
+    "pagerank_browse": dict(absent=["CartesianProduct"]),
 }
 
 

@@ -124,6 +124,91 @@ def _minhash_lsh_oracle(
 
 
 @query(
+    "batch_by_length",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             n_tokens // 16 AS bucket, doc_id % 8 AS shard
+      FROM s
+    ), r AS (
+      SELECT bucket, shard, n_tokens,
+             row_number() OVER (PARTITION BY bucket, shard
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM b
+    ), g AS (
+      SELECT bucket, shard, (rn - 1) // 8 AS batch_id,
+             count(*) AS n_docs, max(n_tokens) AS max_len,
+             sum(n_tokens) AS sum_len
+      FROM r GROUP BY 1, 2, 3
+    )
+    SELECT bucket, shard, batch_id, n_docs, max_len,
+           CAST(sum_len AS BIGINT) AS sum_len,
+           CAST(((n_docs * max_len - sum_len) * 10000)
+                // (n_docs * max_len) AS BIGINT) AS pad_waste_bp
+    FROM g ORDER BY bucket, shard, batch_id
+    """,
+    doc=(
+        "length-bucketed batching with a padding-waste audit - the "
+        "sorted-batching step every inference/training serving stack "
+        "runs (batch same-length sequences together so padding-to-max "
+        "wastes the fewest tokens): documents bucket by n_tokens DIV "
+        "16, SUB-SHARD by doc_id % 8 (buckets are few and would be "
+        "hot window partitions at scale - sharding keeps the "
+        "row_number parallelism at buckets x shards and batch ids "
+        "deterministic per shard), sort long-first inside each "
+        "(bucket, shard), and cut batches of 8; each batch row "
+        "reports its exact integer padding waste in basis points "
+        "((n*max - sum) * 1e4 DIV (n*max)). ONE (bucket, shard) "
+        "shuffle serves the window; the batch agg collapses map-side. "
+        "At 100 TB raise the shard count with the cluster - the plan "
+        "is unchanged."
+    ),
+)
+def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    s = docs.select(
+        "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tokens")
+    )
+    b = s.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("n_tokens DIV 16").alias("bucket"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.desc("n_tokens"), "doc_id"
+    )
+    r = b.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy(
+            "bucket", "shard", F.expr("CAST((rn - 1) DIV 8 AS BIGINT)").alias("batch_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+        )
+        .select(
+            "bucket",
+            "shard",
+            "batch_id",
+            "n_docs",
+            "max_len",
+            "sum_len",
+            F.expr(
+                "CAST(((n_docs * max_len - sum_len) * 10000)"
+                " DIV (n_docs * max_len) AS BIGINT)"
+            ).alias("pad_waste_bp"),
+        )
+    )
+
+
+@query(
     "text_token_stats",
     oracle=f"""
     SELECT doc_id,

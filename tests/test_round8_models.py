@@ -343,3 +343,34 @@ def test_text_collocations_matches_python_model(spark, sf_dir):
         for r in text_collocations(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_batch_by_length_matches_python_model(spark, sf_dir):
+    """Sorted-batching and the integer padding audit vs a Python
+    replay on the real fixture: same batches, same waste figures, and
+    every batch's max really is its first (longest) member."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.datapipe import batch_by_length
+
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    shards: dict = {}
+    for r in rows:
+        n = len(r.text.strip().split())
+        shards.setdefault((n // 16, r.doc_id % 8), []).append((n, r.doc_id))
+    want = {}
+    for (bucket, shard), members in shards.items():
+        members.sort(key=lambda m: (-m[0], m[1]))
+        for b0 in range(0, len(members), 8):
+            batch = members[b0 : b0 + 8]
+            nd = len(batch)
+            mx = max(n for n, _ in batch)
+            sm = sum(n for n, _ in batch)
+            want[(bucket, shard, b0 // 8)] = (
+                nd, mx, sm, (nd * mx - sm) * 10000 // (nd * mx)
+            )
+
+    got = {
+        (r.bucket, r.shard, r.batch_id): (r.n_docs, r.max_len, r.sum_len, r.pad_waste_bp)
+        for r in batch_by_length(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -326,6 +326,35 @@ def wav_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return df.select(id_col, binary_col).mapInPandas(fn, schema)
 
 
+def wav_frame_energies(
+    df: DataFrame, id_col: str, binary_col: str, frame: int = 160
+) -> DataFrame:
+    """REAL decode -> one row per fixed-length analysis frame with its
+    integer energy (sum of squared PCM16 samples, exact in int64): the
+    front half of voice-activity segmentation. The tail frame may be
+    short; its true length is emitted so thresholds can normalize by
+    n_in_frame instead of assuming a full frame. Arrow-batched like
+    ``wav_features`` — the whole path stays DuckDB-oracle-checkable."""
+    schema = f"{id_col} long, frame_no int, n_in_frame int, energy bigint"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                _rate, samples = decode_wav(bytes(p))
+                a = samples.astype("int64")
+                for f0 in range(0, len(a), frame):
+                    seg = a[f0 : f0 + frame]
+                    rows.append(
+                        (int(i), f0 // frame, len(seg), int((seg * seg).sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_no", "n_in_frame", "energy"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(fn, schema)
+
+
 def synthesize_wav_clips(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic PCM16 clips from an id column: n = 800 + 16*(id%17)
     samples at 8 kHz, sample(t) = ((id*31 + t*7) % 4096) - 2048 —

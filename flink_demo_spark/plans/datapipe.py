@@ -2077,6 +2077,73 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_vad_segments",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 800 + 16 * (doc_id % 17) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, CAST(t // 160 AS INT) AS frame_no,
+             ((doc_id * 31 + t * 7) % 4096) - 2048 AS v
+      FROM d, LATERAL unnest(generate_series(0, n - 1)) AS g(t)
+    ), f AS (
+      SELECT doc_id, frame_no, count(*) AS n_in, sum(v * v) AS e
+      FROM s GROUP BY 1, 2
+    ), a AS (
+      SELECT doc_id, frame_no, e,
+             frame_no - row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY frame_no) AS island
+      FROM f WHERE e // n_in > 1400000
+    )
+    SELECT doc_id, CAST(min(frame_no) AS INT) AS seg_start,
+           CAST(max(frame_no) AS INT) AS seg_end,
+           count(*) AS n_frames_seg,
+           CAST(sum(e) AS BIGINT) AS seg_energy
+    FROM a GROUP BY doc_id, island
+    ORDER BY doc_id, seg_start
+    """,
+    doc=(
+        "voice-activity segmentation - the utterance-splitting pass "
+        "every speech-corpus pipeline runs before ASR/training: REAL "
+        "RIFF/WAVE PCM16 decode into 160-sample (20 ms @ 8 kHz) "
+        "analysis frames with EXACT integer energy (sum of squared "
+        "samples in int64, tail frame normalized by its true length), "
+        "active = mean-square energy DIV n_in_frame > 1.4e6, and "
+        "consecutive active frames merge into segments by the "
+        "gaps-and-islands idiom (island = frame_no - row_number). The "
+        "oracle recomputes the closed-form samples, so a hash match "
+        "proves the WAV parser, the Arrow frame walk, the integer "
+        "energies, AND the island merge exact. Plan: one mapInPandas "
+        "decode feeding a doc_id-keyed window + one partial-agg "
+        "groupBy - frames never leave their doc's partition; at 100 TB "
+        "this is the per-file-parallel shape audio pipelines need."
+    ),
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clips = multimodal.synthesize_wav_clips(text.fan_out(docs), "doc_id")
+    fe = multimodal.wav_frame_energies(clips, "doc_id", "audio", frame=160)
+    active = fe.where(F.expr("energy DIV n_in_frame > 1400000"))
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    isl = active.withColumn(
+        "island", F.col("frame_no") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("frame_no").alias("seg_start"),
+            F.max("frame_no").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames_seg"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .select(
+            "doc_id", "seg_start", "seg_end", "n_frames_seg", "seg_energy"
+        )
+    )
+
+
+@query(
     "multimodal_y4m_frames",
     oracle="""
     WITH d AS (

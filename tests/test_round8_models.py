@@ -374,3 +374,41 @@ def test_batch_by_length_matches_python_model(spark, sf_dir):
         for r in batch_by_length(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_vad_segments_matches_python_model(spark, sf_dir):
+    """VAD segmentation vs a pure-Python replay of the closed-form
+    clips: frame energies, the short tail frame's normalized
+    threshold, and the island merge — exact on every segment."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.datapipe import multimodal_vad_segments
+
+    ids = [
+        r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    want = set()
+    for i in ids:
+        n = 800 + 16 * (i % 17)
+        vs = [((i * 31 + t * 7) % 4096) - 2048 for t in range(n)]
+        active = []
+        for f0 in range(0, n, 160):
+            seg = vs[f0 : f0 + 160]
+            e = sum(v * v for v in seg)
+            if e // len(seg) > 1400000:
+                active.append((f0 // 160, e))
+        run: list = []
+        for fno, e in active:
+            if run and fno == run[-1][0] + 1:
+                run.append((fno, e))
+            else:
+                if run:
+                    want.add((i, run[0][0], run[-1][0], len(run), sum(x for _, x in run)))
+                run = [(fno, e)]
+        if run:
+            want.add((i, run[0][0], run[-1][0], len(run), sum(x for _, x in run)))
+
+    got = {
+        (r.doc_id, r.seg_start, r.seg_end, r.n_frames_seg, r.seg_energy)
+        for r in multimodal_vad_segments(spark, sf_dir).collect()
+    }
+    assert got == want

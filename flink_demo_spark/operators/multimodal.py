@@ -474,6 +474,34 @@ def y4m_frame_stats(
     return df.select(id_col, binary_col).mapInPandas(fn, schema)
 
 
+def y4m_frame_sad(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """REAL decode -> per-consecutive-frame-pair sum of absolute luma
+    differences (SAD, exact in int64) — the signal shot-boundary
+    detection thresholds. One row per frame transition (frame_no is
+    the LATER frame); clips with a single frame emit nothing.
+    Arrow-batched like the other decode paths; the closed-form test
+    clips keep the whole path DuckDB-oracle-checkable."""
+    schema = f"{id_col} long, frame_no int, n_frames int, sad bigint"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                _fps, frames = decode_y4m(bytes(p))
+                n = frames.shape[0]
+                luma = frames[:, 0].astype("int64")
+                for f in range(1, n):
+                    sad = int(np.abs(luma[f] - luma[f - 1]).sum())
+                    rows.append((int(i), f, n, sad))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_no", "n_frames", "sad"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(fn, schema)
+
+
 def synthesize_y4m_clips(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic C444 clips: 3 + id%4 frames of 8x6, luma(f, x, y)
     = (id + 17*f + x + 2*y) % 256, chroma planes constant 128 —

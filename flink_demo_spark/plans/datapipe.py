@@ -2184,6 +2184,55 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_shot_boundaries",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 3 + doc_id % 4 AS n FROM documents
+    ), f AS (
+      SELECT doc_id, n, fno
+      FROM d, LATERAL unnest(generate_series(1, n - 1)) AS g(fno)
+    ), px AS (
+      SELECT doc_id, n, fno,
+             CASE WHEN (doc_id + 17 * (fno - 1) + x + 2 * y) % 256 >= 239
+                  THEN 239 ELSE 17 END AS adiff
+      FROM f,
+           LATERAL unnest(generate_series(0, 7)) AS gx(x),
+           LATERAL unnest(generate_series(0, 5)) AS gy(y)
+    ), sads AS (
+      SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(n AS INT) AS n_frames,
+             CAST(sum(adiff) AS BIGINT) AS sad
+      FROM px GROUP BY doc_id, fno, n
+    )
+    SELECT doc_id, frame_no, n_frames, sad
+    FROM sads WHERE sad > 1500
+    ORDER BY doc_id, frame_no
+    """,
+    doc=(
+        "shot-boundary detection - the scene-splitting pass video "
+        "curation runs before frame sampling (cut detection by "
+        "thresholded SAD between consecutive frames, the classic "
+        "ffmpeg/PySceneDetect signal): REAL YUV4MPEG2 decode, "
+        "per-transition sum of absolute luma differences in EXACT "
+        "int64 (`y4m_frame_sad`), boundaries = SAD > 1500. The oracle "
+        "recomputes the closed-form pixel deltas (each pixel steps "
+        "+17 mod 256 between frames, so |diff| is 17 or 239 by the "
+        "wrap predicate) - a hash match proves the Y4M parser, the "
+        "frame differencing, and the Arrow path exact. Plan: one "
+        "mapInPandas decode + a filter - zero shuffles; frames of one "
+        "clip never leave their task, the per-file-parallel shape "
+        "video pipelines need at 100 TB."
+    ),
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clips = multimodal.synthesize_y4m_clips(text.fan_out(docs), "doc_id")
+    sads = multimodal.y4m_frame_sad(clips, "doc_id", "video")
+    return sads.where(F.col("sad") > 1500)
+
+
+@query(
     "text_pii_redact",
     # deterministic synthetic PII appended from doc_id (the corpus is
     # synthetic prose with no real PII — same synthesize->transform

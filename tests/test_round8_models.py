@@ -412,3 +412,32 @@ def test_vad_segments_matches_python_model(spark, sf_dir):
         for r in multimodal_vad_segments(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_shot_boundaries_matches_python_model(spark, sf_dir):
+    """Shot-boundary SAD vs a pure-Python replay of the closed-form
+    clips — every transition's exact int64 SAD and the threshold cut."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.datapipe import multimodal_shot_boundaries
+
+    ids = [
+        r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    want = set()
+    for i in ids:
+        n = 3 + i % 4
+        for f in range(1, n):
+            sad = 0
+            for x in range(8):
+                for y in range(6):
+                    a = (i + 17 * (f - 1) + x + 2 * y) % 256
+                    b = (i + 17 * f + x + 2 * y) % 256
+                    sad += abs(b - a)
+            if sad > 1500:
+                want.add((i, f, n, sad))
+
+    got = {
+        (r.doc_id, r.frame_no, r.n_frames, r.sad)
+        for r in multimodal_shot_boundaries(spark, sf_dir).collect()
+    }
+    assert got == want

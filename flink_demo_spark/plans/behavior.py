@@ -1335,6 +1335,7 @@ def _pagerank_oracle(iterations: int = 3, scale: int = 10**12, d: int = 85) -> s
 @query(
     "pagerank_browse",
     oracle=_pagerank_oracle(),
+    bench=True,
     doc=(
         "PageRank over the browse graph — the crawl-frontier / URL "
         "ranking primitive of web-corpus curation (Page et al. 1999; "

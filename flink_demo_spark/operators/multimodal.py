@@ -474,6 +474,63 @@ def y4m_frame_stats(
     return df.select(id_col, binary_col).mapInPandas(fn, schema)
 
 
+def wav_vad_segments_local(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    frame: int = 160,
+    thresh: int = 1400000,
+) -> DataFrame:
+    """REAL decode -> voice-activity SEGMENTS computed inside the
+    Arrow batch: per-frame int64 energies, mean-square threshold, and
+    the consecutive-active-frame merge all happen on the clip's own
+    samples — a payload is self-contained, so no window function and
+    no cross-row state is needed. This is the streaming-legal form of
+    the batch gaps-and-islands plan (window functions are not allowed
+    on streaming DataFrames); both produce identical segments and
+    share one oracle."""
+    schema = (
+        f"{id_col} long, seg_start int, seg_end int, "
+        "n_frames_seg long, seg_energy bigint"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                _rate, samples = decode_wav(bytes(p))
+                a = samples.astype("int64")
+                run_start = None
+                run_n = 0
+                run_e = 0
+                fno = -1
+                for f0 in range(0, len(a), frame):
+                    fno = f0 // frame
+                    seg = a[f0 : f0 + frame]
+                    e = int((seg * seg).sum())
+                    if e // len(seg) > thresh:
+                        if run_start is None:
+                            run_start, run_n, run_e = fno, 0, 0
+                        run_n += 1
+                        run_e += e
+                    elif run_start is not None:
+                        rows.append(
+                            (int(i), run_start, fno - 1, run_n, run_e)
+                        )
+                        run_start = None
+                if run_start is not None:
+                    rows.append((int(i), run_start, fno, run_n, run_e))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "seg_start", "seg_end",
+                    "n_frames_seg", "seg_energy",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(fn, schema)
+
+
 def y4m_frame_sad(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     """REAL decode -> per-consecutive-frame-pair sum of absolute luma
     differences (SAD, exact in int64) — the signal shot-boundary

@@ -2076,9 +2076,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_features(clips, "doc_id", "audio")
 
 
-@query(
-    "multimodal_vad_segments",
-    oracle="""
+_VAD_ORACLE = """
     WITH d AS (
       SELECT doc_id, 800 + 16 * (doc_id % 17) AS n FROM documents
     ), s AS (
@@ -2100,7 +2098,12 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(e) AS BIGINT) AS seg_energy
     FROM a GROUP BY doc_id, island
     ORDER BY doc_id, seg_start
-    """,
+    """
+
+
+@query(
+    "multimodal_vad_segments",
+    oracle=_VAD_ORACLE,
     doc=(
         "voice-activity segmentation - the utterance-splitting pass "
         "every speech-corpus pipeline runs before ASR/training: REAL "
@@ -2183,9 +2186,7 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.y4m_frame_stats(clips, "doc_id", "video", every=2)
 
 
-@query(
-    "multimodal_shot_boundaries",
-    oracle="""
+_SHOT_ORACLE = """
     WITH d AS (
       SELECT doc_id, 3 + doc_id % 4 AS n FROM documents
     ), f AS (
@@ -2206,7 +2207,12 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, frame_no, n_frames, sad
     FROM sads WHERE sad > 1500
     ORDER BY doc_id, frame_no
-    """,
+    """
+
+
+@query(
+    "multimodal_shot_boundaries",
+    oracle=_SHOT_ORACLE,
     doc=(
         "shot-boundary detection - the scene-splitting pass video "
         "curation runs before frame sampling (cut detection by "

@@ -1972,3 +1972,64 @@ def streaming_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "quality_bp")
     )
     return run_available_now(kept, output_mode="append")
+
+
+def _vad_oracle_ref():
+    from .datapipe import _VAD_ORACLE
+
+    return _VAD_ORACLE
+
+
+def _shot_oracle_ref():
+    from .datapipe import _SHOT_ORACLE
+
+    return _SHOT_ORACLE
+
+
+@query(
+    "streaming_vad_segments",
+    oracle=_vad_oracle_ref(),
+    doc=(
+        "voice-activity segmentation on a LIVE clip feed - the "
+        "streaming form of multimodal_vad_segments: each arriving "
+        "payload is decoded and segmented ENTIRELY inside its Arrow "
+        "batch (`wav_vad_segments_local`: per-frame int64 energies, "
+        "mean-square threshold, consecutive-active merge on the "
+        "clip's own samples), because a clip is self-contained - no "
+        "window function (illegal on streams), no stream state, "
+        "append mode. Segments are bit-identical to the batch "
+        "gaps-and-islands plan and share its oracle; this is how "
+        "audio preprocessing actually rides an ingest: per-file "
+        "parallel, nothing crosses file boundaries."
+    ),
+)
+def streaming_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+    from ..sources.streams import documents_stream
+
+    feed = documents_stream(spark, sf_dir).select("doc_id")
+    clips = multimodal.synthesize_wav_clips(feed, "doc_id")
+    segs = multimodal.wav_vad_segments_local(clips, "doc_id", "audio", frame=160)
+    return run_available_now(segs, output_mode="append")
+
+
+@query(
+    "streaming_shot_boundaries",
+    oracle=_shot_oracle_ref(),
+    doc=(
+        "shot-boundary detection on a LIVE clip feed - the streaming "
+        "form of multimodal_shot_boundaries, and already streaming-"
+        "legal as-is: `y4m_frame_sad` is one mapInPandas decode "
+        "emitting per-transition exact SADs and the boundary cut is a "
+        "plain filter - no window, no stream state, append mode; "
+        "shares the batch oracle."
+    ),
+)
+def streaming_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+    from ..sources.streams import documents_stream
+
+    feed = documents_stream(spark, sf_dir).select("doc_id")
+    clips = multimodal.synthesize_y4m_clips(feed, "doc_id")
+    sads = multimodal.y4m_frame_sad(clips, "doc_id", "video")
+    return run_available_now(sads.where(F.col("sad") > 1500), output_mode="append")

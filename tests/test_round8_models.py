@@ -441,3 +441,24 @@ def test_shot_boundaries_matches_python_model(spark, sf_dir):
         for r in multimodal_shot_boundaries(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_vad_local_segmentation_equals_batch_windowed(spark, sf_dir):
+    """The in-UDF segment merge (streaming form) must equal the batch
+    gaps-and-islands plan row for row — the two forms share an oracle,
+    so any divergence is an engine bug, not a semantics choice."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.operators import multimodal
+    from flink_demo_spark.operators import text
+    from flink_demo_spark.plans.datapipe import multimodal_vad_segments
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clips = multimodal.synthesize_wav_clips(text.fan_out(docs), "doc_id")
+    local = {
+        tuple(r)
+        for r in multimodal.wav_vad_segments_local(
+            clips, "doc_id", "audio", frame=160
+        ).collect()
+    }
+    windowed = {tuple(r) for r in multimodal_vad_segments(spark, sf_dir).collect()}
+    assert local == windowed

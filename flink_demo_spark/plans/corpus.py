@@ -1032,6 +1032,103 @@ def quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mix_waterfill_budget",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+               AS BIGINT) AS toks
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT sum(toks) AS total, count(*) AS n FROM t
+    ), b AS (
+      SELECT CAST(total * 8 // 10 AS BIGINT) AS budget, n FROM tot
+    ), s AS (
+      SELECT lang, toks,
+             row_number() OVER (ORDER BY toks, lang) AS rk,
+             CAST(coalesce(sum(toks) OVER (
+               ORDER BY toks, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pfx
+      FROM t
+    ), reach AS (
+      SELECT s.rk, s.pfx FROM s CROSS JOIN b
+      WHERE s.pfx + (b.n - s.rk + 1) * s.toks >= b.budget
+      ORDER BY s.rk LIMIT 1
+    ), cap AS (
+      SELECT CAST((b.budget - r.pfx) // (b.n - r.rk + 1) AS BIGINT) AS cap
+      FROM reach r CROSS JOIN b
+    )
+    SELECT s.lang, s.toks, c.cap,
+           least(s.toks, c.cap) AS kept_tokens,
+           CAST(least(s.toks, c.cap) * 10000 // s.toks AS BIGINT)
+             AS keep_rate_bp
+    FROM s CROSS JOIN cap c
+    ORDER BY s.lang
+    """,
+    doc=(
+        "token-budget waterfilling across domains - how mixture "
+        "builders (Pile/Dolma-style) allocate a fixed training budget "
+        "over unequal domains: find the water level C such that "
+        "sum(min(tokens_d, C)) = budget (here 80% of the corpus), so "
+        "small domains keep everything and oversized ones cap at C. "
+        "Solved EXACTLY in one pass over the domain census via prefix "
+        "sums: rank domains ascending, the first rank where "
+        "pfx + (n-rk+1)*toks >= budget pins the breakpoint segment, "
+        "C = (budget - pfx) DIV remaining - all integer, bit-stable. "
+        "The window runs over the DOMAIN census (rows = #domains, "
+        "bounded by the catalog, never by corpus volume); the census "
+        "itself is one partial-agg shuffle of the scan; budget, "
+        "breakpoint, and C are 1-row broadcasts. The last ascending "
+        "domain always satisfies the reach predicate when budget <= "
+        "total, so the breakpoint row provably exists."
+    ),
+)
+def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    t = (
+        docs.select("lang", F.size(text.tokens("text")).cast("long").alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("toks"))
+    )
+    tot = t.agg(
+        F.sum("toks").alias("total"), F.count(F.lit(1)).alias("n")
+    ).select(F.expr("CAST(total * 8 DIV 10 AS BIGINT)").alias("budget"), "n")
+    wo = Window.orderBy("toks", "lang")
+    s = (
+        t.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(wo))
+        .withColumn(
+            "pfx",
+            F.coalesce(
+                F.sum("toks").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    reach = (
+        s.where(F.expr("pfx + (n - rk + 1) * toks >= budget"))
+        .orderBy("rk")
+        .limit(1)
+        .select(F.expr("CAST((budget - pfx) DIV (n - rk + 1) AS BIGINT)").alias("cap"))
+    )
+    return (
+        s.crossJoin(F.broadcast(reach))
+        .select(
+            "lang",
+            "toks",
+            "cap",
+            F.least("toks", "cap").alias("kept_tokens"),
+            F.expr(
+                "CAST(least(toks, cap) * 10000 DIV toks AS BIGINT)"
+            ).alias("keep_rate_bp"),
+        )
+    )
+
+
 _LANGS = ["de", "en", "es", "fr", "zh"]
 
 

@@ -462,3 +462,63 @@ def test_vad_local_segmentation_equals_batch_windowed(spark, sf_dir):
     }
     windowed = {tuple(r) for r in multimodal_vad_segments(spark, sf_dir).collect()}
     assert local == windowed
+
+
+def test_waterfill_matches_python_model_randomized(spark):
+    """The prefix-sum waterfill must equal a brute-force Python search
+    for the exact integer water level, across randomized domain-count
+    profiles including ones where the budget caps nothing (budget =
+    total) and ones with heavy skew."""
+    from pyspark.sql import Window as W
+
+    rng = random.Random(8471)
+    for trial in range(6):
+        n = rng.randrange(2, 9)
+        toks = {f"d{j}": rng.randrange(1, 10000) for j in range(n)}
+        total = sum(toks.values())
+        num, den = rng.choice([(8, 10), (6, 10), (10, 10), (99, 100)])
+        budget = total * num // den
+
+        # brute force: scan candidate water levels at every breakpoint
+        def used(c):
+            return sum(min(t, c) for t in toks.values())
+
+        order = sorted(toks.items(), key=lambda kv: (kv[1], kv[0]))
+        pfx, cap = 0, None
+        for i, (_, t) in enumerate(order):
+            if pfx + (n - i) * t >= budget:
+                cap = (budget - pfx) // (n - i)
+                break
+            pfx += t
+        assert cap is not None  # budget <= total guarantees a breakpoint
+        assert used(cap) <= budget < used(cap + 1) + 1  # exact level
+
+        df = spark.createDataFrame(
+            [(d, t) for d, t in toks.items()], "lang string, toks long"
+        )
+        tot = df.agg(
+            F.sum("toks").alias("total"), F.count(F.lit(1)).alias("n")
+        ).select(
+            F.expr(f"CAST(total * {num} DIV {den} AS BIGINT)").alias("budget"),
+            "n",
+        )
+        wo = W.orderBy("toks", "lang")
+        s = (
+            df.crossJoin(F.broadcast(tot))
+            .withColumn("rk", F.row_number().over(wo))
+            .withColumn(
+                "pfx",
+                F.coalesce(
+                    F.sum("toks").over(wo.rowsBetween(W.unboundedPreceding, -1)),
+                    F.lit(0),
+                ).cast("long"),
+            )
+        )
+        got = (
+            s.where(F.expr("pfx + (n - rk + 1) * toks >= budget"))
+            .orderBy("rk")
+            .limit(1)
+            .select(F.expr("CAST((budget - pfx) DIV (n - rk + 1) AS BIGINT)").alias("cap"))
+            .collect()[0].cap
+        )
+        assert got == cap, (trial, toks, budget, got, cap)

@@ -1300,6 +1300,38 @@ def text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final sort). The n-gram LM / contamination-scan primitive."
     ),
 )
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = (
+        # explode_outer + null filter: avoids InferFiltersFromGenerate
+        # re-evaluating the bigram expression below the fan-out
+        # repartition (see dedup.shingle_table)
+        toks.select("lang", F.explode_outer(bigrams).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    )
+    return (
+        c.select("lang", "bigram", "n", rk.cast("long").alias("rk"))
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
 @query(
     "text_collocations",
     oracle="""
@@ -1395,38 +1427,6 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pmi_fp") > 0)
     )
     return scored.orderBy(F.desc("pmi_fp"), "word1", "word2").limit(50)
-
-
-def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
-    )
-    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
-    bigrams = F.when(
-        F.size("t") >= 2,
-        F.expr(
-            "transform(sequence(1, size(t) - 1),"
-            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    c = (
-        # explode_outer + null filter: avoids InferFiltersFromGenerate
-        # re-evaluating the bigram expression below the fan-out
-        # repartition (see dedup.shingle_table)
-        toks.select("lang", F.explode_outer(bigrams).alias("bigram"))
-        .where(F.col("bigram").isNotNull())
-        .groupBy("lang", "bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
-    )
-    return (
-        c.select("lang", "bigram", "n", rk.cast("long").alias("rk"))
-        .where(F.col("rk") <= 5)
-        .orderBy("lang", "rk")
-    )
 
 
 @query(

@@ -1032,9 +1032,9 @@ def quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mix_waterfill_budget",
-    oracle="""
+# shared CTE prefix: domain census -> waterfill breakpoint -> cap
+# (mix_waterfill_budget reports it; streaming_mix_waterfill serves it)
+_WATERFILL_CTES = """
     WITH t AS (
       SELECT lang,
              CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
@@ -1059,34 +1059,13 @@ def quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cap AS (
       SELECT CAST((b.budget - r.pfx) // (b.n - r.rk + 1) AS BIGINT) AS cap
       FROM reach r CROSS JOIN b
-    )
-    SELECT s.lang, s.toks, c.cap,
-           least(s.toks, c.cap) AS kept_tokens,
-           CAST(least(s.toks, c.cap) * 10000 // s.toks AS BIGINT)
-             AS keep_rate_bp
-    FROM s CROSS JOIN cap c
-    ORDER BY s.lang
-    """,
-    doc=(
-        "token-budget waterfilling across domains - how mixture "
-        "builders (Pile/Dolma-style) allocate a fixed training budget "
-        "over unequal domains: find the water level C such that "
-        "sum(min(tokens_d, C)) = budget (here 80% of the corpus), so "
-        "small domains keep everything and oversized ones cap at C. "
-        "Solved EXACTLY in one pass over the domain census via prefix "
-        "sums: rank domains ascending, the first rank where "
-        "pfx + (n-rk+1)*toks >= budget pins the breakpoint segment, "
-        "C = (budget - pfx) DIV remaining - all integer, bit-stable. "
-        "The window runs over the DOMAIN census (rows = #domains, "
-        "bounded by the catalog, never by corpus volume); the census "
-        "itself is one partial-agg shuffle of the scan; budget, "
-        "breakpoint, and C are 1-row broadcasts. The last ascending "
-        "domain always satisfies the reach predicate when budget <= "
-        "total, so the breakpoint row provably exists."
-    ),
-)
-def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    )"""
+
+
+def waterfill_rates(docs: DataFrame) -> DataFrame:
+    """(lang, toks, cap, kept_tokens, keep_rate_bp) — the waterfill
+    census frame shared by the batch report and the streaming serve
+    twin. See mix_waterfill_budget for the algorithm contract."""
     t = (
         docs.select("lang", F.size(text.tokens("text")).cast("long").alias("nt"))
         .groupBy("lang")
@@ -1127,6 +1106,40 @@ def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate_bp"),
         )
     )
+
+
+@query(
+    "mix_waterfill_budget",
+    oracle=_WATERFILL_CTES
+    + """
+    SELECT s.lang, s.toks, c.cap,
+           least(s.toks, c.cap) AS kept_tokens,
+           CAST(least(s.toks, c.cap) * 10000 // s.toks AS BIGINT)
+             AS keep_rate_bp
+    FROM s CROSS JOIN cap c
+    ORDER BY s.lang
+    """,
+    doc=(
+        "token-budget waterfilling across domains - how mixture "
+        "builders (Pile/Dolma-style) allocate a fixed training budget "
+        "over unequal domains: find the water level C such that "
+        "sum(min(tokens_d, C)) = budget (here 80% of the corpus), so "
+        "small domains keep everything and oversized ones cap at C. "
+        "Solved EXACTLY in one pass over the domain census via prefix "
+        "sums: rank domains ascending, the first rank where "
+        "pfx + (n-rk+1)*toks >= budget pins the breakpoint segment, "
+        "C = (budget - pfx) DIV remaining - all integer, bit-stable. "
+        "The window runs over the DOMAIN census (rows = #domains, "
+        "bounded by the catalog, never by corpus volume); the census "
+        "itself is one partial-agg shuffle of the scan; budget, "
+        "breakpoint, and C are 1-row broadcasts. The last ascending "
+        "domain always satisfies the reach predicate when budget <= "
+        "total, so the breakpoint row provably exists."
+    ),
+)
+def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    return waterfill_rates(docs)
 
 
 _LANGS = ["de", "en", "es", "fr", "zh"]

@@ -2033,3 +2033,59 @@ def streaming_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = multimodal.synthesize_y4m_clips(feed, "doc_id")
     sads = multimodal.y4m_frame_sad(clips, "doc_id", "video")
     return run_available_now(sads.where(F.col("sad") > 1500), output_mode="append")
+
+
+def _waterfill_serve_oracle() -> str:
+    from .corpus import _WATERFILL_CTES
+
+    return _WATERFILL_CTES + """
+    , r AS (
+      SELECT s.lang,
+             CAST(least(s.toks, c.cap) * 10000 // s.toks AS BIGINT)
+               AS keep_rate_bp
+      FROM s CROSS JOIN cap c
+    )
+    SELECT d.doc_id, d.lang, r.keep_rate_bp
+    FROM documents d JOIN r USING (lang)
+    WHERE (((d.doc_id % 1000003) * 2654435761 + 12345) % 1000000007)
+            % 10000 < r.keep_rate_bp
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "streaming_mix_waterfill",
+    oracle=_waterfill_serve_oracle(),
+    doc=(
+        "token-budget waterfilling SERVED on a live document feed - "
+        "the deploy half of mix_waterfill_budget and the completion "
+        "of the mixing family's train-batch/serve-stream split "
+        "(streaming_mix_temperature's pattern): the per-domain keep "
+        "rates (basis points from the exact integer water level) are "
+        "computed once on the static corpus, persisted, and broadcast "
+        "onto the arriving documents; each doc keeps iff its shared "
+        "multiplicative-hash bucket (mod 1e4) falls under its "
+        "domain's rate - the same deterministic acceptance rule as "
+        "sample_stratified, zero stream state, append mode. At 100 TB "
+        "the rate table is #domains rows - always broadcastable."
+    ),
+)
+def streaming_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators import text as _text
+    from ..sources.streams import documents_stream
+    from .corpus import waterfill_rates
+
+    static = _text.fan_out(load_table(spark, sf_dir, "documents"))
+    rates = waterfill_rates(static).select("lang", "keep_rate_bp").persist()
+
+    feed = documents_stream(spark, sf_dir)
+    bucket = (
+        ((F.col("doc_id") % 1000003) * 2654435761 + 12345) % 1000000007
+    ) % 10000
+    return run_available_now(
+        feed.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("keep_rate_bp"))
+        .select("doc_id", "lang", "keep_rate_bp"),
+        output_mode="append",
+    )

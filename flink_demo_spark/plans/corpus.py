@@ -389,6 +389,52 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_priority_stratified",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             n_chars * 1000000007
+               // ((((doc_id % 1000003) * 2654435761 + 12345) % 1000000007)
+                   + 1) AS priority
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, n_chars, priority,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY priority DESC, doc_id) AS rk
+      FROM s
+    )
+    SELECT doc_id, lang, n_chars, priority, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 30
+    ORDER BY doc_id
+    """,
+    doc=(
+        "per-stratum priority sampling - the balanced weighted "
+        "subsample an eval-set builder draws (k=30 docs PER LANGUAGE, "
+        "weighted by n_chars, without replacement): the same exact "
+        "integer priority w*M DIV (h+1) as sample_priority, cut "
+        "per-stratum by rank instead of globally. The grouped top-k "
+        "rides WindowGroupLimit (map-side per-partition cut, the "
+        "shuffle carries O(strata x k) rows, asserted) - the plan "
+        "shape that stays viable when one stratum holds 10^9 docs. "
+        "Combines the sampling family's weighted-without-replacement "
+        "selection with the stratified family's per-domain balance."
+    ),
+)
+def sample_priority_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.expr(
+        "n_chars * 1000000007"
+        " DIV ((((doc_id % 1000003) * 2654435761 + 12345) % 1000000007) + 1)"
+    )
+    s = docs.select("doc_id", "lang", "n_chars", pri.alias("priority"))
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), "doc_id")
+    return (
+        s.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 30)
+    )
+
+
 # DSIR hashed-n-gram feature space: bucket count B and the fixed-point
 # scale S for the integer likelihood-ratio weights. B=256 keeps the
 # bucket-stats frame a literal broadcast at any corpus size; S=1e6

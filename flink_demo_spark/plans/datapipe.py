@@ -209,6 +209,78 @@ def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_novelty_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks
+      )
+    ), census AS (
+      SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS novelty_bp
+    FROM sh s JOIN census c USING (shingle)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc=(
+        "n-gram novelty scoring - the memorization/diversity audit "
+        "run over training corpora (what share of a document's "
+        "3-gram shingles appears NOWHERE else): per-doc distinct "
+        "shingles (the dedup family's exact shingle definition), a "
+        "document-frequency census (since shingles are distinct "
+        "within a doc, count(*) IS the doc frequency), joined back "
+        "for the per-doc unique share in exact basis points. Plan: "
+        "one shingle explode feeds the census (partial agg absorbs "
+        "hot boilerplate grams map-side) and the gram-keyed join "
+        "back (AQE skew-splits viral grams), then one doc_id "
+        "partial-agg shuffle - the inverted-index shape tf-idf and "
+        "exact-substring dedup already use, O(corpus grams) shuffled "
+        "rows, never all-pairs. Low novelty flags boilerplate and "
+        "near-dup survivors; high novelty flags the documents worth "
+        "upsampling."
+    ),
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.select(
+            "doc_id", F.explode_outer(text.shingles("text", 3)).alias("gram")
+        )
+        .where(F.col("gram").isNotNull())
+    )
+    census = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(census, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.expr("n_unique * 10000 DIV n_grams").alias("novelty_bp"),
+        )
+    )
+
+
+@query(
     "text_token_stats",
     oracle=f"""
     SELECT doc_id,

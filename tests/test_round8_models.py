@@ -522,3 +522,33 @@ def test_waterfill_matches_python_model_randomized(spark):
             .collect()[0].cap
         )
         assert got == cap, (trial, toks, budget, got, cap)
+
+
+def test_novelty_score_matches_python_model(spark, sf_dir):
+    """Novelty basis points vs a pure-Python shingle/census replay on
+    the real fixture — distinct-within-doc semantics, df==1 uniqueness,
+    and the integer floor."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.datapipe import text_novelty_score
+
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    grams = {}
+    for r in rows:
+        t = r.text.strip().split()
+        grams[r.doc_id] = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+    df: dict = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    want = {}
+    for d, gs in grams.items():
+        if not gs:
+            continue
+        uniq = sum(1 for g in gs if df[g] == 1)
+        want[d] = (len(gs), uniq, uniq * 10000 // len(gs))
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_unique, r.novelty_bp)
+        for r in text_novelty_score(spark, sf_dir).collect()
+    }
+    assert got == want

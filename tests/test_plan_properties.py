@@ -497,6 +497,18 @@ EXPECT = {
     # iterative, fully declarative: every crossJoin is a 1-row
     # broadcast; no cartesian anywhere in the 3-round unroll
     "pagerank_browse": dict(absent=["CartesianProduct"]),
+    # grouped weighted top-k: one stratum shuffle, limit below it
+    "sample_priority_stratified": dict(
+        contains=["WindowGroupLimit"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        max_exchanges=1,
+    ),
+    # shingle census + gram join-back + doc agg, all partial-agg
+    "text_novelty_score": dict(
+        absent=["CartesianProduct", "SortMergeJoin"],
+        partial_agg=True,
+        max_exchanges=4,
+    ),
 }
 
 

@@ -209,6 +209,73 @@ def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_median_nchars",
+    oracle="""
+    WITH c AS (
+      SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+    ), r AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM c
+    ), ks AS (
+      SELECT CAST((n + 1) // 2 AS BIGINT) AS k_lo,
+             CAST(n // 2 + 1 AS BIGINT) AS k_hi, n
+      FROM tot
+    )
+    SELECT ks.n AS n_docs,
+           CAST(min(CASE WHEN r.cum >= ks.k_lo THEN r.v END) AS BIGINT)
+             AS median_lo,
+           CAST(min(CASE WHEN r.cum >= ks.k_hi THEN r.v END) AS BIGINT)
+             AS median_hi
+    FROM r CROSS JOIN ks
+    GROUP BY ks.n
+    """,
+    doc=(
+        "EXACT distributed median (both order statistics, so the "
+        "even-n convention is the reader's choice) via the "
+        "census-and-cumulate selection pattern - the scalable way to "
+        "get exact percentiles without a global sort: groupBy the "
+        "VALUE (one partial-agg shuffle whose size is the value "
+        "domain, not the row count), cumulative-sum the counts in "
+        "value order, and the k-th element is the first value whose "
+        "cumulative count reaches k = (n+1) DIV 2 / n DIV 2 + 1. "
+        "The window runs over the value census (bounded domain; for "
+        "unbounded domains the same idea runs two passes - coarse "
+        "histogram, then explode only the k-th bucket). Exact "
+        "integers end to end - the audit twin of "
+        "text_token_quantiles_approx's mergeable-sketch scale path."
+    ),
+)
+def exact_median_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    r = c.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("v")).cast("long")
+    )
+    ks = c.agg(F.sum("cnt").alias("n")).select(
+        F.expr("CAST((n + 1) DIV 2 AS BIGINT)").alias("k_lo"),
+        F.expr("CAST(n DIV 2 + 1 AS BIGINT)").alias("k_hi"),
+        "n",
+    )
+    return (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("n").alias("n_docs"))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("v")))
+            .cast("long")
+            .alias("median_lo"),
+            F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("v")))
+            .cast("long")
+            .alias("median_hi"),
+        )
+    )
+
+
+@query(
     "text_novelty_score",
     oracle="""
     WITH toks AS (

@@ -552,3 +552,20 @@ def test_novelty_score_matches_python_model(spark, sf_dir):
         for r in text_novelty_score(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_exact_median_matches_python_model(spark, sf_dir):
+    """Census-selection median vs Python's sorted-list order
+    statistics on the real fixture (both lower and upper medians)."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.datapipe import exact_median_nchars
+
+    vals = sorted(
+        r.n_chars
+        for r in load_table(spark, sf_dir, "documents").select("n_chars").collect()
+    )
+    n = len(vals)
+    row = exact_median_nchars(spark, sf_dir).collect()[0]
+    assert row.n_docs == n
+    assert row.median_lo == vals[(n + 1) // 2 - 1]
+    assert row.median_hi == vals[n // 2]

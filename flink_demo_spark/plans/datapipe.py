@@ -622,6 +622,94 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+    ), common AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc1, doc2,
+             round(n_common / (n1.n + n2.n - n_common), 4) AS jaccard
+      FROM common
+      JOIN sizes n1 ON n1.doc_id = doc1
+      JOIN sizes n2 ON n2.doc_id = doc2
+      WHERE n_common / (n1.n + n2.n - n_common) >= 0.3
+    )
+    SELECT least(d1.source, d2.source) AS src_a,
+           greatest(d1.source, d2.source) AS src_b,
+           count(*) AS n_pairs,
+           max(p.jaccard) AS max_jaccard
+    FROM pairs p
+    JOIN documents d1 ON d1.doc_id = p.doc1
+    JOIN documents d2 ON d2.doc_id = p.doc2
+    GROUP BY 1, 2
+    ORDER BY src_a, src_b
+    """,
+    doc=(
+        "cross-source duplication matrix - the provenance audit run "
+        "when tuning a dedup pipeline (which sources copy from each "
+        "other, which self-duplicate): the verified Jaccard near-dup "
+        "pair stage joined back to each side's source, pair counts "
+        "and max similarity per unordered source pair "
+        "(least/greatest normalization). The per-(source a, source b) "
+        "matrix is what decides per-source dedup policy and crawl "
+        "dedup priorities. Two doc_id broadcast-or-shuffle joins over "
+        "the already-bounded pair list + one census agg - cost rides "
+        "the pair stage, which is the capped inverted index, never "
+        "all-pairs."
+    ),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc1"), F.col("source").alias("src1")
+            ),
+            "doc1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc2"), F.col("source").alias("src2")
+            ),
+            "doc2",
+        )
+    )
+    return (
+        j.select(
+            F.least("src1", "src2").alias("src_a"),
+            F.greatest("src1", "src2").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+@query(
     "dedup_jaccard_pairs",
     oracle="""
     WITH toks AS (

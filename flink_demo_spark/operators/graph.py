@@ -27,7 +27,7 @@ def pagerank_fixed_point(
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = 10**12,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Weighted PageRank in pure fixed-point integer arithmetic.
 
@@ -63,8 +63,11 @@ def pagerank_fixed_point(
     of edges/outdeg/nodes, or of ranks per round) SLOWS a 3-iteration
     run 1.3-1.7x at sf1 — job barriers cost more than the reuse saves.
     ``localCheckpoint`` every ``checkpoint_every`` rounds therefore
-    only truncates lineage on long runs, where Catalyst re-planning
-    would otherwise grow quadratically.
+    only truncates lineage on long runs. Note the growth rate: each
+    round references the prior rank frame TWICE, so the logical tree
+    doubles per round — plan size between checkpoints is exponential
+    (2^rounds), bounding Catalyst analysis time rather than execution;
+    the default cadence of 4 caps the tree at 16x per truncation.
     """
     e = edges.select(
         F.col(src).alias("__src"),

@@ -353,9 +353,10 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "across engines - no float keys, ties broken by doc_id. Plan: "
         "the top-(k+1) cut is TakeOrderedAndProject (map-side partial "
         "top-k per partition, k+1 rows to the driver stage - the "
-        "scalable global-top-k physical op); tau is a 1-row broadcast; "
-        "the row_number window runs over the already-cut 301-row frame "
-        "only. At 100 TB this is one scan + one O(k) merge."
+        "scalable global-top-k physical op); tau and the rank filter "
+        "both read the SAME already-cut 301-row frame (two window "
+        "functions over one tiny single-partition frame - no second "
+        "top-k branch). At 100 TB this is one scan + one O(k) merge."
     ),
 )
 def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,17 +368,24 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = docs.select("doc_id", "n_chars", pri.alias("priority"))
     top = s.orderBy(F.desc("priority"), "doc_id").limit(k + 1)
-    tau_row = top.agg(
-        F.when(F.count(F.lit(1)) >= k + 1, F.min("priority"))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("__tau")
-    )
+    # tau (the (k+1)-th priority, 0 when the whole population fits) is
+    # read off the SAME ranked 301-row frame as the output rows — one
+    # top-k branch, not two, so the corpus is scanned exactly once
+    # (a second agg branch on `top` would re-run the global top-k:
+    # TakeOrderedAndProject has no exchange for reuse to dedupe)
     w = Window.orderBy(F.desc("priority"), "doc_id")
+    everything = Window.partitionBy()
     return (
         top.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "__tau",
+            F.max(
+                F.when(F.col("rn") == k + 1, F.col("priority")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).over(everything),
+        )
         .where(F.col("rn") <= k)
-        .crossJoin(F.broadcast(tau_row))
         .select(
             "doc_id",
             "n_chars",

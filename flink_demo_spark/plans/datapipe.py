@@ -448,9 +448,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_bp_frame(docs)
 
 
-@query(
-    "quality_stratified_cut",
-    oracle=f"""
+# shared CTE prefix for the stratified-quality pair: per-doc quality
+# basis points (q) and the per-(lang, source) rank/census frame (r).
+# quality_stratified_cut reports the rank cut; streaming_quality_cut
+# serves the boundary thresholds derived from the SAME text — one copy,
+# so the train-batch and serve-stream semantics cannot desynchronize.
+_QCUT_CTES = f"""
     WITH s AS (
       SELECT doc_id, lang, source,
              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n,
@@ -471,7 +474,31 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY quality_bp DESC, doc_id) AS rn,
              count(*) OVER (PARTITION BY lang, source) AS n_stratum
       FROM q
+    )"""
+
+
+def stratum_quality_thresholds(docs: DataFrame) -> DataFrame:
+    """(lang, source, thr) — each stratum's boundary quality_bp (the
+    value at rank ceil(0.4n)), shared by the batch rank cut and the
+    streaming threshold serve. One (lang, source) shuffle serves both
+    window functions."""
+    q = quality_bp_frame(docs, keep=("source",))
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("quality_bp"), "doc_id"
     )
+    wc = Window.partitionBy("lang", "source")
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(wc))
+        .where(F.expr("rn = (4 * n_stratum + 9) DIV 10"))
+        .select("lang", "source", F.col("quality_bp").alias("thr"))
+    )
+
+
+@query(
+    "quality_stratified_cut",
+    oracle=_QCUT_CTES
+    + """
     SELECT doc_id, lang, source, quality_bp
     FROM r WHERE rn <= (4 * n_stratum + 9) // 10
     ORDER BY doc_id

@@ -1890,30 +1890,12 @@ def streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _qcut_serve_oracle() -> str:
-    from .datapipe import _SW
+    # same CTE text as quality_stratified_cut (one copy in datapipe),
+    # extended with the boundary-threshold serve semantics
+    from .datapipe import _QCUT_CTES
 
-    return f"""
-    WITH s AS (
-      SELECT doc_id, lang, source,
-             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n,
-             CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
-               AS BIGINT) AS d,
-             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                      x -> lower(x) IN ({_SW}))) AS BIGINT) AS sw
-      FROM documents
-    ), q AS (
-      SELECT doc_id, lang, source,
-             CAST(5000 * least(n, 50) // 50
-                  + (3000 * d) // n
-                  + (2000 * least(n, 10 * sw)) // n AS BIGINT) AS quality_bp
-      FROM s
-    ), r AS (
-      SELECT lang, source, quality_bp,
-             row_number() OVER (PARTITION BY lang, source
-                                ORDER BY quality_bp DESC, doc_id) AS rn,
-             count(*) OVER (PARTITION BY lang, source) AS n_stratum
-      FROM q
-    ), t AS (
+    return _QCUT_CTES + """
+    , t AS (
       SELECT lang, source, quality_bp AS thr
       FROM r WHERE rn = (4 * n_stratum + 9) // 10
     )
@@ -1948,21 +1930,10 @@ def _qcut_serve_oracle() -> str:
 def streaming_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
     from ..sources.streams import documents_stream
-    from .datapipe import quality_bp_frame
+    from .datapipe import quality_bp_frame, stratum_quality_thresholds
 
     static = load_table(spark, sf_dir, "documents")
-    q_static = quality_bp_frame(static, keep=("source",))
-    w = Window.partitionBy("lang", "source").orderBy(
-        F.desc("quality_bp"), "doc_id"
-    )
-    wc = Window.partitionBy("lang", "source")
-    thresholds = (
-        q_static.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_stratum", F.count(F.lit(1)).over(wc))
-        .where(F.expr("rn = (4 * n_stratum + 9) DIV 10"))
-        .select("lang", "source", F.col("quality_bp").alias("thr"))
-        .persist()
-    )
+    thresholds = stratum_quality_thresholds(static).persist()
 
     feed = documents_stream(spark, sf_dir)
     q_feed = quality_bp_frame(feed, keep=("source",))

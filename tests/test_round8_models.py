@@ -176,12 +176,16 @@ def test_pagerank_fixed_point_matches_python_model(spark):
     n_nodes, scale, d, iters = 9, 10**12, 85, 4
     edges = {}
     for _ in range(30):
-        u, v = rng.randrange(n_nodes - 1), rng.randrange(n_nodes - 1)
+        # sources drawn from 0..6 only, so node 7 provably has NO
+        # out-edges while RECEIVING rank mass (true dangling node) and
+        # node 8 is fully isolated — both no-out-edge branches covered
+        u, v = rng.randrange(n_nodes - 2), rng.randrange(n_nodes - 1)
         if u != v:
             edges[(u, v)] = edges.get((u, v), 0) + rng.randrange(1, 4)
-    # node 7 dangling-only (incoming edge, no outgoing); node 8 isolated
     edges[(0, 7)] = 2
     nodes = list(range(n_nodes))
+    assert not any(u == 7 or u == 8 for u, _ in edges)
+    assert any(v == 7 for _, v in edges)
 
     # pure-Python replay of the documented arithmetic contract
     outdeg = {}
@@ -264,16 +268,19 @@ def test_sample_priority_degenerate_small_population(spark):
     )
     s = df.select("doc_id", "n_chars", pri.alias("priority"))
     top = s.orderBy(F.desc("priority"), "doc_id").limit(k + 1)
-    tau_row = top.agg(
-        F.when(F.count(F.lit(1)) >= k + 1, F.min("priority"))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("__tau")
-    )
     out = (
-        top.withColumn("rn", F.row_number().over(Window.orderBy(F.desc("priority"), "doc_id")))
+        top.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("priority"), "doc_id"))
+        )
+        .withColumn(
+            "__tau",
+            F.max(
+                F.when(F.col("rn") == k + 1, F.col("priority")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).over(Window.partitionBy()),
+        )
         .where(F.col("rn") <= k)
-        .crossJoin(F.broadcast(tau_row))
         .select("doc_id", "n_chars", F.greatest("n_chars", "__tau").alias("est_weight"))
         .collect()
     )

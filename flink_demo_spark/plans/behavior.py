@@ -1371,3 +1371,61 @@ def pagerank_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = pages.select(F.col("page").alias("node")).distinct()
     pr = graph.pagerank_fixed_point(edges, nodes=nodes, iterations=3)
     return pr.select(F.col("node").alias("page"), "rank_fp")
+
+
+@query(
+    "events_rate_spikes",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, h, cnt,
+             CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS trail_events,
+             CAST(count(cnt) OVER w AS BIGINT) AS trail_hours
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(h AS TIMESTAMP) AS window_start,
+           cnt, trail_hours, trail_events
+    FROM t
+    WHERE trail_hours >= 6
+      AND cnt * trail_hours * 100 > 150 * trail_events
+    ORDER BY event_type, window_start
+    """,
+    doc=(
+        "ingest rate-spike detection - the volume-anomaly twin of the "
+        "distribution-drift monitor (drift watches WHAT arrives, this "
+        "watches HOW MUCH): per (event_type, hour) counts compared to "
+        "the trailing 24 observed hours, flagging hours 50% above the "
+        "trailing mean. The compare is pure integer cross-"
+        "multiplication (cnt * trail_hours * 100 > 150 * trail_events "
+        "- no float mean, no division), warm-up hours (< 6 trailing) "
+        "suppressed. Trailing frame is ROWS-based (observed hours), "
+        "identical on both engines. Plan: one partial-agg shuffle to "
+        "the (type, hour) census, then the window runs over census "
+        "rows (types x hours, bounded by the time span, never row "
+        "volume) - holds at any event rate."
+    ),
+)
+def events_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-24, -1)
+    )
+    t = c.withColumn(
+        "trail_events",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long"),
+    ).withColumn("trail_hours", F.count("cnt").over(w).cast("long"))
+    return t.where(
+        (F.col("trail_hours") >= 6)
+        & (F.col("cnt") * F.col("trail_hours") * 100 > 150 * F.col("trail_events"))
+    ).select("event_type", "window_start", "cnt", "trail_hours", "trail_events")

@@ -2060,3 +2060,52 @@ def streaming_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "keep_rate_bp"),
         output_mode="append",
     )
+
+
+def _rate_spikes_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["events_rate_spikes"].oracle
+
+
+@query(
+    "streaming_rate_spikes",
+    oracle=_rate_spikes_oracle_ref(),
+    doc=(
+        "ingest rate-spike detection on the LIVE feed - the streaming "
+        "twin of events_rate_spikes, built like streaming_drift_chi2: "
+        "ONE watermarked hourly window aggregation per event type "
+        "(complete mode - the bounded (type x hour) census), then the "
+        "trailing-24-observed-hours integer cross-multiplication runs "
+        "on the sink output, which is census-sized regardless of "
+        "event volume. Shares the batch oracle; the compare is pure "
+        "integer so batch and stream agree bit-for-bit."
+    ),
+)
+def streaming_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    w = F.window("ts", "1 hour").alias("w")
+    counts = run_available_now(
+        ev.groupBy("event_type", w).agg(F.count(F.lit(1)).alias("cnt")),
+        output_mode="complete",
+    )
+    ws = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("w.start"))
+        .rowsBetween(-24, -1)
+    )
+    t = counts.withColumn(
+        "trail_events",
+        F.coalesce(F.sum("cnt").over(ws), F.lit(0)).cast("long"),
+    ).withColumn("trail_hours", F.count("cnt").over(ws).cast("long"))
+    return t.where(
+        (F.col("trail_hours") >= 6)
+        & (F.col("cnt") * F.col("trail_hours") * 100 > 150 * F.col("trail_events"))
+    ).select(
+        "event_type",
+        F.col("w.start").alias("window_start"),
+        "cnt",
+        "trail_hours",
+        "trail_events",
+    )

@@ -1429,3 +1429,116 @@ def events_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("trail_hours") >= 6)
         & (F.col("cnt") * F.col("trail_hours") * 100 > 150 * F.col("trail_events"))
     ).select("event_type", "window_start", "cnt", "trail_hours", "trail_events")
+
+
+@query(
+    "browse_transition_topk",
+    oracle="""
+    WITH pages AS (
+      SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS page
+      FROM events
+    ), hops AS (
+      SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src,
+             page AS dst
+      FROM pages
+    ), edges AS (
+      SELECT src, dst, count(*) AS cnt FROM hops
+      WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2
+    ), outdeg AS (
+      SELECT src, CAST(sum(cnt) AS BIGINT) AS od FROM edges GROUP BY 1
+    ), r AS (
+      SELECT e.src, e.dst, e.cnt,
+             CAST(e.cnt * 10000 // o.od AS BIGINT) AS p_bp,
+             row_number() OVER (PARTITION BY e.src
+                                ORDER BY e.cnt DESC, e.dst) AS rk
+      FROM edges e JOIN outdeg o ON e.src = o.src
+    )
+    SELECT src, dst, cnt, p_bp, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    ORDER BY src, rk
+    """,
+    doc=(
+        "browse-graph Markov transitions, top-3 next pages per page - "
+        "the user-journey / prefetch model behind 'users who viewed X "
+        "go to Y' (and the transition matrix PageRank's random surfer "
+        "walks): the SAME lag-derived weighted edge list as "
+        "pagerank_browse, transition probability in exact integer "
+        "basis points (cnt * 1e4 DIV outdeg), per-src rank cut. The "
+        "grouped top-k rides WindowGroupLimit over one src shuffle; "
+        "the outdeg join is src-co-partitioned. Edges census-sized - "
+        "holds at any event volume."
+    ),
+)
+def browse_transition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pages = ev.select("user_id", "ts", "event_id", page.alias("page"))
+    hops = pages.select(
+        F.lag("page").over(w).alias("src"), F.col("page").alias("dst")
+    )
+    edges = (
+        hops.where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("cnt").cast("long").alias("od"))
+    rk = Window.partitionBy("src").orderBy(F.desc("cnt"), "dst")
+    return (
+        edges.join(outdeg, "src")
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            F.expr("CAST(cnt * 10000 DIV od AS BIGINT)").alias("p_bp"),
+        )
+        .withColumn("rk", F.row_number().over(rk).cast("long"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "user_event_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), u AS (
+      SELECT user_id,
+             CAST(sum(cnt) AS BIGINT) AS n_events,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+      FROM c GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           CAST(10000 - (sum_sq * 10000) // (n_events * n_events)
+                AS BIGINT) AS diversity_bp
+    FROM u
+    ORDER BY user_id
+    """,
+    doc=(
+        "behavioral diversity per user via the Gini-Simpson index in "
+        "EXACT integer basis points (1 - sum(p_i^2), computed as "
+        "10000 - sum(cnt^2)*1e4 DIV n^2 - no float probabilities, no "
+        "log): 0 = single-event-type users (bots / scrapers), high = "
+        "diverse engagement. The integer-exact stand-in for entropy "
+        "in user segmentation and bot filtering. Plan: one "
+        "(user, type) partial-agg shuffle collapsing into the per-"
+        "user census, then a second bounded agg - no window, no "
+        "join; both censuses are key-bounded at any event volume."
+    ),
+)
+def user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    u = c.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "CAST(10000 - (sum_sq * 10000) DIV (n_events * n_events) AS BIGINT)"
+        ).alias("diversity_bp"),
+    )

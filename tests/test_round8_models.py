@@ -576,3 +576,28 @@ def test_exact_median_matches_python_model(spark, sf_dir):
     assert row.n_docs == n
     assert row.median_lo == vals[(n + 1) // 2 - 1]
     assert row.median_hi == vals[n // 2]
+
+
+def test_user_event_diversity_matches_python_model(spark, sf_dir):
+    """Gini-Simpson basis points vs a Python replay on the real
+    fixture — exact integer floor, including single-type users
+    (diversity must be exactly 0, not epsilon)."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.plans.behavior import user_event_diversity
+
+    rows = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    counts: dict = {}
+    for r in rows:
+        counts.setdefault(r.user_id, {}).setdefault(r.event_type, 0)
+        counts[r.user_id][r.event_type] += 1
+    want = {}
+    for u, cs in counts.items():
+        n = sum(cs.values())
+        want[u] = (n, 10000 - sum(c * c for c in cs.values()) * 10000 // (n * n))
+
+    got = {
+        r.user_id: (r.n_events, r.diversity_bp)
+        for r in user_event_diversity(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(0 <= d <= 10000 for _, d in got.values())

@@ -509,6 +509,31 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=4,
     ),
+    # (type, hour) census + trailing window: two bounded-key shuffles
+    "events_rate_spikes": dict(
+        absent=["CartesianProduct", "SortMergeJoin", "Join"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    # (user, type) census collapsing into the per-user census
+    "user_event_diversity": dict(
+        absent=["CartesianProduct", "SortMergeJoin", "Join", "Window"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    # value census + cumulate; the k-frame is a 1-row broadcast
+    "exact_median_nchars": dict(
+        absent=["CartesianProduct", "SortMergeJoin"],
+        partial_agg=True,
+        max_exchanges=4,
+    ),
+    # per-src top-3 cut below the shuffle
+    "browse_transition_topk": dict(
+        contains=["WindowGroupLimit"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        partial_agg=True,
+        max_exchanges=6,
+    ),
 }
 
 

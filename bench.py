@@ -139,8 +139,11 @@ def main() -> None:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
             f.write("\n")
-    except OSError:
-        pass  # a read-only checkout must not break the bench line
+    except OSError as e:
+        # a read-only checkout must not break the bench line, but the
+        # loss of per-rep detail should leave a trace (ADVICE r8)
+        print(f"warning: BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
+        summary["detail_write_failed"] = str(e)
 
     line = json.dumps(summary)
     if len(line) > 1900:  # stay inside the driver's 2000-char tail window

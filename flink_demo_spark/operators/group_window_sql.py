@@ -105,8 +105,10 @@ def _inert_spans(sql: str) -> list[tuple[int, int]]:
             j = i + 1
             while j < n:
                 if sql[j] == c:
-                    if c != "`" and j + 1 < n and sql[j + 1] == c:
-                        j += 2  # doubled-quote escape
+                    if j + 1 < n and sql[j + 1] == c:
+                        # doubled-quote escape; backticks double too
+                        # (`a``b` is one identifier — ADVICE r8)
+                        j += 2
                         continue
                     break
                 j += 1

@@ -2217,8 +2217,16 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import wds
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE: this query materializes EAGERLY - the shard write (a
+    # foreachPartition job) runs at plan-construction time, so bench
+    # timings attribute the write to plan build. Each invocation gets
+    # its own fresh directory (mkdtemp): two concurrent sessions on
+    # the same sf_dir can no longer race writer-vs-reader on a shared
+    # path (ADVICE r8).
     key = sf_dir.strip("/").replace("/", "_")
-    out_dir = os.path.join(tempfile.gettempdir(), "flink_demo_spark_wds", key)
+    parent = os.path.join(tempfile.gettempdir(), "flink_demo_spark_wds")
+    os.makedirs(parent, exist_ok=True)
+    out_dir = tempfile.mkdtemp(prefix=key + "_", dir=parent)
     wds.write_tar_shards(
         docs.select(
             "doc_id",

@@ -202,6 +202,7 @@ def _previously_green() -> set[str]:
     import glob
     import json
     import os
+    import re
 
     global _GREEN_CACHE
     if _GREEN_CACHE is not None:
@@ -214,7 +215,14 @@ def _previously_green() -> set[str]:
     latest: dict[str, bool] = {}
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     try:
-        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        def _round_no(p: str) -> int:
+            # Sort by the parsed integer round number, not the raw path:
+            # lexicographic order breaks once rounds outgrow the zero
+            # padding (r100 < r99) or an unpadded file appears (ADVICE r8).
+            m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", os.path.basename(p))
+            return int(m.group(1)) if m else -1
+
+        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no):
             with open(path) as f:
                 rows = json.load(f)
             for name, r in rows.items():

@@ -65,13 +65,22 @@ def write_tar_shards(
     a repartition on the shard id, so each tar is written exactly
     once, members sorted by key — byte-deterministic output."""
     os.makedirs(out_dir, exist_ok=True)
+    # Clear stale shards: a prior run with different data or a larger
+    # num_shards would leave extra .tar files that the reader's *.tar
+    # glob silently picks up (ADVICE r8).
+    for stale in os.listdir(out_dir):
+        if stale.endswith(".tar") or stale.endswith(".tar.tmp"):
+            os.remove(os.path.join(out_dir, stale))
     exts = sorted(member_cols)
     sel = [F.col(key_col).cast("long").alias("__key")] + [
         F.col(member_cols[e]).alias(f"__m_{e}") for e in exts
     ]
     parts = (
         df.select(*sel)
-        .withColumn("__shard", (F.col("__key") % num_shards).cast("int"))
+        # pmod, not %: Spark's % follows the dividend's sign, so a
+        # negative key would yield shard -1 -> "shard--0001.tar" and a
+        # negative-width member name (ADVICE r8).
+        .withColumn("__shard", F.pmod(F.col("__key"), F.lit(num_shards)).cast("int"))
         .repartition(num_shards, F.col("__shard"))
     )
 
@@ -87,7 +96,10 @@ def write_tar_shards(
                 for r in items:
                     for e in exts:
                         data = bytes(r[f"__m_{e}"])
-                        info = tarfile.TarInfo(name=f"{r['__key']:012d}.{e}")
+                        # keys are hashed into non-negative member names so
+                        # a negative key cannot produce "-0000000001.txt"
+                        key = r["__key"] % (10**12)
+                        info = tarfile.TarInfo(name=f"{key:012d}.{e}")
                         info.size = len(data)
                         info.mtime = 0
                         info.uid = info.gid = 0

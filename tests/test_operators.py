@@ -1569,6 +1569,22 @@ def test_group_window_rewrite_literal_only_is_no_construct():
         )
 
 
+def test_group_window_rewrite_doubled_backtick_identifier():
+    """`a``TUMBLE(x, INTERVAL '1' HOUR)``b` is ONE backtick-quoted
+    identifier (`` escapes a literal backtick); the TUMBLE-shaped text
+    inside must stay inert (round-8 ADVICE)."""
+    from flink_demo_spark.operators.group_window_sql import rewrite_group_window_sql
+
+    ident = "`a``TUMBLE(x, INTERVAL '9' DAY)``b`"
+    sql = (
+        f"SELECT {ident} AS v, COUNT(*) AS cnt FROM t "
+        "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    out = rewrite_group_window_sql(sql)
+    assert ident in out  # identifier untouched
+    assert "GROUP BY window(ts, '1 hour')" in out
+
+
 # ---------------------------------------------------------------------------
 # exact-substring passage dedup (Lee et al.-style, round-8 brief #2)
 

@@ -165,3 +165,34 @@ def test_wds_tar_shards_byte_deterministic(spark, sf_dir, tmp_path):
              for n in names]
         )
     assert sums[0] == sums[1]
+
+
+def test_wds_tar_shards_negative_keys_and_stale_cleanup(spark, tmp_path):
+    """Negative keys must land in valid shards (pmod, not %) with
+    well-formed non-negative member names, and a re-write with fewer
+    shards must clear the prior run's stale tars (round-8 ADVICE)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.sources import wds
+
+    df = spark.createDataFrame(
+        [(-5, b"m5"), (-1, b"m1"), (0, b"z"), (7, b"p7")], "k long, payload binary"
+    ).select("k", F.col("payload").alias("pb"))
+    out = str(tmp_path / "neg")
+    wds.write_tar_shards(df, out, "k", {"bin": "pb"}, num_shards=4)
+    # pmod: -5 -> 3, -1 -> 3, 0 -> 0, 7 -> 3 (only populated shards exist;
+    # with % the negatives would have produced "shard--0001.tar" etc.)
+    names = sorted(os.listdir(out))
+    assert names == ["shard-00000.tar", "shard-00003.tar"]
+    members = wds.read_tar_shards(spark, os.path.join(out, "*.tar"))
+    keys = sorted(r.key for r in members.collect())
+    assert all(not k.startswith("-") and len(k) == 12 for k in keys)
+    assert len(keys) == 4
+    # stale cleanup: re-write the same dir with 2 shards; the old
+    # shard-00002/3 tars must be gone, not picked up by the glob
+    wds.write_tar_shards(df, out, "k", {"bin": "pb"}, num_shards=2)
+    # -5 -> 1, -1 -> 1, 0 -> 0, 7 -> 1; shard-00003.tar must be GONE
+    assert sorted(os.listdir(out)) == ["shard-00000.tar", "shard-00001.tar"]
+    assert wds.read_tar_shards(spark, os.path.join(out, "*.tar")).count() == 4

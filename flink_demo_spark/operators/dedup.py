@@ -59,6 +59,8 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.4,
     max_posting: int | None = None,
+    max_posting_frac: float | None = None,
+    min_posting_cap: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard >= threshold.
 
@@ -81,7 +83,23 @@ def jaccard_pairs(
     ``dropped_shingles``). The default is ``None`` (exact, uncapped) so
     callers are never silently approximate — scale-facing plans like
     ``dedup_jaccard_pairs`` opt into the cap explicitly.
+
+    A FIXED count does not travel across corpus sizes: the round-8 sf1
+    sweep measured that at 10x every near-dup shingle's posting list
+    outgrew ``max_posting=64`` and the candidate set emptied (engine
+    and oracle agreed — hash-green but blind). ``max_posting_frac``
+    expresses the cap as a DOCUMENT-FREQUENCY fraction of the corpus:
+    ``cap = max(min_posting_cap, ceil(frac * n_docs))``, computed with
+    exact integer arithmetic (``(n*num + den-1) DIV den`` from the
+    fraction's exact rational form — no float boundary flips) and a
+    1-row broadcast of the corpus count (no driver collect). Viral
+    boilerplate is a fraction-of-corpus phenomenon, so the fraction is
+    the quantity that stays meaningful from sf0.01 to 100 TB; the
+    ``min_posting_cap`` floor keeps tiny corpora exact. Mutually
+    exclusive with ``max_posting``.
     """
+    if max_posting is not None and max_posting_frac is not None:
+        raise ValueError("max_posting and max_posting_frac are mutually exclusive")
     # Each exploded row carries the doc's shingle-set size, so the
     # posting-list pairs already hold (n1, n2) — no size-table joins,
     # ONE scan of the corpus and two shuffles total.
@@ -117,6 +135,30 @@ def jaccard_pairs(
                 F.when(F.size("ids") > max_posting, 1).otherwise(0)
             ).alias("dropped_shingles"),
         ).where(F.size("ids") <= max_posting)
+    elif max_posting_frac is not None:
+        from fractions import Fraction
+
+        fr = Fraction(str(max_posting_frac))
+        num, den = fr.numerator, fr.denominator
+        # cap = max(floor_cap, ceil(frac * n_docs)) in EXACT integer
+        # arithmetic; n_docs rides a 1-row broadcast, never a collect.
+        n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+        cap = F.greatest(
+            F.lit(min_posting_cap).cast("long"),
+            F.expr(f"(__n_docs * {num} + {den - 1}) DIV {den}"),
+        )
+        posting = (
+            posting.crossJoin(F.broadcast(n_docs))
+            .withColumn("__cap", cap)
+            .observe(
+                "jaccard_posting_cap_frac",
+                F.sum(
+                    F.when(F.size("ids") > F.col("__cap"), 1).otherwise(0)
+                ).alias("dropped_shingles"),
+            )
+            .where(F.size("ids") <= F.col("__cap"))
+            .drop("__n_docs", "__cap")
+        )
     posting = posting.where(F.size("ids") > 1)
     # ids sorted by doc_id -> emit (ids[i], ids[j]) for i < j: doc1 < doc2
     pair = F.flatten(

@@ -663,8 +663,13 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), cap AS (
+      -- scale-relative posting cap: max(64, ceil(1% of corpus)),
+      -- exact integer arithmetic mirroring the engine
+      SELECT greatest(64, (count(*) + 99) // 100) AS c FROM documents
     ), kept AS (
-      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= (SELECT c FROM cap)
     ), common AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -705,7 +710,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     pairs = dedup.jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
     )
     src = docs.select("doc_id", "source")
     j = (
@@ -751,10 +756,15 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), cap AS (
+      -- mirror of the engine's SCALE-RELATIVE posting cap
+      -- (max_posting_frac=0.01, floor 64): ultra-frequent shingles —
+      -- a document-frequency FRACTION, the quantity that stays
+      -- meaningful from sf0.01 to 100 TB — leave the candidate index
+      SELECT greatest(64, (count(*) + 99) // 100) AS c FROM documents
     ), kept AS (
-      -- mirror of the engine's posting-list cap (max_posting=64):
-      -- ultra-frequent shingles leave the candidate index
-      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= (SELECT c FROM cap)
     ), common AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -771,15 +781,17 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "n-gram (3-shingle) Jaccard near-dup pairs via inverted index; "
-        "posting lists capped at 64 docs (skew guard, mirrored in the "
-        "oracle)."
+        "posting lists capped at max(64, 1% of corpus) docs — a "
+        "document-frequency FRACTION so the skew guard travels across "
+        "corpus sizes (a fixed 64 emptied the candidate set at sf1, "
+        "round-8 sweep), mirrored exactly in the oracle."
     ),
     bench=True,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     return dedup.jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
     )
 
 

@@ -31,6 +31,54 @@ def test_minhash_lsh_pairs_subset_of_jaccard(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_jaccard_fraction_cap_scale_relative(spark):
+    """max_posting_frac drops shingles whose document frequency
+    exceeds ceil(frac * n_docs) (floored at min_posting_cap), so the
+    boilerplate guard travels across corpus sizes — the fixed-count
+    cap emptied the candidate set at sf1 (round-8 sweep)."""
+    import pytest as _pytest
+
+    # 12 docs: docs 0-9 share a viral boilerplate trigram (df=10);
+    # docs 10 and 11 are near-dups sharing discriminative trigrams.
+    boiler = "click here to subscribe now"
+    dup = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(i, f"{boiler} filler{i} fill{i}er f{i}iller pad{i}") for i in range(10)]
+    rows += [(10, dup), (11, dup + " extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # frac cap: ceil(0.5 * 12) = 6 (floor 1) -> boilerplate shingles
+    # (df=10) leave the index; the near-dup pair survives on its own
+    # discriminative shingles.
+    capped = {
+        (r.doc1, r.doc2)
+        for r in dedup.jaccard_pairs(
+            df, "text", "doc_id", 3, 0.3,
+            max_posting_frac=0.5, min_posting_cap=1,
+        ).collect()
+    }
+    assert (10, 11) in capped
+    assert all(d1 >= 10 for d1, _ in capped)  # boilerplate-only pairs gone
+
+    # floor: with min_posting_cap=64 the cap never binds on 12 docs ->
+    # identical to exact/uncapped
+    exact = {
+        (r.doc1, r.doc2)
+        for r in dedup.jaccard_pairs(df, "text", "doc_id", 3, 0.3).collect()
+    }
+    floored = {
+        (r.doc1, r.doc2)
+        for r in dedup.jaccard_pairs(
+            df, "text", "doc_id", 3, 0.3, max_posting_frac=0.01
+        ).collect()
+    }
+    assert floored == exact
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        dedup.jaccard_pairs(
+            df, "text", "doc_id", 3, 0.3, max_posting=64, max_posting_frac=0.01
+        )
+
+
 def test_simhash_deterministic_and_discriminative(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     a = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}

@@ -969,7 +969,10 @@ def _run_stream_increment(recs, spec: MatchRecognizeSpec, ts_col):
 
 
 def streaming_match_recognize(
-    df: DataFrame, sql: str, state_payload_version: int = 2
+    df: DataFrame,
+    sql: str,
+    state_payload_version: int = 2,
+    state_layout: str = "v2",
 ) -> DataFrame:
     """Streaming twin of ``match_recognize``: per partition key, rows
     not yet resolvable stay in group state (pickled buffer) and
@@ -1003,8 +1006,14 @@ def streaming_match_recognize(
     restorable across upgrades — the tolerant analogue of Flink's
     savepoint migration (which fails restore on incompatible operator
     state). The short-lived two-FIELD ``(buf, match_no)`` layout
-    (round 7 only) predates this rule; those checkpoints need a fresh
-    directory.
+    (round 7 only) predates this rule, and Spark's state-schema
+    compatibility check rejects any FIELD-LIST change at restore — so
+    an r7 checkpoint cannot ride the single-field struct at all.
+    ``state_layout="r7"`` declares the matching two-field struct and
+    keeps writing it (a checkpoint's struct schema is fixed for its
+    lifetime): the pickled buffer reads/writes positionally from
+    field 0 and MATCH_NUMBER() continuity uses field 1, so r7
+    checkpoints restore losslessly — see MIGRATING.md.
 
     ``state_payload_version=1`` makes the WRITE side emit the bare v1
     row-list payload (reads always tolerate both) — the downgrade path
@@ -1021,6 +1030,8 @@ def streaming_match_recognize(
         raise ValueError(
             f"state_payload_version must be 1 or 2, got {state_payload_version}"
         )
+    if state_layout not in ("v2", "r7"):
+        raise ValueError(f"state_layout must be 'v2' or 'r7', got {state_layout}")
     spec = parse_match_recognize(sql)
     schema_map = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     if spec.all_rows:
@@ -1043,17 +1054,33 @@ def streaming_match_recognize(
     ts_col = spec.order_by[0] if spec.order_by else None
     order = spec.order_by or ([ts_col] if ts_col else [])
     part_cols = list(spec.partition_by)
-    state_schema = StructType([StructField("buf", BinaryType())])
+    if state_layout == "r7":
+        from pyspark.sql.types import LongType
+
+        state_schema = StructType(
+            [StructField("buf", BinaryType()), StructField("match_no", LongType())]
+        )
+    else:
+        state_schema = StructType([StructField("buf", BinaryType())])
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            (raw,) = state.get
-            payload = pickle.loads(raw)
+            if state_layout == "r7":
+                # round-7 two-field layout: positional read — buffer in
+                # field 0, MATCH_NUMBER counter in field 1
+                raw, mno_field = state.get
+                payload = pickle.loads(raw)
+                mno_field = int(mno_field) if mno_field is not None else 0
+            else:
+                (raw,) = state.get
+                payload = pickle.loads(raw)
+                mno_field = 0
             if isinstance(payload, tuple) and payload and payload[0] == "mr2":
                 _tag, buf, match_no = payload
             elif isinstance(payload, list):
-                # v1 payload: bare row list, no persisted MATCH_NUMBER
-                buf, match_no = payload, 0
+                # v1 payload: bare row list; MATCH_NUMBER comes from the
+                # r7 struct field when present, else restarts at 0
+                buf, match_no = payload, mno_field
             else:
                 raise ValueError(
                     "unrecognized match_recognize state payload "
@@ -1084,7 +1111,12 @@ def streaming_match_recognize(
             for ast, alias in spec.measures:
                 rec[alias] = _eval(ast, ctx)
             rows_out.append(rec)
-        if state_payload_version == 1:
+        if state_layout == "r7":
+            # keep the checkpoint's two-field shape: bare-list payload,
+            # counter in its own field — byte-compatible with what the
+            # round-7 engine wrote
+            state.update((pickle.dumps(buf[keep_from:]), match_no))
+        elif state_payload_version == 1:
             state.update((pickle.dumps(buf[keep_from:]),))
         else:
             state.update((pickle.dumps(("mr2", buf[keep_from:], match_no)),))

@@ -147,7 +147,13 @@ def materialize(mult: int, out_dir: str) -> None:
               file=sys.stderr)
 
 
-def run_probe(queries: list[str], sf1_dir: str, reps: int) -> dict:
+def run_probe(
+    queries: list[str],
+    big_dir: str,
+    reps: int,
+    small_dir: str = SRC,
+    ratio: float = 10.0,
+) -> dict:
     from flink_demo_spark.plans.registry import REGISTRY, _load_all
     from flink_demo_spark.session import get_spark
 
@@ -158,14 +164,19 @@ def run_probe(queries: list[str], sf1_dir: str, reps: int) -> dict:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    out: dict = {"sf_small": SRC, "sf_big": sf1_dir, "mult": 10, "queries": {}}
+    out: dict = {
+        "sf_small": small_dir,
+        "sf_big": big_dir,
+        "mult": ratio,
+        "queries": {},
+    }
     for name in queries:
         spec = REGISTRY.get(name)
         if spec is None:
             print(f"  !! unknown query {name}", file=sys.stderr)
             continue
         times = {}
-        for label, d in (("t_small", SRC), ("t_big", sf1_dir)):
+        for label, d in (("t_small", small_dir), ("t_big", big_dir)):
             best = None
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -173,7 +184,7 @@ def run_probe(queries: list[str], sf1_dir: str, reps: int) -> dict:
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
             times[label] = round(best, 3)
-        e = math.log(times["t_big"] / times["t_small"]) / math.log(10)
+        e = math.log(times["t_big"] / times["t_small"]) / math.log(ratio)
         times["exponent"] = round(e, 3)
         out["queries"][name] = times
         print(f"  {name}: {times['t_small']}s -> {times['t_big']}s  "
@@ -187,31 +198,64 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sfprobe_sf1")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument(
+        "--small-dir",
+        default=SRC,
+        help="baseline directory (set to a prior probe dir for a "
+        "second-decade measurement, e.g. /tmp/sfprobe_sf1)",
+    )
+    ap.add_argument(
+        "--small-mult",
+        type=int,
+        default=1,
+        help="the --mult that produced --small-dir (1 = pristine sf0.1); "
+        "the scaling exponent uses ratio = mult / small_mult",
+    )
+    ap.add_argument(
+        "--tag",
+        default="queries",
+        help="SCALE_PROBE.json key to merge results under "
+        "('queries' = the first-decade record; use e.g. "
+        "'second_decade' so decades don't overwrite each other)",
+    )
     args = ap.parse_args()
 
     print("materializing...", file=sys.stderr)
     materialize(args.mult, args.out)
     queries = [q for q in args.queries.split(",") if q]
-    result = run_probe(queries, args.out, args.reps)
+    ratio = args.mult / args.small_mult
+    result = run_probe(
+        queries, args.out, args.reps, small_dir=args.small_dir, ratio=ratio
+    )
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(here, "SCALE_PROBE.json")
     # merge per-query rows into the existing record so a partial probe
     # (e.g. only newly added queries) extends the artifact instead of
-    # truncating it to the probed subset
+    # truncating it to the probed subset; decades live under separate
+    # keys (--tag) so a second-decade run never overwrites the first
+    record = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
-            prior = json.load(f)
-        merged = dict(prior.get("queries", {}))
-        merged.update(result["queries"])
-        result["queries"] = merged
+            record = json.load(f)
+    merged = dict(record.get(args.tag, {}) if args.tag != "queries"
+                  else record.get("queries", {}))
+    merged.update(result["queries"])
+    if args.tag == "queries":
+        record.update({k: v for k, v in result.items() if k != "queries"})
+        record["queries"] = merged
+    else:
+        record[args.tag] = merged
+        record[f"{args.tag}_meta"] = {
+            "sf_small": args.small_dir, "sf_big": args.out, "ratio": ratio,
+        }
     with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(record, f, indent=1)
         f.write("\n")
 
-    print("| query | sf0.1 (s) | sf1 (s) | exponent |")
+    print(f"| query | small (s) | big (s) | exponent (ratio {ratio:g}) |")
     print("|---|---|---|---|")
-    for n, t in result["queries"].items():
+    for n, t in merged.items():
         print(f"| {n} | {t['t_small']} | {t['t_big']} | {t['exponent']} |")
 
 

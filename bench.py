@@ -132,11 +132,29 @@ def main() -> None:
     detail["queries_reps"] = {n: ts for n, ts in rep_times.items() if ts}
     if stream_eps_reps:
         detail["stream_events_per_sec_reps"] = stream_eps_reps
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    # per-round history: the driver writes BENCH_r{N}.json AFTER this
+    # run, so the next round number is 1 + the highest committed round
+    # — stamp it into the detail record and keep a per-round copy so
+    # per-rep history survives round-to-round overwrites (r8 verdict #7)
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p_ in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r0*(\d+)\.json$", p_))
+    ]
+    round_no = max(rounds, default=0) + 1
+    detail["round"] = round_no
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+        with open(
+            os.path.join(here, f"BENCH_DETAIL_r{round_no:02d}.json"), "w"
+        ) as f:
             json.dump(detail, f, indent=1)
             f.write("\n")
     except OSError as e:

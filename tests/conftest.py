@@ -34,3 +34,28 @@ def oracle_con():
         )
     yield con
     con.close()
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def state_store_provider(spark, provider):
+    """Pin the state-store provider ('hdfs' default or 'rocksdb') for
+    queries STARTED inside the block; always restores the session conf
+    (the shared session fixture must not leak provider choice)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -657,7 +657,8 @@ def test_streaming_equals_batch_on_random_splits(spark):
         )
 
 
-def test_streaming_restore_from_v1_state_payload(spark):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_streaming_restore_from_v1_state_payload(spark, provider):
     """Round-8: a checkpoint whose keyed state holds the ORIGINAL bare
     row-list payload (v1 engines persisted only the pickled buffer —
     no MATCH_NUMBER counter) must restore: a partial A+ run buffered
@@ -667,8 +668,13 @@ def test_streaming_restore_from_v1_state_payload(spark):
     Phase 1 runs the writer in its v1-downgrade mode
     (state_payload_version=1) to produce a byte-genuine v1 checkpoint;
     phase 2 resumes the SAME checkpoint with the default (tagged v2)
-    engine."""
+    engine. Parametrized over the state-store provider (round-8
+    verdict #6): the cross-version payload restore must also hold on a
+    RocksDB-backed checkpoint (snapshot/changelog files, columnar
+    encoding)."""
     import tempfile
+
+    from .conftest import state_store_provider
 
     from flink_demo_spark.operators.match_recognize import (
         match_recognize,
@@ -696,19 +702,20 @@ def test_streaming_restore_from_v1_state_payload(spark):
         ).parquet(f"{src}/{name}")
 
     def run_once(version):
-        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
-        q = (
-            streaming_match_recognize(
-                stream, sql, state_payload_version=version
+        with state_store_provider(spark, provider):
+            stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+            q = (
+                streaming_match_recognize(
+                    stream, sql, state_payload_version=version
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        assert q.awaitTermination(180)
+            assert q.awaitTermination(180)
 
     # split mid-A-run: the first match is undecided at the stop, so the
     # restored v1 buffer must carry it across the restart

@@ -8,6 +8,12 @@ their DuckDB oracles at the driver's scale factor.
     python tools/driver_sim.py --new         # queries with no green
                                              # CORRECTNESS_r*.json row
     python tools/driver_sim.py --all         # whole registry (slow)
+    python tools/driver_sim.py --all --record PARITY_SF001_r09.json
+                                             # also write a per-query
+                                             # JSON record (committed
+                                             # per round so the judge
+                                             # can audit the full gate
+                                             # without rerunning it)
 
 Exit code 0 iff every checked query matches (rows-only queries pass
 when they return >= 0 rows with a stable schema, like the driver).
@@ -64,6 +70,11 @@ def main() -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
 
     args = sys.argv[1:]
+    record_path = None
+    if "--record" in args:
+        i = args.index("--record")
+        record_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     if "--all" in args:
         names = list(qs)
     elif "--new" in args:
@@ -88,12 +99,14 @@ def main() -> int:
 
     normalize, diff_report = _load_normalize()
     failed = []
+    record: dict[str, dict] = {}
     for name in names:
         try:
             sdf = qs[name](spark, SF_DIR)
             srows = sdf.collect()
             if name not in oracles:
                 print(f"  {name}: rows-only, {len(srows)} rows — OK")
+                record[name] = {"status": "rows_only", "rows": len(srows)}
                 continue
             cols = sorted(sdf.columns)
             cur = con.execute(oracles[name])
@@ -109,9 +122,29 @@ def main() -> int:
                     + diff_report(sset, oset, 2).replace("\n", " | ")
                 )
             print(f"  {name}: {len(srows)} rows — MATCH")
+            record[name] = {"status": "match", "rows": len(srows)}
         except Exception as e:  # keep checking the rest
             failed.append(name)
-            print(f"  {name}: FAIL — {str(e).splitlines()[0][:160]}")
+            msg = str(e).splitlines()[0][:160]
+            print(f"  {name}: FAIL — {msg}")
+            record[name] = {"status": "fail", "err": msg}
+
+    if record_path:
+        import json
+
+        with open(record_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_checked": len(names),
+                    "n_green": len(names) - len(failed),
+                    "failed": failed,
+                    "queries": record,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
 
     print(
         f"{len(names) - len(failed)}/{len(names)} green at {SF_DIR}"

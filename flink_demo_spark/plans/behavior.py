@@ -1542,3 +1542,230 @@ def user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(10000 - (sum_sq * 10000) DIV (n_events * n_events) AS BIGINT)"
         ).alias("diversity_bp"),
     )
+
+
+@query(
+    "browse_triangle_count",
+    oracle="""
+    WITH pages AS (
+      SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS page
+      FROM events
+    ), hops AS (
+      SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src,
+             page AS dst
+      FROM pages
+    ), edges AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM hops WHERE src IS NOT NULL AND src <> dst
+    ), tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT a FROM edges UNION SELECT b FROM edges)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles
+    """,
+    doc=(
+        "triangle count on the undirected browse graph (distinct "
+        "page-to-page transition edges) - the classic graph-structure "
+        "census (clustering coefficient's numerator; navigation-loop "
+        "detection). Node-iterator formulation: edges oriented a < b, "
+        "wedges from joining edge lists on the shared middle vertex, "
+        "closed by a third join on the (low, high) endpoints - each "
+        "triangle counted exactly once. The edge set is the "
+        "page-pair CENSUS (bounded by catalog size squared, not event "
+        "volume), so after the one lag shuffle every join runs on "
+        "census-sized frames (broadcast at this SF; at 100 TB the "
+        "standard skew guard is degree-ordered orientation - "
+        "documented, not needed at catalog-bounded degree)."
+    ),
+)
+def browse_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        "user_id", "ts", "event_id", page.alias("page")
+    ).select(F.lag("page").over(w).alias("src"), F.col("page").alias("dst"))
+    edges = (
+        hops.where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    wedges = e1.join(F.broadcast(e2), "b").select("a", "c")
+    closed = wedges.join(
+        F.broadcast(edges.select(F.col("a"), F.col("b").alias("c"))),
+        ["a", "c"],
+        "inner",
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(ecnt)).crossJoin(F.broadcast(tri))
+    )
+
+
+@query(
+    "browse_path_topk",
+    oracle="""
+    WITH pages AS (
+      SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS page
+      FROM events
+    ), seq AS (
+      SELECT lag(page, 2) OVER w AS p1,
+             lag(page, 1) OVER w AS p2,
+             page AS p3
+      FROM pages
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS cnt
+      FROM seq WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT p1, p2, p3, cnt, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (ORDER BY cnt DESC, p1, p2, p3) AS rk
+      FROM paths
+    ) WHERE rk <= 20
+    ORDER BY rk
+    """,
+    doc=(
+        "top-20 three-page browse paths - the user-journey 'sankey' "
+        "query behind navigation redesigns (which 3-step flows "
+        "dominate): two lags per user build the path triples, the "
+        "triple CENSUS aggregates (bounded by catalog-size^3, in "
+        "practice the Zipf head - never event volume), and the global "
+        "top-20 ranks the census with a full tie-break "
+        "(cnt desc, then the triple) for determinism. ONE user_id "
+        "shuffle + one census agg; the final rank's single-partition "
+        "window runs on the census only."
+    ),
+)
+def browse_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", page.alias("page")).select(
+        F.lag("page", 2).over(w).alias("p1"),
+        F.lag("page", 1).over(w).alias("p2"),
+        F.col("page").alias("p3"),
+    )
+    paths = (
+        seq.where(F.col("p1").isNotNull() & F.col("p2").isNotNull())
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rk = Window.orderBy(F.desc("cnt"), "p1", "p2", "p3")
+    return (
+        paths.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .where(F.col("rk") <= 20)
+    )
+
+
+@query(
+    "events_hourly_mad_outliers",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY cnt, window_start) AS rk,
+             count(*) OVER () AS h
+      FROM hourly
+    ), med AS (
+      -- exact 2x-median from the two middle order statistics (equal
+      -- when h is odd): no float averaging anywhere
+      SELECT CAST(sum(CASE WHEN rk = (h + 1) // 2 THEN cnt ELSE 0 END)
+           + sum(CASE WHEN rk = h // 2 + 1 THEN cnt ELSE 0 END)
+             AS BIGINT) AS med2
+      FROM ranked
+    ), dev AS (
+      SELECT window_start, cnt,
+             CAST(abs(2 * cnt - (SELECT med2 FROM med)) AS BIGINT) AS dev2
+      FROM hourly
+    ), dranked AS (
+      SELECT *, row_number() OVER (ORDER BY dev2, window_start) AS rk,
+             count(*) OVER () AS h
+      FROM dev
+    ), mad AS (
+      SELECT CAST(sum(CASE WHEN rk = (h + 1) // 2 THEN dev2 ELSE 0 END)
+           + sum(CASE WHEN rk = h // 2 + 1 THEN dev2 ELSE 0 END)
+             AS BIGINT) AS mad4
+      FROM dranked
+    )
+    SELECT window_start, cnt, dev2,
+           (SELECT mad4 FROM mad) AS mad4,
+           CAST(2 * dev2 > 3 * (SELECT mad4 FROM mad) AS INT) AS is_outlier
+    FROM dev ORDER BY window_start
+    """,
+    doc=(
+        "hourly ingest-volume anomaly flags via MEDIAN ABSOLUTE "
+        "DEVIATION - the robust-statistics alternative to the "
+        "rate-spike ratio test (a single huge hour cannot drag the "
+        "baseline the way it drags a mean): hourly count census, "
+        "exact integer 2x-median from the two middle order "
+        "statistics, per-hour 2x-deviations, exact 4x-MAD the same "
+        "way, flag when |cnt - median| > 3 * MAD - all in scaled "
+        "integers (2x/4x clear the halves), bit-exact vs DuckDB. "
+        "Plan: ONE event shuffle into the hour census; both "
+        "order-statistic ranks and the flag math run on the census "
+        "(#hours rows), with the two 1-row medians broadcast back - "
+        "the exact-distributed-median pattern of "
+        "quantile_exact_median, applied twice."
+    ),
+)
+def events_hourly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    # exact integer order-statistic medians: rk = (h+1) DIV 2 and
+    # rk = h DIV 2 + 1 (equal when h is odd -> the sum doubles the
+    # middle element, keeping med2 = 2 * median integer-exact)
+    w1 = Window.orderBy("cnt", "window_start")
+    ranked = hourly.select(
+        "cnt",
+        F.row_number().over(w1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("h"),
+    )
+    med = ranked.agg(
+        (
+            F.sum(F.when(F.expr("rk = (h + 1) DIV 2"), F.col("cnt")).otherwise(0))
+            + F.sum(F.when(F.expr("rk = h DIV 2 + 1"), F.col("cnt")).otherwise(0))
+        ).cast("long").alias("med2")
+    )
+    dev = hourly.crossJoin(F.broadcast(med)).select(
+        "window_start", "cnt",
+        F.abs(2 * F.col("cnt") - F.col("med2")).cast("long").alias("dev2"),
+    )
+    w2 = Window.orderBy("dev2", "window_start")
+    dranked = dev.select(
+        "dev2",
+        F.row_number().over(w2).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("h"),
+    )
+    mad = dranked.agg(
+        (
+            F.sum(F.when(F.expr("rk = (h + 1) DIV 2"), F.col("dev2")).otherwise(0))
+            + F.sum(F.when(F.expr("rk = h DIV 2 + 1"), F.col("dev2")).otherwise(0))
+        ).cast("long").alias("mad4")
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "window_start", "cnt", "dev2", "mad4",
+        F.expr("CAST(2 * dev2 > 3 * mad4 AS INT)").alias("is_outlier"),
+    )

@@ -2134,3 +2134,249 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(
         (F.col("quality_bp") >= 6000) & (bucket < rate)
     )
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_distinct(list_transform(toks, x -> lower(x))))
+                  AS BIGINT) AS n_distinct,
+             CAST(len(list_distinct(list_filter(
+                    list_transform(toks, x -> lower(x)),
+                    x -> x IN ({_SW_LIST})))) AS BIGINT) AS n_sw_distinct
+      FROM t
+    ), r AS (
+      SELECT doc_id, n_words,
+             sum_len * 100 // n_words   AS mwl_c,
+             n_distinct * 10000 // n_words AS uniq_bp,
+             n_sw_distinct
+      FROM m
+    )
+    SELECT doc_id, n_words, mwl_c, uniq_bp, n_sw_distinct,
+           CAST(n_words BETWEEN 20 AND 100000 AS INT) AS r_len,
+           CAST(mwl_c BETWEEN 300 AND 1000 AS INT)    AS r_mwl,
+           CAST(uniq_bp >= 2000 AS INT)               AS r_uniq,
+           CAST(n_sw_distinct >= 2 AS INT)            AS r_sw,
+           CAST(n_words BETWEEN 20 AND 100000
+                AND mwl_c BETWEEN 300 AND 1000
+                AND uniq_bp >= 2000
+                AND n_sw_distinct >= 2 AS INT)         AS keep
+    FROM r ORDER BY doc_id
+    """,
+    doc=(
+        "Gopher-style quality rule bundle (Rae et al. 2021, "
+        "arXiv:2112.11446 §A1.1) per document, in EXACT integer "
+        "arithmetic: word-count bounds, mean word length in "
+        "centi-chars (sum_len*100 DIV n_words, canonical 3-10 chars), "
+        "unique-word fraction in basis points, and >=2 distinct "
+        "stopwords (the paper's 'stop word' rule); per-rule flags + "
+        "the conjunction keep bit, so downstream mixing can weight by "
+        "WHICH rule failed (the real pipeline's ablation knob). "
+        "Word-count lower bound tuned to the synthetic corpus (20 vs "
+        "the paper's 50), like text_repetition_filter. Pure map over "
+        "one token split per row - zero shuffles, whole-stage "
+        "codegen, trivially 100 TB-safe."
+    ),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules_frame(text.fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher rule projection (shared by the batch query and its
+    streaming twin): pure per-row math, no state, no shuffle."""
+    sw_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    staged = docs.select(
+        "doc_id", text.tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.size(
+            F.array_distinct(F.transform("toks", lambda t: F.lower(t)))
+        ).cast("long").alias("n_distinct"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.transform("toks", lambda t: F.lower(t)),
+                    lambda t: F.array_contains(sw_arr, t),
+                )
+            )
+        ).cast("long").alias("n_sw_distinct"),
+    )
+    r = staged.select(
+        "doc_id",
+        "n_words",
+        F.expr("sum_len * 100 DIV n_words").alias("mwl_c"),
+        F.expr("n_distinct * 10000 DIV n_words").alias("uniq_bp"),
+        "n_sw_distinct",
+    )
+    flags = {
+        "r_len": "n_words BETWEEN 20 AND 100000",
+        "r_mwl": "mwl_c BETWEEN 300 AND 1000",
+        "r_uniq": "uniq_bp >= 2000",
+        "r_sw": "n_sw_distinct >= 2",
+    }
+    out = r.select(
+        "doc_id", "n_words", "mwl_c", "uniq_bp", "n_sw_distinct",
+        *[F.expr(f"CAST({c} AS INT)").alias(n) for n, c in flags.items()],
+        F.expr(
+            "CAST(" + " AND ".join(flags.values()) + " AS INT)"
+        ).alias("keep"),
+    )
+    return out
+
+
+@query(
+    "text_oov_rate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> lower(x)) AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tk FROM t
+    ), census AS (
+      SELECT tk, count(*) AS freq FROM tok GROUP BY tk
+    ), vocab AS (
+      SELECT tk FROM (
+        SELECT tk, row_number() OVER (ORDER BY freq DESC, tk) AS rk
+        FROM census
+      ) WHERE rk <= 16
+    ), per_doc AS (
+      SELECT tok.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM tok LEFT JOIN vocab v ON tok.tk = v.tk
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           n_oov * 10000 // n_tokens AS oov_bp
+    FROM per_doc ORDER BY doc_id
+    """,
+    doc=(
+        "out-of-vocabulary rate per document against the corpus's own "
+        "top-16 token vocabulary (frequency desc, token asc "
+        "tie-break) - the tokenizer-coverage signal a training "
+        "pipeline watches when a new crawl slice arrives (rising OOV "
+        "= domain shift or junk). Plan: one token-census shuffle "
+        "(map-side partial agg absorbs the Zipf head), the vocabulary "
+        "rank runs on the Heaps-law-bounded census (single-partition "
+        "window over the census, never the corpus), and the vocab "
+        "BROADCASTS back onto the exploded token stream (hash join, "
+        "no shuffle) before the per-doc re-agg. At 100 TB the census "
+        "is the only global structure and it is vocabulary-sized."
+    ),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(text.tokens("text"), lambda t: F.lower(t))
+        ).alias("tk"),
+    )
+    census = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tk"))
+    vocab = (
+        census.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 16)
+        .select("tk", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.expr("n_oov * 10000 DIV n_tokens").alias("oov_bp"),
+    )
+
+
+_BLOCKLIST = ("slow", "spam", "casino", "scan")
+_BL_SQL = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> lower(x)) AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ({_BL_SQL})))
+                  AS BIGINT) AS n_hits,
+             CAST(len(list_distinct(list_filter(toks,
+                    x -> x IN ({_BL_SQL})))) AS BIGINT) AS n_terms
+      FROM t
+    )
+    SELECT doc_id, n_hits, n_terms,
+           n_hits * 10000 // n_tokens AS hit_bp,
+           CAST(n_hits * 10000 // n_tokens >= 500 AS INT) AS flagged
+    FROM m ORDER BY doc_id
+    """,
+    doc=(
+        "blocklist term filter - the word-list toxicity/spam screen "
+        "every corpus pipeline runs before model-based scoring: per "
+        "document, total blocklist token hits, distinct terms hit, "
+        "hit rate in exact integer basis points, and the flag at "
+        ">=5% density (a DENSITY cut, not mere presence - one "
+        "incidental term never flags a long doc). The term list "
+        "ships as an array literal folded per row entirely inside "
+        "whole-stage codegen: pure map, zero shuffles, zero joins - "
+        "the shape that lets a 100 TB screen run at scan speed. "
+        "(Terms chosen to hit the synthetic corpus; production lists "
+        "plug into the same literal.)"
+    ),
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    staged = docs.select(
+        "doc_id",
+        text.bind(
+            F.transform(text.tokens("text"), lambda t: F.lower(t)),
+            lambda toks: F.struct(
+                F.size(toks).cast("long").alias("n_tokens"),
+                F.size(
+                    F.filter(toks, lambda t: F.array_contains(bl, t))
+                ).cast("long").alias("n_hits"),
+                F.size(
+                    F.array_distinct(
+                        F.filter(toks, lambda t: F.array_contains(bl, t))
+                    )
+                ).cast("long").alias("n_terms"),
+            ),
+        ).alias("m"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("m.n_hits").alias("n_hits"),
+        F.col("m.n_terms").alias("n_terms"),
+        F.expr("m.n_hits * 10000 DIV m.n_tokens").alias("hit_bp"),
+        F.expr(
+            "CAST(m.n_hits * 10000 DIV m.n_tokens >= 500 AS INT)"
+        ).alias("flagged"),
+    )

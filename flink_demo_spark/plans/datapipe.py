@@ -2856,3 +2856,78 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, cents, id_col="vec_id", vec_col="embedding", k=5,
         nprobe=2,
     )
+
+
+@query(
+    "knn_graph_mutual",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ), d AS (
+      SELECT d1 AS src, d2 AS dst, s FROM p
+      UNION ALL SELECT d2, d1, s FROM p
+    ), k AS (
+      SELECT * FROM (
+        SELECT src, dst, s,
+               row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
+        FROM d
+      ) WHERE rk <= 3
+    )
+    SELECT k1.src AS a, k1.dst AS b,
+           CAST(k1.rk AS BIGINT) AS rank_ab,
+           CAST(k2.rk AS BIGINT) AS rank_ba,
+           k1.s AS cosine_sim
+    FROM k k1 JOIN k k2 ON k1.src = k2.dst AND k1.dst = k2.src
+    WHERE k1.src < k1.dst
+    ORDER BY a, b
+    """,
+    doc=(
+        "mutual k-nearest-neighbor graph (k=3, exact cosine) over the "
+        "embedding corpus - the structure semantic-clustering and "
+        "graph-based dedup (SemDeDup-style communities, UMAP/HNSW "
+        "seeding) start from: an edge survives only if EACH endpoint "
+        "ranks the other in its top-3 (mutuality kills hub edges). "
+        "Built on the block-pair exact-cosine kernel (no driver "
+        "collect, fold-order-exact values that hash-match DuckDB's "
+        "list_dot_product), both directed top-3 cuts ride "
+        "WindowGroupLimit on the vec_id shuffle, and the mutual check "
+        "is a self-join on the reversed key. Exact all-pairs kNN is "
+        "quadratic BY DEFINITION - at 100 TB the same mutual/rank "
+        "plumbing runs on the IVF candidate lists "
+        "(similarity_ivf_topk) instead of the exact pair base."
+    ),
+)
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=-1.0)
+    directed = pairs.select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst"), "cosine_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("doc2").alias("src"), F.col("doc1").alias("dst"), "cosine_sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"), F.asc("dst"))
+    topk = directed.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+    t1 = topk.alias("t1")
+    t2 = topk.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src"),
+        F.col("rk").alias("rk_back"),
+    ).alias("t2")
+    return (
+        t1.join(t2, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.col("rk").cast("long").alias("rank_ab"),
+            F.col("rk_back").cast("long").alias("rank_ba"),
+            "cosine_sim",
+        )
+    )

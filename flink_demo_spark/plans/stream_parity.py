@@ -2291,3 +2291,31 @@ def streaming_user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFram
             "CAST(10000 - (sum_sq * 10000) DIV (n_events * n_events) AS BIGINT)"
         ).alias("diversity_bp"),
     )
+
+
+def _gopher_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["quality_gopher_rules"].oracle
+
+
+@query(
+    "streaming_gopher_rules",
+    oracle=_gopher_oracle_ref(),
+    doc=(
+        "Gopher quality rules on the LIVE document feed - the "
+        "streaming twin of quality_gopher_rules and the shape of a "
+        "real crawl-ingest filter (rules run AS documents arrive, "
+        "junk never reaches storage). Pure stateless per-row math, so "
+        "the stream runs in append mode with no state store at all - "
+        "the cheapest possible streaming operator - and shares the "
+        "batch oracle bit-for-bit (all-integer rule arithmetic)."
+    ),
+)
+def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import documents_stream
+    from .corpus import gopher_rules_frame
+
+    docs = documents_stream(spark, sf_dir)
+    return run_available_now(gopher_rules_frame(docs), output_mode="append")

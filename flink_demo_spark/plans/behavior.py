@@ -1597,6 +1597,10 @@ def browse_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        # the census-sized edge set feeds FOUR consumers (wedge join,
+        # closing join, node census, edge count) — persist it so the
+        # event scan + lag shuffle run once, not per consumer
+        .persist()
     )
     e1 = edges.alias("e1")
     e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
@@ -1730,9 +1734,12 @@ def browse_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hourly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    # the hour census feeds four consumers (median rank, deviation
+    # projection, MAD rank, output) — persist so the event scan and
+    # its shuffle run once; the census is #hours-sized
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("window_start")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt")).persist()
 
     # exact integer order-statistic medians: rk = (h+1) DIV 2 and
     # rk = h DIV 2 + 1 (equal when h is odd -> the sum doubles the

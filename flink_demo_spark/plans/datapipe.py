@@ -2869,6 +2869,9 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (sqrt(list_dot_product(a.v, a.v))
                       * sqrt(list_dot_product(b.v, b.v))), 6) AS s
       FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     ), d AS (
       SELECT d1 AS src, d2 AS dst, s FROM p
       UNION ALL SELECT d2, d1, s FROM p
@@ -2889,23 +2892,32 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "mutual k-nearest-neighbor graph (k=3, exact cosine) over the "
-        "embedding corpus - the structure semantic-clustering and "
-        "graph-based dedup (SemDeDup-style communities, UMAP/HNSW "
-        "seeding) start from: an edge survives only if EACH endpoint "
-        "ranks the other in its top-3 (mutuality kills hub edges). "
-        "Built on the block-pair exact-cosine kernel (no driver "
-        "collect, fold-order-exact values that hash-match DuckDB's "
-        "list_dot_product), both directed top-3 cuts ride "
-        "WindowGroupLimit on the vec_id shuffle, and the mutual check "
-        "is a self-join on the reversed key. Exact all-pairs kNN is "
-        "quadratic BY DEFINITION - at 100 TB the same mutual/rank "
-        "plumbing runs on the IVF candidate lists "
-        "(similarity_ivf_topk) instead of the exact pair base."
+        "similarity-candidate pair base (cosine >= 0.4) - the "
+        "structure semantic-clustering and graph-based dedup "
+        "(SemDeDup-style communities) start from: an edge survives "
+        "only if EACH endpoint ranks the other in its top-3 AMONG its "
+        "candidates (mutuality kills hub edges; the threshold floor "
+        "is where community building operates anyway). Built on the "
+        "same block-pair exact-cosine kernel as "
+        "dedup_embedding_cosine (no driver collect, BLAS candidate "
+        "filter + fold-order-exact recompute that hash-matches "
+        "DuckDB's list_dot_product - and the threshold keeps the "
+        "exact-recompute set SPARSE, the property that let that "
+        "kernel pass the sf1 sweep); both directed top-3 cuts ride "
+        "WindowGroupLimit, the mutual check is a self-join on the "
+        "reversed key. Unthresholded exact kNN is quadratic BY "
+        "DEFINITION - at 100 TB the same mutual/rank plumbing runs "
+        "on IVF candidate lists (similarity_ivf_topk) instead."
     ),
 )
 def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=-1.0)
+    # the block-pair kernel is the expensive stage and feeds four plan
+    # consumers (two union branches x the t1/t2 self-join) — persist
+    # the sparse thresholded pair set so the kernel runs ONCE
+    pairs = similarity.cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).persist()
     directed = pairs.select(
         F.col("doc1").alias("src"), F.col("doc2").alias("dst"), "cosine_sim"
     ).unionByName(

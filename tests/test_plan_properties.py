@@ -52,11 +52,62 @@ EXPECT = {
         contains=["WindowGroupLimit"], partial_agg=True, max_exchanges=2
     ),
     "pv_uv_hourly": dict(partial_agg=True, max_exchanges=2),
+    # round-9 additions -------------------------------------------------
+    # pure-map quality screens: rules fold inside whole-stage codegen,
+    # zero shuffles, zero joins, zero aggregates
+    "quality_gopher_rules": dict(
+        absent=["HashAggregate", "SortMergeJoin", "CartesianProduct",
+                "BroadcastHashJoin"],
+        max_exchanges=0,
+    ),
+    "text_blocklist_filter": dict(
+        absent=["HashAggregate", "SortMergeJoin", "CartesianProduct",
+                "BroadcastHashJoin"],
+        max_exchanges=0,
+    ),
+    # the top-16 vocabulary must BROADCAST back onto the exploded token
+    # stream; the census rank collapses to a TakeOrdered, not a window
+    # over the corpus
+    "text_oov_rate": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    # census-sized graph joins all broadcast off ONE persisted edge set
+    # (a single base scan); nothing sort-merges
+    "browse_triangle_count": dict(
+        contains=["BroadcastHashJoin", "InMemoryRelation"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        max_exchanges=6,
+    ),
+    # global top-20 on the triple census rides TakeOrderedAndProject
+    # (limit pushed into the shuffle read), never a full census sort
+    "browse_path_topk": dict(
+        contains=["TakeOrderedAndProject"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    # both order-statistic medians broadcast as 1-row frames off the
+    # persisted hour census (single base scan)
+    "events_hourly_mad_outliers": dict(
+        contains=["BroadcastNestedLoopJoin", "InMemoryRelation"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        max_exchanges=4,
+    ),
+    # the block-pair kernel must run ONCE (persisted) with the directed
+    # top-3 cuts riding WindowGroupLimit
+    "knn_graph_mutual": dict(
+        contains=["WindowGroupLimit", "InMemoryRelation"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        max_exchanges=3,
+    ),
     # shingle groupBy + pair groupBy only — registry results carry NO
     # final sort (driver hash and local oracle compare are both
     # order-insensitive; a presentation sort would funnel the
-    # table-proportional pair list through one task)
-    # the scale-relative posting cap (max_posting_frac) rides a 1-row
+    # table-proportional pair list through one task). The
+    # scale-relative posting cap (max_posting_frac) rides a 1-row
     # corpus-count broadcast (BroadcastNestedLoopJoin over one row +
     # one single-partition scalar-agg exchange — the
     # embedding_int8_quant pattern); pair math itself still never

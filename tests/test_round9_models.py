@@ -222,16 +222,18 @@ def test_knn_graph_mutual_matches_numpy_model(spark, sf_dir):
             if j <= i:
                 continue
             vj = emb[j]
-            s = round(float(np.dot(vi, vj)) / (ni * float(np.sqrt(np.dot(vj, vj)))), 6)
-            sims[(i, j)] = s
+            raw = float(np.dot(vi, vj)) / (ni * float(np.sqrt(np.dot(vj, vj))))
+            if raw >= 0.4:  # the query's candidate floor
+                sims[(i, j)] = round(raw, 6)
 
     def topk(src):
         cand = []
         for dst in ids:
             if dst == src:
                 continue
-            s = sims[(min(src, dst), max(src, dst))]
-            cand.append((-s, dst))
+            key = (min(src, dst), max(src, dst))
+            if key in sims:
+                cand.append((-sims[key], dst))
         cand.sort()
         return {dst: rk + 1 for rk, (_, dst) in enumerate(cand[:3])}
 

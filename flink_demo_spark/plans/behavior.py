@@ -1776,3 +1776,207 @@ def events_hourly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start", "cnt", "dev2", "mad4",
         F.expr("CAST(2 * dev2 > 3 * mad4 AS INT)").alias("is_outlier"),
     )
+
+
+def _session_sql_ctes() -> str:
+    """Shared session-assignment CTEs (1-hour inactivity gap, ordered
+    by (ts, event_id)): `sess` has one row per event with its session
+    ordinal `sid`. The chained-min funnel formulation downstream
+    avoids DuckDB's grouped-list fold (see _funnel_oracle)."""
+    return """
+    base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             props
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                     WHEN ts >= lag(ts) OVER w + INTERVAL 1 HOUR THEN 1
+                     ELSE 0 END AS is_new
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type, props,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )"""
+
+
+def _session_funnel_oracle() -> str:
+    steps = _FUNNEL_STEPS
+    ctes = [
+        _session_sql_ctes(),
+        """e AS (
+      SELECT user_id, sid,
+             epoch_us(ts)::HUGEINT * 1000000000 + event_id AS k,
+             CASE event_type """
+        + " ".join(f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(steps))
+        + """ ELSE 0 END AS si
+      FROM sess
+    )""",
+        "t1 AS (SELECT user_id, sid, min(k) AS k1 FROM e WHERE si = 1"
+        " GROUP BY user_id, sid)",
+    ]
+    for i in range(2, len(steps) + 1):
+        ctes.append(
+            f"t{i} AS (SELECT e.user_id, e.sid, min(e.k) AS k{i}"
+            f" FROM e JOIN t{i - 1} USING (user_id, sid)"
+            f" WHERE e.si = {i} AND e.k > t{i - 1}.k{i - 1}"
+            f" GROUP BY e.user_id, e.sid)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{s}' AS step_name,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM t{i + 1})"
+        f" AS n_sessions_reached"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {selects}\n    ORDER BY step"
+
+
+@query(
+    "session_funnel_conversion",
+    oracle=_session_funnel_oracle(),
+    doc=(
+        "funnel conversion SCOPED TO SESSIONS (1-hour inactivity gap) "
+        "- the production funnel shape (funnel_conversion's own "
+        "docstring names the per-funnel time scope as the knob that "
+        "bounds per-key state; this query IS that knob): sessions "
+        "assign via the lag-gap cumulative-sum trick on one user_id "
+        "shuffle (both window passes reuse the partitioning), then "
+        "each (user, session) folds the ordered step sequence exactly "
+        "like the global funnel and one conditional aggregate counts "
+        "sessions reaching each cumulative stage. Per-task state is "
+        "one SESSION's events - bounded by the gap horizon at any "
+        "event volume, the property the unscoped funnel lacks. The "
+        "oracle replays it with the chained-min formulation (not "
+        "list_reduce - see _funnel_oracle's DuckDB-bug note)."
+    ),
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(gap.isNull() | (gap >= 3600), 1).otherwise(0).alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    si = F.lit(0).cast("long")
+    for i, s in enumerate(_FUNNEL_STEPS):
+        si = F.when(F.col("event_type") == s, i + 1).otherwise(si)
+    per_sess = (
+        sess.select(
+            "user_id", "sid",
+            F.struct(
+                F.col("ts"), F.col("event_id").alias("eid"), si.alias("si")
+            ).alias("e"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.array_sort(F.collect_list("e")).alias("evts"))
+        .select(
+            F.aggregate(
+                F.transform("evts", lambda s: s["si"]),
+                F.lit(0).cast("long"),
+                lambda a, b: F.when(b == a + 1, b).otherwise(a),
+            ).alias("stage")
+        )
+    )
+    agg = per_sess.agg(
+        *[
+            F.sum(F.when(F.col("stage") >= i + 1, 1).otherwise(0))
+            .cast("long")
+            .alias(f"r{i + 1}")
+            for i in range(len(_FUNNEL_STEPS))
+        ]
+    )
+    stack = ", ".join(
+        f"{i + 1}, '{s}', r{i + 1}" for i, s in enumerate(_FUNNEL_STEPS)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_FUNNEL_STEPS)}, {stack})"
+            " AS (step, step_name, n_sessions_reached)"
+        )
+    ).select(
+        F.col("step").cast("int"), "step_name",
+        F.col("n_sessions_reached").cast("long"),
+    )
+
+
+@query(
+    "session_page_pairs_topk",
+    oracle="WITH " + _session_sql_ctes() + """
+    , pp AS (
+      SELECT DISTINCT user_id, sid, CAST(props->>'$.k' AS INT) AS page
+      FROM sess
+    ), pairs AS (
+      SELECT a.page AS pa, b.page AS pb, CAST(count(*) AS BIGINT) AS cnt
+      FROM pp a JOIN pp b
+        ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+      GROUP BY 1, 2
+    )
+    SELECT pa, pb, cnt, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (ORDER BY cnt DESC, pa, pb) AS rk
+      FROM pairs
+    ) WHERE rk <= 15
+    ORDER BY rk
+    """,
+    doc=(
+        "pages co-visited within a session, top-15 pairs - the "
+        "market-basket / 'viewed together' co-occurrence query behind "
+        "related-content modules: sessions from the same lag-gap "
+        "cumulative sum as session_funnel_conversion, distinct pages "
+        "per (user, session), unordered in-session pairs generated "
+        "IN-FLIGHT from each session's sorted page set (the "
+        "jaccard_pairs posting-list expansion - array lambdas, no "
+        "self-join of an event-scale table), pair census counted, "
+        "global top-15 with a full tie-break riding "
+        "TakeOrderedAndProject on the census. Per-session pair "
+        "fan-out is C(pages-in-session, 2) - bounded by the session "
+        "gap horizon, the same guard the funnel twin documents."
+    ),
+)
+def session_page_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.select(
+        "user_id", "ts", "event_id", page.alias("page"),
+        F.when(gap.isNull() | (gap >= 3600), 1).otherwise(0).alias("is_new"),
+    ).withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sets = (
+        sess.select("user_id", "sid", "page")
+        .distinct()
+        .groupBy("user_id", "sid")
+        .agg(F.array_sort(F.collect_list("page")).alias("pages"))
+    )
+    pair = F.flatten(
+        F.transform(
+            F.col("pages"),
+            lambda x, i: F.transform(
+                F.slice(F.col("pages"), i + 2, F.size(F.col("pages"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rk = Window.orderBy(F.desc("cnt"), "pa", "pb")
+    return (
+        pairs.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .where(F.col("rk") <= 15)
+    )

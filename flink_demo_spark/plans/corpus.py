@@ -2380,3 +2380,59 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(m.n_hits * 10000 DIV m.n_tokens >= 500 AS INT)"
         ).alias("flagged"),
     )
+
+
+@query(
+    "corpus_source_gini",
+    oracle="""
+    WITH census AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT toks, row_number() OVER (ORDER BY toks, source) AS i,
+             count(*) OVER () AS n,
+             sum(toks) OVER () AS total
+      FROM census
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_sources,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           CAST(sum((2 * i - n - 1) * toks) * 10000
+                // (max(n) * max(total)) AS BIGINT) AS gini_bp
+    FROM ranked
+    """,
+    doc=(
+        "corpus balance audit: EXACT integer Gini coefficient over "
+        "per-source token counts (sum((2i-n-1)*x_i) / (n*total) on "
+        "the ascending order statistics, in basis points) - the "
+        "one-number imbalance signal a mixing stage watches (0 = "
+        "perfectly balanced sources, ->10000 = one source dominates); "
+        "the same census the waterfilling budget allocator consumes, "
+        "reduced to its inequality summary. ONE corpus shuffle into "
+        "the source census; the rank and the weighted sum run on the "
+        "census (#sources rows). The order-statistic weight is "
+        "tie-stable: equal counts permute only among equal x_i, "
+        "leaving the sum unchanged."
+    ),
+)
+def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    census = docs.groupBy("source").agg(
+        F.sum(F.size(text.tokens("text"))).cast("long").alias("toks")
+    )
+    w = Window.orderBy("toks", "source")
+    ranked = census.select(
+        "toks",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("toks").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("total").cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST(sum((2 * i - n - 1) * toks) * 10000"
+            " DIV (max(n) * max(total)) AS BIGINT)"
+        ).alias("gini_bp"),
+    )

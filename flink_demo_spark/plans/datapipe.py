@@ -2943,3 +2943,88 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine_sim",
         )
     )
+
+
+@query(
+    "embedding_label_drift",
+    oracle="""
+    WITH x AS (
+      SELECT label, generate_subscripts(embedding::DOUBLE[], 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ), lc AS (
+      SELECT label, pos,
+             CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mv
+      FROM x GROUP BY 1, 2
+    ), la AS (
+      SELECT label, list(mv ORDER BY pos) AS lv FROM lc GROUP BY 1
+    ), gc AS (
+      SELECT pos,
+             CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mv
+      FROM x GROUP BY 1
+    ), ga AS (
+      SELECT list(mv ORDER BY pos) AS gv FROM gc
+    ), n AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY 1
+    )
+    SELECT la.label, n.n_vecs,
+           round(list_dot_product(lv, gv)
+                 / (sqrt(list_dot_product(lv, lv))
+                    * sqrt(list_dot_product(gv, gv))), 6) AS cos_to_global
+    FROM la JOIN n ON la.label = n.label CROSS JOIN ga
+    ORDER BY la.label
+    """,
+    doc=(
+        "per-label embedding centroid drift vs the global centroid - "
+        "the representation-health audit run when a new data slice "
+        "lands (a label whose centroid swings away from the corpus "
+        "centroid signals distribution shift or a broken encoder): "
+        "per-dimension DECIMAL-exact means (the embedding_kmeans "
+        "update contract, so engine and oracle centroids are "
+        "bit-identical), centroid arrays reassembled in dimension "
+        "order, cosine via the sequential fold that matches DuckDB's "
+        "list_dot_product bit-for-bit. Plan: one posexplode -> "
+        "(label, dim) partial-agg shuffle (the census is "
+        "#labels x dim), the global centroid derives from the same "
+        "exploded pass, and the final cosine folds #labels rows "
+        "against a 1-row broadcast. Never materializes pairwise "
+        "anything - linear scan, census-sized everything after."
+    ),
+)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    ).persist()
+    x = emb.select("label", F.posexplode("v").alias("pos", "val"))
+    dec = F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+    lc = x.groupBy("label", "pos").agg(
+        (dec / F.count(F.lit(1))).alias("mv")
+    )
+    la = lc.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("lv")
+    )
+    gc = x.groupBy("pos").agg((dec / F.count(F.lit(1))).alias("mv"))
+    ga = gc.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("gv")
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — the list_dot_product fold
+        F.zip_with(a, b, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    j = la.join(n, "label").crossJoin(F.broadcast(ga))
+    cos = dot(F.col("lv"), F.col("gv")) / (
+        F.sqrt(dot(F.col("lv"), F.col("lv")))
+        * F.sqrt(dot(F.col("gv"), F.col("gv")))
+    )
+    return j.select(
+        "label", "n_vecs", F.round(cos, 6).alias("cos_to_global")
+    )

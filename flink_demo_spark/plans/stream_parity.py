@@ -2319,3 +2319,138 @@ def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = documents_stream(spark, sf_dir)
     return run_available_now(gopher_rules_frame(docs), output_mode="append")
+
+
+def _triangle_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["browse_triangle_count"].oracle
+
+
+@query(
+    "streaming_browse_triangles",
+    oracle=_triangle_oracle_ref(),
+    doc=(
+        "browse-graph triangle census on the LIVE stream - streaming "
+        "twin of browse_triangle_count: per-user journeys accumulate "
+        "as the single incremental complete-mode collect_list "
+        "aggregation (the streaming_browse_transitions state shape), "
+        "the sink output zips consecutive visits into undirected "
+        "distinct edges, and the wedge/closure joins + node/edge "
+        "censuses run on the PAGE-PAIR census (catalog-bounded, never "
+        "event-sized). Shares the batch oracle - pure integer counts, "
+        "bit-identical."
+    ),
+)
+def streaming_browse_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    page = F.get_json_object("props", "$.k").cast("int")
+    per_user = run_available_now(
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id").alias("eid"), page.alias("page")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_list("e").alias("evts")),
+        output_mode="complete",
+    )
+    seq = per_user.select(
+        F.transform(F.array_sort("evts"), lambda s: s["page"]).alias("pages")
+    )
+    hop = F.arrays_zip(
+        F.slice("pages", 1, F.size("pages") - 1).alias("src"),
+        F.slice(F.col("pages"), 2, F.size("pages") - 1).alias("dst"),
+    )
+    edges = (
+        seq.where(F.size("pages") > 1)
+        .select(F.explode(hop).alias("h"))
+        .where(F.col("h.src") != F.col("h.dst"))
+        .select(
+            F.least("h.src", "h.dst").alias("a"),
+            F.greatest("h.src", "h.dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    wedges = e1.join(F.broadcast(e2), "b").select("a", "c")
+    closed = wedges.join(
+        F.broadcast(edges.select(F.col("a"), F.col("b").alias("c"))),
+        ["a", "c"],
+        "inner",
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return nodes.crossJoin(F.broadcast(ecnt)).crossJoin(F.broadcast(tri))
+
+
+def _mad_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["events_hourly_mad_outliers"].oracle
+
+
+@query(
+    "streaming_mad_outliers",
+    oracle=_mad_oracle_ref(),
+    doc=(
+        "hourly MAD anomaly flags on the LIVE stream - streaming twin "
+        "of events_hourly_mad_outliers, built like "
+        "streaming_rate_spikes: the hour census runs as the single "
+        "watermarked complete-mode window aggregation, then the exact "
+        "integer 2x-median / 4x-MAD order-statistic math runs on the "
+        "census-sized sink output (with the same 1-row broadcasts as "
+        "batch). Shares the batch oracle; all-integer arithmetic, "
+        "bit-identical."
+    ),
+)
+def streaming_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    w = F.window("ts", "1 hour").alias("w")
+    counts = run_available_now(
+        ev.groupBy(w).agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        output_mode="complete",
+    ).select(F.col("w.start").alias("window_start"), "cnt").persist()
+    w1 = Window.orderBy("cnt", "window_start")
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("h"),
+    )
+    med = ranked.agg(
+        (
+            F.sum(F.when(F.expr("rk = (h + 1) DIV 2"), F.col("cnt")).otherwise(0))
+            + F.sum(F.when(F.expr("rk = h DIV 2 + 1"), F.col("cnt")).otherwise(0))
+        ).cast("long").alias("med2")
+    )
+    dev = counts.crossJoin(F.broadcast(med)).select(
+        "window_start", "cnt",
+        F.abs(2 * F.col("cnt") - F.col("med2")).cast("long").alias("dev2"),
+    )
+    w2 = Window.orderBy("dev2", "window_start")
+    dranked = dev.select(
+        "dev2",
+        F.row_number().over(w2).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("h"),
+    )
+    mad = dranked.agg(
+        (
+            F.sum(F.when(F.expr("rk = (h + 1) DIV 2"), F.col("dev2")).otherwise(0))
+            + F.sum(F.when(F.expr("rk = h DIV 2 + 1"), F.col("dev2")).otherwise(0))
+        ).cast("long").alias("mad4")
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "window_start", "cnt", "dev2", "mad4",
+        F.expr("CAST(2 * dev2 > 3 * mad4 AS INT)").alias("is_outlier"),
+    )

@@ -96,6 +96,34 @@ EXPECT = {
         absent=["SortMergeJoin", "CartesianProduct"],
         max_exchanges=4,
     ),
+    # sessionized behavior: ONE user shuffle feeds both window passes
+    # and the per-session fold; nothing joins
+    "session_funnel_conversion": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    # in-session pair fan-out stays in array lambdas (no event-scale
+    # self-join); global top-15 rides TakeOrderedAndProject
+    "session_page_pairs_topk": dict(
+        contains=["TakeOrderedAndProject"],
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"],
+        max_exchanges=2,
+    ),
+    # one corpus shuffle into the source census; Gini math on census
+    "corpus_source_gini": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    # label/global centroids from one persisted exploded pass; the
+    # 1-row global centroid broadcasts
+    "embedding_label_drift": dict(
+        contains=["BroadcastHashJoin", "InMemoryRelation"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        partial_agg=True,
+        max_exchanges=5,
+    ),
     # the block-pair kernel must run ONCE (persisted) with the directed
     # top-3 cuts riding WindowGroupLimit
     "knn_graph_mutual": dict(

@@ -1940,6 +1940,7 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fan-out is C(pages-in-session, 2) - bounded by the session "
         "gap horizon, the same guard the funnel twin documents."
     ),
+    bench=True,
 )
 def session_page_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)

@@ -2185,6 +2185,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one token split per row - zero shuffles, whole-stage "
         "codegen, trivially 100 TB-safe."
     ),
+    bench=True,
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules_frame(text.fan_out(load_table(spark, sf_dir, "documents")))

@@ -2909,6 +2909,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DEFINITION - at 100 TB the same mutual/rank plumbing runs "
         "on IVF candidate lists (similarity_ivf_topk) instead."
     ),
+    bench=True,
 )
 def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

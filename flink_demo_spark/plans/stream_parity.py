@@ -2454,3 +2454,322 @@ def streaming_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start", "cnt", "dev2", "mad4",
         F.expr("CAST(2 * dev2 > 3 * mad4 AS INT)").alias("is_outlier"),
     )
+
+
+def _oov_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["text_oov_rate"].oracle
+
+
+@query(
+    "streaming_oov_rate",
+    oracle=_oov_oracle_ref(),
+    doc=(
+        "OOV-rate serve on the LIVE document feed with a FROZEN "
+        "vocabulary - the deploy shape of text_oov_rate (train the "
+        "vocab on the existing corpus once, score arriving docs "
+        "against it): the top-16 vocabulary derives from the static "
+        "corpus census and lands in a 16-row bounded collect (the "
+        "waterfill/DSIR frozen-literal serve pattern), then every "
+        "arriving document scores as PURE row math - array_contains "
+        "against the vocabulary literal, no join, no state, append "
+        "mode. Shares the batch oracle (the replayed feed IS the "
+        "training corpus, so frozen-vocab scores equal the batch "
+        "self-scores bit-for-bit)."
+    ),
+)
+def streaming_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators import text
+    from ..sources.streams import documents_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.transform(text.tokens("text"), lambda t: F.lower(t))
+        ).alias("tk")
+    )
+    census = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("freq"))
+    # 16-row bounded collect: the frozen vocabulary ships as a literal
+    vocab = [
+        r.tk
+        for r in census.orderBy(F.desc("freq"), F.asc("tk")).limit(16).collect()
+    ]
+    vocab_arr = F.array(*[F.lit(t) for t in sorted(vocab)])
+
+    feed = documents_stream(spark, sf_dir)
+    scored = feed.select(
+        "doc_id",
+        text.bind(
+            F.transform(text.tokens("text"), lambda t: F.lower(t)),
+            lambda toks: F.struct(
+                F.size(toks).cast("long").alias("n_tokens"),
+                F.size(
+                    F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
+                ).cast("long").alias("n_oov"),
+            ),
+        ).alias("m"),
+    ).select(
+        "doc_id",
+        F.col("m.n_tokens").alias("n_tokens"),
+        F.col("m.n_oov").alias("n_oov"),
+        F.expr("m.n_oov * 10000 DIV m.n_tokens").alias("oov_bp"),
+    )
+    return run_available_now(scored, output_mode="append")
+
+
+def _session_pairs_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["session_page_pairs_topk"].oracle
+
+
+@query(
+    "streaming_session_pairs",
+    oracle=_session_pairs_oracle_ref(),
+    doc=(
+        "in-session page co-occurrence on the LIVE stream - streaming "
+        "twin of session_page_pairs_topk: per-user journeys accumulate "
+        "as the single complete-mode collect_list aggregation (the "
+        "behavioral-twin state shape), then the sink output replays "
+        "the lag-gap sessionization, in-flight pair expansion, and "
+        "census top-15 - the same bounded dashboard math as batch, on "
+        "the bounded replay output. Shares the batch oracle "
+        "bit-for-bit (pure integer counts, full tie-break)."
+    ),
+)
+def streaming_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    page = F.get_json_object("props", "$.k").cast("int")
+    per_user = run_available_now(
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id").alias("eid"), page.alias("page")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_list("e").alias("evts")),
+        output_mode="complete",
+    )
+    rows = per_user.select(
+        "user_id", F.explode("evts").alias("e")
+    ).select("user_id", "e.ts", F.col("e.eid").alias("event_id"), "e.page")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = rows.select(
+        "user_id", "ts", "event_id", "page",
+        F.when(gap.isNull() | (gap >= 3600), 1).otherwise(0).alias("is_new"),
+    ).withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sets = (
+        sess.select("user_id", "sid", "page")
+        .distinct()
+        .groupBy("user_id", "sid")
+        .agg(F.array_sort(F.collect_list("page")).alias("pages"))
+    )
+    pair = F.flatten(
+        F.transform(
+            F.col("pages"),
+            lambda x, i: F.transform(
+                F.slice(F.col("pages"), i + 2, F.size(F.col("pages"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rk = Window.orderBy(F.desc("cnt"), "pa", "pb")
+    return (
+        pairs.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .where(F.col("rk") <= 15)
+    )
+
+
+def _gini_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["corpus_source_gini"].oracle
+
+
+@query(
+    "streaming_source_gini",
+    oracle=_gini_oracle_ref(),
+    doc=(
+        "corpus balance (Gini) on the LIVE document feed - streaming "
+        "twin of corpus_source_gini, the ingest-side mixing monitor: "
+        "per-source token totals run as the single incremental "
+        "complete-mode streaming aggregation (source-keyed census "
+        "state - bounded by #sources at any volume, the ideal "
+        "streaming-state shape), and the exact integer order-"
+        "statistic Gini reduces the census-sized sink output. Shares "
+        "the batch oracle; all-integer, bit-identical."
+    ),
+)
+def streaming_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+    from ..sources.streams import documents_stream
+
+    feed = documents_stream(spark, sf_dir)
+    census = run_available_now(
+        feed.groupBy("source").agg(
+            F.sum(F.size(text.tokens("text"))).cast("long").alias("toks")
+        ),
+        output_mode="complete",
+    )
+    w = Window.orderBy("toks", "source")
+    ranked = census.select(
+        "toks",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("toks").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("total").cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST(sum((2 * i - n - 1) * toks) * 10000"
+            " DIV (max(n) * max(total)) AS BIGINT)"
+        ).alias("gini_bp"),
+    )
+
+
+def _label_drift_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["embedding_label_drift"].oracle
+
+
+@query(
+    "streaming_label_drift",
+    oracle=_label_drift_oracle_ref(),
+    doc=(
+        "per-label embedding centroid drift on the LIVE vector feed - "
+        "streaming twin of embedding_label_drift (the online "
+        "representation-health monitor): the (label, dim) DECIMAL "
+        "sums and counts run as the single incremental complete-mode "
+        "streaming aggregation (census state = #labels x dim rows, "
+        "volume-free), then centroid assembly, the derived global "
+        "centroid, and the fold-exact cosine reduce the sink output. "
+        "The global centroid derives from the label census "
+        "(sum-of-sums at DECIMAL precision = the direct global sum, "
+        "exactly - decimal addition is associative), so the stream "
+        "shares the batch oracle bit-for-bit."
+    ),
+)
+def streaming_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import embeddings_stream
+
+    feed = embeddings_stream(spark, sf_dir)
+    x = feed.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    census = run_available_now(
+        x.groupBy("label", "pos").agg(
+            F.sum(F.col("val").cast("decimal(28,12)")).alias("sv"),
+            F.count(F.lit(1)).alias("c"),
+        ),
+        output_mode="complete",
+    ).persist()
+    lc = census.select(
+        "label", "pos", (F.col("sv").cast("double") / F.col("c")).alias("mv")
+    )
+    la = lc.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("lv")
+    )
+    gc = census.groupBy("pos").agg(
+        (F.sum("sv").cast("double") / F.sum("c")).alias("mv")
+    )
+    ga = gc.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("gv")
+    )
+    # la and n both derive from the persisted sink table — give the
+    # count side fresh attribute ids via aliases so the equi-join keys
+    # can't collide (the streaming_drift_chi2 self-join rule)
+    n = census.where(F.col("pos") == 0).select(
+        F.col("label").alias("lbl_n"), F.col("c").cast("long").alias("n_vecs")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — the list_dot_product fold
+        F.zip_with(a, b, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    j = (
+        la.join(n, la["label"] == n["lbl_n"])
+        .drop("lbl_n")
+        .crossJoin(F.broadcast(ga))
+    )
+    cos = dot(F.col("lv"), F.col("gv")) / (
+        F.sqrt(dot(F.col("lv"), F.col("lv")))
+        * F.sqrt(dot(F.col("gv"), F.col("gv")))
+    )
+    return j.select("label", "n_vecs", F.round(cos, 6).alias("cos_to_global"))
+
+
+def _retention_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["retention_weekly_cohort"].oracle
+
+
+@query(
+    "streaming_retention_cohort",
+    oracle=_retention_oracle_ref(),
+    doc=(
+        "weekly cohort retention on the LIVE stream - streaming twin "
+        "of retention_weekly_cohort: per user, the first-activity "
+        "week (min) and the distinct active-week set accumulate as "
+        "the single incremental complete-mode aggregation (per-user "
+        "state is a handful of week timestamps - horizon-bounded), "
+        "then the sink output explodes each user's weeks into "
+        "(cohort, offset) cells and counts users per cell: the weeks "
+        "are already deduped per user, so a plain count equals the "
+        "batch COUNT(DISTINCT user_id) exactly. Shares the batch "
+        "oracle; pure integer counts."
+    ),
+)
+def streaming_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    per_user = run_available_now(
+        ev.select("user_id", "ts")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.collect_set(F.date_trunc("week", F.col("ts"))).alias("weeks"),
+        ),
+        output_mode="complete",
+    )
+    return (
+        per_user.select(
+            F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+            F.explode("weeks").alias("wk"),
+        )
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -543,7 +543,7 @@ def test_streaming_match_spans_micro_batches(spark):
     import sys
 
     sys.path.insert(0, "/root/repo/tests")
-    from test_streaming import _mem_stream_batches
+    from tests.test_streaming import _mem_stream_batches
 
     from flink_demo_spark.operators.match_recognize import (
         streaming_match_recognize,
@@ -577,7 +577,7 @@ def test_streaming_greedy_tail_stays_pending(spark):
     import sys
 
     sys.path.insert(0, "/root/repo/tests")
-    from test_streaming import _mem_stream_batches
+    from tests.test_streaming import _mem_stream_batches
 
     from flink_demo_spark.operators.match_recognize import (
         streaming_match_recognize,
@@ -609,7 +609,7 @@ def test_streaming_equals_batch_on_random_splits(spark):
     import sys
 
     sys.path.insert(0, "/root/repo/tests")
-    from test_streaming import _mem_stream_batches
+    from tests.test_streaming import _mem_stream_batches
 
     from flink_demo_spark.operators.match_recognize import (
         match_recognize,

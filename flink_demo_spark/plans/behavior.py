@@ -1981,3 +1981,73 @@ def session_page_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rk", F.row_number().over(rk).cast("long"))
         .where(F.col("rk") <= 15)
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS d, user_id
+      FROM events
+    ), dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d
+    ), wau AS (
+      SELECT CAST(du.d + CAST(g.delta AS INT) AS DATE) AS d,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM du, LATERAL unnest(generate_series(0, 6)) AS g(delta)
+      GROUP BY 1
+    ), mau AS (
+      SELECT CAST(du.d + CAST(g.delta AS INT) AS DATE) AS d,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM du, LATERAL unnest(generate_series(0, 29)) AS g(delta)
+      GROUP BY 1
+    )
+    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau, wau, mau
+    FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+    ORDER BY day
+    """,
+    doc=(
+        "DAU / WAU / MAU - the flagship product-analytics triple "
+        "(daily actives + trailing-7-day and trailing-30-day distinct "
+        "actives per day): the (day, user) DISTINCT census built once "
+        "(one shuffle, partial agg absorbs repeat events), then each "
+        "census row PROJECTS FORWARD into the 7 / 30 trailing windows "
+        "it serves via an integer explode - turning the 'distinct "
+        "over a sliding window' problem (not incrementally "
+        "aggregatable) into two plain distinct-count shuffles over "
+        "censusx7 and censusx30 rows. The census is users-x-days "
+        "bounded (never event volume); the explode factor is a "
+        "constant. Only days with activity emit (inner join to the "
+        "DAU census)."
+    ),
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    du = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+        )
+        .distinct()
+        .persist()
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+
+    def trailing(n: int, alias: str):
+        return (
+            du.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("delta"),
+                "d",
+                "user_id",
+            )
+            .select(F.date_add(F.col("d"), F.col("delta")).alias("d"), "user_id")
+            .groupBy("d")
+            .agg(F.countDistinct("user_id").cast("long").alias(alias))
+        )
+
+    out = (
+        dau.join(trailing(7, "wau"), "d")
+        .join(trailing(30, "mau"), "d")
+        .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau", "mau")
+    )
+    return out

@@ -1374,3 +1374,54 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_PRIORITIES = [
+    ("1-URGENT", "urgent"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "not_specified"),
+    ("5-LOW", "low"),
+]
+
+
+@query(
+    "pivot_status_priority",
+    oracle="SELECT o_orderstatus, "
+    + ", ".join(
+        "CAST(round(sum(CASE WHEN o_orderpriority = '{p}' THEN"
+        " CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE)"
+        " AS {a}".format(p=p, a=a)
+        for p, a in _PRIORITIES
+    )
+    + " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc=(
+        "PIVOT / cross-tab (order value by status x priority) - the "
+        "reshape every BI layer asks of a table API, via Spark's "
+        "native groupBy().pivot() with an EXPLICIT value list (no "
+        "discovery pass - with values given, pivot compiles to one "
+        "conditional-aggregate pass, a plain partial-agg shuffle; "
+        "without them Spark first runs a distinct job). Cell values "
+        "use the repo's exact-decimal sum contract (dsum_r) so every "
+        "cell is order-independent and half-up-rounded identically "
+        "to the oracle's conditional CASE sums; absent cells are "
+        "NULL in both engines."
+    ),
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import DecimalType
+
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [p for p, _ in _PRIORITIES])
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DecimalType(18, 4))), 2
+            ).cast("double")
+        )
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").alias(a) for p, a in _PRIORITIES],
+    )

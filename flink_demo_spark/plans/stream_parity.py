@@ -2773,3 +2773,54 @@ def streaming_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def _dau_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["events_dau_wau_mau"].oracle
+
+
+@query(
+    "streaming_dau_wau_mau",
+    oracle=_dau_oracle_ref(),
+    doc=(
+        "DAU/WAU/MAU on the LIVE stream - streaming twin of "
+        "events_dau_wau_mau: the (day, user) distinct census runs as "
+        "the single incremental complete-mode streaming aggregation "
+        "(users-x-days keyed state, volume-free - the ideal "
+        "streaming-state shape), and the trailing-window explode + "
+        "distinct counts reduce the census-sized sink output exactly "
+        "as batch. Shares the batch oracle; pure integer counts."
+    ),
+)
+def streaming_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    du = run_available_now(
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+        )
+        .groupBy("d", "user_id")
+        .agg(F.count(F.lit(1)).alias("__n")),
+        output_mode="complete",
+    ).select("d", "user_id").persist()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+
+    def trailing(n: int, alias: str):
+        return (
+            du.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("delta"),
+                "d",
+                "user_id",
+            )
+            .select(F.date_add(F.col("d"), F.col("delta")).alias("d"), "user_id")
+            .groupBy("d")
+            .agg(F.countDistinct("user_id").cast("long").alias(alias))
+        )
+
+    return (
+        dau.join(trailing(7, "wau"), "d")
+        .join(trailing(30, "mau"), "d")
+        .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau", "mau")
+    )

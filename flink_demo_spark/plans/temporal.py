@@ -773,3 +773,65 @@ group by TUMBLE(ctime, INTERVAL '1' HOURS)
 
 """,
     )
+
+
+@query(
+    "window_cumulate",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+      FROM events
+    ), w AS (
+      SELECT event_type,
+             es // 14400 * 14400 AS ws,
+             (es - es // 14400 * 14400) // 3600 + 1 AS j_min
+      FROM e
+    ), x AS (
+      SELECT event_type, ws, ws + j * 3600 AS we
+      FROM w, LATERAL unnest(generate_series(j_min, 4)) AS g(j)
+    )
+    SELECT CAST(ws AS BIGINT) AS window_start_s,
+           CAST(we AS BIGINT) AS window_end_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc=(
+        "CUMULATE window TVF (Flink SQL's fourth window kind, beyond "
+        "the reference's TUMBLE/HOP/SESSION usage) - expanding "
+        "early-fire windows: within each 4-hour max span, windows "
+        "[start, start+1h), [start, start+2h) ... [start, 4h) all "
+        "fire, each event landing in every cumulate window that ends "
+        "AFTER it. Spark has no native cumulate, but the semantics "
+        "are exactly an integer explode: align to the span, compute "
+        "the first covering step, explode sequence(j_min, n_steps) - "
+        "pure integer epoch math (no timezone, no float), one "
+        "explode + one shuffle on the (span, end, type) key; the "
+        "fan-out factor is n_steps (4), a constant - scales like any "
+        "tumbling agg. Window bounds emitted as epoch seconds "
+        "(integer-exact on both engines)."
+    ),
+)
+def window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    step, size, n_steps = 3600, 14400, 4
+    es = F.col("ts").cast("long")
+    base = ev.select(
+        "event_type",
+        (es - (es % size)).alias("ws"),
+        ((es % size) / step).cast("long").alias("j0"),
+    )
+    x = base.select(
+        "event_type",
+        "ws",
+        F.explode(F.sequence(F.col("j0") + 1, F.lit(n_steps))).alias("j"),
+    ).select(
+        F.col("ws").alias("window_start_s"),
+        (F.col("ws") + F.col("j") * step).alias("window_end_s"),
+        "event_type",
+    )
+    return x.groupBy("window_start_s", "window_end_s", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )

@@ -96,6 +96,29 @@ EXPECT = {
         absent=["SortMergeJoin", "CartesianProduct"],
         max_exchanges=4,
     ),
+    # Flink CUMULATE TVF as an integer explode: ONE shuffle total
+    "window_cumulate": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                "Window"],
+        partial_agg=True,
+        max_exchanges=1,
+    ),
+    # pivot with an EXPLICIT value list compiles to one conditional
+    # aggregate pass — no distinct-discovery job, no Expand
+    "pivot_status_priority": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                "Expand"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    # the (day,user) census persists once; trailing windows join back
+    # via broadcast off the census
+    "events_dau_wau_mau": dict(
+        contains=["BroadcastHashJoin", "InMemoryRelation"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        partial_agg=True,
+        max_exchanges=6,
+    ),
     # sessionized behavior: ONE user shuffle feeds both window passes
     # and the per-session fold; nothing joins
     "session_funnel_conversion": dict(
@@ -624,6 +647,12 @@ EXPECT = {
 
 @pytest.mark.parametrize("name", sorted(EXPECT))
 def test_plan_shape(name, spark, sf_dir):
+    # queries that persist() shared frames leave cache entries behind;
+    # if an earlier test (oracle parity) already materialized the same
+    # logical plan, CacheManager substitutes ITS compiled subtree here
+    # and the printed exchange count reflects that run's state, not
+    # this query's shape — clear the cache so the pin is order-free
+    spark.catalog.clearCache()
     plan = plan_str(REGISTRY[name].fn(spark, sf_dir))
     exp = EXPECT[name]
     for s in exp.get("contains", []):

@@ -2824,3 +2824,51 @@ def streaming_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(trailing(30, "mau"), "d")
         .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau", "mau")
     )
+
+
+def _cumulate_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["window_cumulate"].oracle
+
+
+@query(
+    "streaming_window_cumulate",
+    oracle=_cumulate_oracle_ref(),
+    doc=(
+        "CUMULATE windows on the LIVE stream - the construct's native "
+        "habitat (Flink ships cumulate precisely for early-firing "
+        "dashboards: 'today so far, updated hourly'): the integer "
+        "explode assigns each arriving event to every cumulate window "
+        "that ends after it (stateless row math), and the (span, end, "
+        "type) count runs as the single watermarked complete-mode "
+        "streaming aggregation - window-census state, constant "
+        "explode fan-out. Shares the batch oracle; pure integer "
+        "epoch-second bounds."
+    ),
+)
+def streaming_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    step, size, n_steps = 3600, 14400, 4
+    es = F.col("ts").cast("long")
+    x = ev.select(
+        "event_type",
+        (es - (es % size)).alias("ws"),
+        ((es % size) / step).cast("long").alias("j0"),
+    ).select(
+        "event_type",
+        F.col("ws").alias("window_start_s"),
+        F.explode(
+            F.transform(
+                F.sequence(F.col("j0") + 1, F.lit(n_steps)),
+                lambda j: F.col("ws") + j * step,
+            )
+        ).alias("window_end_s"),
+    )
+    return run_available_now(
+        x.groupBy("window_start_s", "window_end_s", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events")
+        ),
+        output_mode="complete",
+    )

@@ -835,3 +835,129 @@ def window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.groupBy("window_start_s", "window_end_s", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     )
+
+
+def _tvf_view(spark: SparkSession, sf_dir: str) -> None:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_tvf")
+
+
+@query(
+    "window_tvf_sql_tumble",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc=(
+        "Flink 1.13+ windowing TVF SQL text (FLIP-145), TUMBLE form - "
+        "the syntax that REPLACED group-window SQL, run verbatim: "
+        "FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' "
+        "HOUR)) rewrites driver-side onto a subquery projecting "
+        "window(ts).start/.end (+ window_time = end - 1ms, Flink's "
+        "definition), so a Flink user's TVF query runs unchanged and "
+        "Catalyst still sees the native window() plan - one partial-"
+        "agg shuffle, no UDFs (operators/window_tvf_sql.py)."
+    ),
+)
+def window_tvf_sql_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.window_tvf_sql import window_tvf_sql
+
+    _tvf_view(spark, sf_dir)
+    return window_tvf_sql(
+        spark,
+        """
+        SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM TABLE(TUMBLE(TABLE events_tvf, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, event_type
+        """,
+    )
+
+
+@query(
+    "window_tvf_sql_hop",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+      FROM events
+    ), x AS (
+      SELECT event_type,
+             es // 1800 * 1800 - g.i * 1800 AS ws
+      FROM e, LATERAL unnest(generate_series(0, 1)) AS g(i)
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc=(
+        "windowing TVF SQL, HOP form (slide 30m, size 1h; Flink's "
+        "(slide, size) argument order mapped to Spark's (size, "
+        "slide)): the rewrite projects the sliding window() whose "
+        "Expand generates each row's size/slide=2 windows - the same "
+        "constant fan-out Flink's own hop assigner pays; oracle "
+        "replays the window arithmetic in integer epoch seconds."
+    ),
+)
+def window_tvf_sql_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.window_tvf_sql import window_tvf_sql
+
+    _tvf_view(spark, sf_dir)
+    return window_tvf_sql(
+        spark,
+        """
+        SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM TABLE(HOP(TABLE events_tvf, DESCRIPTOR(ts),
+                       INTERVAL '30' MINUTE, INTERVAL '1' HOUR))
+        GROUP BY window_start, event_type
+        """,
+    )
+
+
+@query(
+    "window_tvf_sql_cumulate",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+      FROM events
+    ), w AS (
+      SELECT event_type,
+             es // 14400 * 14400 AS ws,
+             (es - es // 14400 * 14400) // 3600 + 1 AS j_min
+      FROM e
+    ), x AS (
+      SELECT event_type, ws, ws + j * 3600 AS we
+      FROM w, LATERAL unnest(generate_series(j_min, 4)) AS g(j)
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           make_timestamp(we * 1000000) AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc=(
+        "windowing TVF SQL, CUMULATE form (step 1h, max 4h) - Flink's "
+        "early-fire expanding windows in their native TVF syntax, on "
+        "an engine with no native cumulate: the rewrite lowers the "
+        "TVF to the integer-epoch explode window_cumulate uses "
+        "(every window ending after the row, constant max/step "
+        "fan-out), with timestamp window bounds and window_time "
+        "exactly as Flink emits them."
+    ),
+)
+def window_tvf_sql_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.window_tvf_sql import window_tvf_sql
+
+    _tvf_view(spark, sf_dir)
+    return window_tvf_sql(
+        spark,
+        """
+        SELECT window_start, window_end, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM TABLE(CUMULATE(TABLE events_tvf, DESCRIPTOR(ts),
+                            INTERVAL '1' HOUR, INTERVAL '4' HOUR))
+        GROUP BY window_start, window_end, event_type
+        """,
+    )

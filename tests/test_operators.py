@@ -1617,6 +1617,81 @@ def test_group_window_rewrite_literal_only_is_no_construct():
         )
 
 
+def test_window_tvf_rewrite_forms_and_errors():
+    """FLIP-145 window TVF rewriter: each form lowers to the expected
+    Spark text; SESSION and malformed argument lists fail fast; TVF
+    text inside literals/comments stays inert."""
+    import pytest as _pytest
+
+    from flink_demo_spark.operators.window_tvf_sql import (
+        rewrite_window_tvf_sql,
+    )
+
+    out = rewrite_window_tvf_sql(
+        "SELECT window_start, count(*) FROM TABLE(TUMBLE(TABLE t, "
+        "DESCRIPTOR(ts), INTERVAL '1' HOUR)) GROUP BY window_start"
+    )
+    assert "window(ts, '1 hour')" in out
+    assert "window_time" in out and "TABLE(" not in out
+
+    out = rewrite_window_tvf_sql(
+        "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR))"
+    )
+    # Flink (slide, size) -> Spark (size, slide)
+    assert "window(ts, '1 hour', '30 minute')" in out
+
+    out = rewrite_window_tvf_sql(
+        "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), "
+        "INTERVAL '1' HOUR, INTERVAL '4' HOUR))"
+    )
+    assert "explode(sequence(" in out and "DIV 14400 * 14400" in out
+
+    with _pytest.raises(ValueError, match="SESSION"):
+        rewrite_window_tvf_sql(
+            "SELECT * FROM TABLE(SESSION(TABLE t PARTITION BY k, "
+            "DESCRIPTOR(ts), INTERVAL '5' MINUTE))"
+        )
+    with _pytest.raises(ValueError, match="multiple of"):
+        rewrite_window_tvf_sql(
+            "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), "
+            "INTERVAL '7' MINUTE, INTERVAL '1' HOUR))"
+        )
+    with _pytest.raises(ValueError, match="HOP TVF needs"):
+        rewrite_window_tvf_sql(
+            "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), "
+            "INTERVAL '1' HOUR))"
+        )
+    with _pytest.raises(ValueError, match="no TUMBLE/HOP/CUMULATE"):
+        rewrite_window_tvf_sql(
+            "SELECT '<from TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), "
+            "INTERVAL ''1'' HOUR))>' AS s FROM t"
+        )
+
+
+def test_window_tvf_executes_tumble_and_window_time(spark):
+    """The rewritten TVF runs on a real session and window_time obeys
+    Flink's end-minus-1ms definition."""
+    import datetime as dt
+
+    from flink_demo_spark.operators.window_tvf_sql import window_tvf_sql
+
+    base = dt.datetime(1970, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=25 * i)) for i in range(4)]
+    spark.createDataFrame(rows, "v long, ts timestamp").createOrReplaceTempView(
+        "tvf_t"
+    )
+    out = window_tvf_sql(
+        spark,
+        "SELECT window_start, window_end, window_time, v FROM "
+        "TABLE(TUMBLE(TABLE tvf_t, DESCRIPTOR(ts), INTERVAL '1' HOUR))",
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.window_time == r.window_end - dt.timedelta(milliseconds=1)
+        assert r.window_start <= rows[r.v][1] < r.window_end
+
+
 def test_group_window_rewrite_doubled_backtick_identifier():
     """`a``TUMBLE(x, INTERVAL '1' HOUR)``b` is ONE backtick-quoted
     identifier (`` escapes a literal backtick); the TUMBLE-shaped text

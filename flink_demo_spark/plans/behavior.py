@@ -2051,3 +2051,67 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau", "mau")
     )
     return out
+
+
+@query(
+    "events_value_quantiles_by_type",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, cents, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p95_cents,
+           CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p99_cents
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "EXACT per-type p50/p95/p99 value quantiles - the latency/"
+        "value-distribution dashboard row, computed without "
+        "approximation OR a per-row global sort: one shuffle into the "
+        "(type, cents) VALUE census (partial agg absorbs repeats), a "
+        "cumulative count over the census, and each quantile is the "
+        "smallest value whose cumulative count reaches ceil(q*n) - "
+        "exact integer order statistics (the census-and-cumulate "
+        "pattern of quantile_exact_median, per key and for three "
+        "quantiles in ONE conditional-aggregate pass). The census is "
+        "value-domain-bounded (cents), never row-bounded - the "
+        "property that keeps exact quantiles feasible at 100 TB "
+        "where sort-based percentile_exact is not."
+    ),
+)
+def events_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = ev.groupBy("event_type", cents.alias("cents")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    r = c.select(
+        "event_type", "cents",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qcol = lambda q: F.min(  # noqa: E731
+        F.when(F.expr(f"cum >= ({q} * n + 99) DIV 100"), F.col("cents"))
+    ).cast("long")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        qcol(50).alias("p50_cents"),
+        qcol(95).alias("p95_cents"),
+        qcol(99).alias("p99_cents"),
+    )

@@ -2872,3 +2872,53 @@ def streaming_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="complete",
     )
+
+
+def _quantiles_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["events_value_quantiles_by_type"].oracle
+
+
+@query(
+    "streaming_value_quantiles",
+    oracle=_quantiles_oracle_ref(),
+    doc=(
+        "exact per-type value quantiles on the LIVE stream - "
+        "streaming twin of events_value_quantiles_by_type: the "
+        "(type, cents) value census runs as the single incremental "
+        "complete-mode streaming aggregation (value-domain-bounded "
+        "state - the census shape that makes EXACT streaming "
+        "quantiles possible where sort-based percentiles are not), "
+        "and the cumulate + conditional-aggregate quantile cut "
+        "reduces the census-sized sink output. Shares the batch "
+        "oracle; pure integer order statistics."
+    ),
+)
+def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = run_available_now(
+        ev.groupBy("event_type", cents.alias("cents")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        ),
+        output_mode="complete",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    r = c.select(
+        "event_type", "cents",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qcol = lambda q: F.min(  # noqa: E731
+        F.when(F.expr(f"cum >= ({q} * n + 99) DIV 100"), F.col("cents"))
+    ).cast("long")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        qcol(50).alias("p50_cents"),
+        qcol(95).alias("p95_cents"),
+        qcol(99).alias("p99_cents"),
+    )

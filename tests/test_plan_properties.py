@@ -96,6 +96,13 @@ EXPECT = {
         absent=["SortMergeJoin", "CartesianProduct"],
         max_exchanges=4,
     ),
+    # exact per-key quantiles: one census shuffle + census window; the
+    # conditional-aggregate cut adds one more exchange, nothing joins
+    "events_value_quantiles_by_type": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
     # Flink CUMULATE TVF as an integer explode: ONE shuffle total
     "window_cumulate": dict(
         absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",

@@ -130,6 +130,15 @@ def main() -> None:
 
     detail = dict(summary)
     detail["queries_reps"] = {n: ts for n, ts in rep_times.items() if ts}
+    # per-query variance band (round-9 verdict #5): spread of the three
+    # reps relative to the min, so a round-over-round delta can be read
+    # against the SAME round's own host-noise envelope mechanically
+    # (spread 40% + delta 15% = noise; spread 3% + delta 15% = real).
+    detail["queries_spread_pct"] = {
+        n: round(100.0 * (max(ts) - min(ts)) / min(ts), 1)
+        for n, ts in rep_times.items()
+        if ts and min(ts) > 0
+    }
     if stream_eps_reps:
         detail["stream_events_per_sec_reps"] = stream_eps_reps
     here = os.path.dirname(os.path.abspath(__file__))

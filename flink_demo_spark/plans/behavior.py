@@ -2115,3 +2115,67 @@ def events_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFram
         qcol(95).alias("p95_cents"),
         qcol(99).alias("p99_cents"),
     )
+
+
+@query(
+    "events_dau_wau_mau_hll",
+    oracle=None,  # DataSketches HLL registers are engine-specific;
+    # pinned by tests/test_round10.py::test_dau_wau_mau_hll_error_bound
+    # (|hll - exact| <= 5 * rsd per day per metric, the uv_approx_hll
+    # contract) and the exact-twin equality test for the streaming pair
+    doc=(
+        "sketch-tier DAU/WAU/MAU (round-9 verdict #2) - the 100 TB "
+        "dashboard path for events_dau_wau_mau: ONE shuffle builds a "
+        "per-day DataSketches HLL of user_ids (hll_sketch_agg, "
+        "lgConfigK=12 -> ~1.6% rsd at a few KB per day), then the "
+        "trailing 7- and 30-day windows are SKETCH MERGES "
+        "(hll_union_agg over a constant forward-projection explode of "
+        "the day-sketch frame) - so unlike the exact twin, nothing "
+        "after the first shuffle ever touches user-granularity rows: "
+        "the explode/merge runs on #days x k sketch rows where the "
+        "exact path re-shuffles censusx7 + censusx30 (user, day) "
+        "rows. HLL register merge is a per-bucket max - order- and "
+        "partitioning-insensitive, so the estimate is deterministic "
+        "for a given corpus. Inner join to the day frame keeps only "
+        "days with activity (exact-twin semantics)."
+    ),
+    bench=True,
+)
+def events_dau_wau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # per-day HLL sketch: the ONLY event-volume shuffle (partial
+    # hll_sketch_agg absorbs repeat (day,user) events map-side);
+    # persisted - consumed 3x (dau estimate + two trailing merges)
+    day_sk = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+        )
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .persist()
+    )
+    dau = day_sk.select(
+        "d", F.hll_sketch_estimate("sk").cast("long").alias("dau")
+    )
+
+    def trailing(n: int, alias: str) -> DataFrame:
+        return (
+            day_sk.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("delta"),
+                "d",
+                "sk",
+            )
+            .select(F.date_add(F.col("d"), F.col("delta")).alias("d"), "sk")
+            .groupBy("d")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                .cast("long")
+                .alias(alias)
+            )
+        )
+
+    return (
+        dau.join(trailing(7, "wau"), "d")
+        .join(trailing(30, "mau"), "d")
+        .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau", "mau")
+    )

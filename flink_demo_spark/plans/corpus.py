@@ -2437,3 +2437,134 @@ def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (max(n) * max(total)) AS BIGINT)"
         ).alias("gini_bp"),
     )
+
+
+from ..operators import langid  # noqa: E402  (model shared with oracles)
+
+# derived-label language set for the mixing consumer below: the five
+# model languages plus 'und' (docs where no profile pattern fires),
+# in sorted literal order so the float fold is engine-identical
+_LANGS_DERIVED = ["de", "en", "es", "fr", "und", "zh"]
+
+
+@query(
+    "lang_id_ngram",
+    oracle=f"""
+    WITH {langid.oracle_scored_cte(keep_cols="doc_id, lang")}
+    SELECT doc_id, lang, pred_lang, CAST(mx AS BIGINT) AS score_bp
+    FROM __lid_scored
+    ORDER BY doc_id
+    """,
+    doc=(
+        "content-based language identification (Cavnar & Trenkle 1994 "
+        "n-gram profiles, the CLD/langid.py family): integer "
+        "basis-point function-word scores per language via the exact "
+        "length-difference occurrence count, argmax with a fixed "
+        "tie-break priority, 'und' when nothing fires — the crawl-"
+        "pipeline stage that DERIVES the lang column every other "
+        "corpus operator consumes. Pure per-row JVM string "
+        "expressions fused into the scan by codegen: no shuffle, no "
+        "UDF; at 100 TB a map-only pass. Discrimination on real "
+        "multilingual text is pinned by the tests/test_langid.py "
+        "golden snippets (the synthetic corpus shares one English-ish "
+        "vocabulary across its lang labels, so parity here checks "
+        "determinism, not accuracy)."
+    ),
+    bench=True,
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    scored = langid.with_lang_scores(docs.select("doc_id", "lang", "text"))
+    return scored.select(
+        "doc_id", "lang", "pred_lang", F.col("mx").alias("score_bp")
+    )
+
+
+@query(
+    "mix_temperature_langs_derived",
+    oracle=f"""
+    WITH {langid.oracle_scored_cte(keep_cols="doc_id")},
+    d2 AS (
+      SELECT doc_id, pred_lang AS lang FROM __lid_scored
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS total,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS DOUBLE)"
+                 f" AS c_{l}" for l in _LANGS_DERIVED)}
+      FROM d2
+    ), r AS (
+      SELECT d.doc_id, d.lang,
+             (((d.doc_id % 1000003) * 2654435761 + 12345) % 1000000007)
+               % 1000000 AS bucket,
+             least(1.0,
+                   0.6 * s.total
+                     * (CASE d.lang {" ".join(
+                           f"WHEN '{l}' THEN sqrt(s.c_{l})"
+                           for l in _LANGS_DERIVED)} END)
+                     / ({" + ".join(f"sqrt(s.c_{l})" for l in _LANGS_DERIVED)})
+                     / (CASE d.lang {" ".join(
+                           f"WHEN '{l}' THEN s.c_{l}"
+                           for l in _LANGS_DERIVED)} END)
+             ) AS rate
+      FROM d2 d CROSS JOIN stats s
+    )
+    SELECT doc_id, lang, round(rate, 6) AS keep_rate
+    FROM r
+    WHERE bucket < floor(rate * 1000000)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "temperature mixing over DERIVED labels — mix_temperature_langs "
+        "wired to the lang_id_ngram scorer instead of the pre-labeled "
+        "column (round-9 verdict #3: 'wire one existing consumer'): the "
+        "per-doc language is computed from text in the same job (map-"
+        "only scorer fused into the scan), the per-language census and "
+        "sqrt-temperature keep rates then run over the derived labels "
+        "including the 'und' bucket. A row's own lang always has "
+        "census count >= 1, so the rate division never sees zero; "
+        "absent languages contribute sqrt(0) = 0 to the normalizer in "
+        "fixed literal order, keeping the float fold engine-identical."
+    ),
+)
+def mix_temperature_langs_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    labeled = (
+        langid.with_lang_scores(docs.select("doc_id", "text"))
+        .select("doc_id", F.col("pred_lang").alias("lang"))
+    )
+    stats = labeled.agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        *[
+            F.sum((F.col("lang") == l).cast("int"))
+            .cast("double")
+            .alias(f"c_{l}")
+            for l in _LANGS_DERIVED
+        ],
+    )
+    joined = labeled.crossJoin(F.broadcast(stats))
+    ssum = None
+    for l in _LANGS_DERIVED:
+        term = F.sqrt(F.col(f"c_{l}"))
+        ssum = term if ssum is None else ssum + term
+    sq_expr = None
+    cnt_expr = None
+    for l in _LANGS_DERIVED:
+        cond = F.col("lang") == l
+        s_term = F.sqrt(F.col(f"c_{l}"))
+        if sq_expr is None:
+            sq_expr = F.when(cond, s_term)
+            cnt_expr = F.when(cond, F.col(f"c_{l}"))
+        else:
+            sq_expr = sq_expr.when(cond, s_term)
+            cnt_expr = cnt_expr.when(cond, F.col(f"c_{l}"))
+    rate = F.least(
+        F.lit(1.0), F.lit(0.6) * F.col("total") * sq_expr / ssum / cnt_expr
+    )
+    bucket = (
+        ((F.col("doc_id") % 1000003) * 2654435761 + 12345) % 1000000007
+    ) % 1000000
+    return (
+        joined.withColumn("rate", rate)
+        .where(bucket < F.floor(F.col("rate") * 1000000))
+        .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
+    )

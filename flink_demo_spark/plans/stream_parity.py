@@ -2922,3 +2922,99 @@ def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         qcol(95).alias("p95_cents"),
         qcol(99).alias("p99_cents"),
     )
+
+
+def _lang_census_oracle():
+    from ..operators import langid
+
+    return f"""
+    WITH {langid.oracle_scored_cte(keep_cols="doc_id")}
+    SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM __lid_scored
+    GROUP BY pred_lang
+    ORDER BY pred_lang
+    """
+
+
+@query(
+    "streaming_lang_id_census",
+    oracle=_lang_census_oracle(),
+    doc=(
+        "language-ID census on the LIVE document feed - streaming "
+        "twin of lang_id_ngram reduced to the per-language census a "
+        "crawl-ingest dashboard watches: the integer n-gram scorer "
+        "runs as stateless per-row expressions on arriving documents "
+        "(fused into the stream scan - no state), and the only state "
+        "is the pred_lang census of the complete-mode count "
+        "(bounded: |languages|+1 rows). Oracle derives the same "
+        "labels and census in DuckDB."
+    ),
+)
+def streaming_lang_id_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import langid
+    from ..sources.streams import documents_stream
+
+    feed = documents_stream(spark, sf_dir)
+    labeled = langid.with_lang_scores(feed.select("doc_id", "text"))
+    return run_available_now(
+        labeled.groupBy("pred_lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        ),
+        output_mode="complete",
+    )
+
+
+@query(
+    "streaming_dau_wau_mau_hll",
+    oracle=None,  # sketch estimates are engine-specific; pinned by
+    # tests/test_round10.py (exact equality vs the batch HLL twin -
+    # HLL register merge is order-insensitive - plus the shared
+    # 5*rsd bound against the exact triple)
+    doc=(
+        "sketch-tier DAU/WAU/MAU on the LIVE stream - streaming twin "
+        "of events_dau_wau_mau_hll and the true 100 TB/day dashboard "
+        "shape: the per-day HLL runs as the single incremental "
+        "complete-mode streaming aggregation, so keyed state is "
+        "#days x ~KB sketches (vs the exact twin's users-x-days "
+        "census rows - the state collapse is the whole point of the "
+        "sketch tier), and the trailing 7/30-day hll_union_agg "
+        "merges reduce the day-sketch sink output. Estimates equal "
+        "the batch HLL twin exactly (register max-merge is order- "
+        "and partitioning-insensitive)."
+    ),
+)
+def streaming_dau_wau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    day_sk = run_available_now(
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+        )
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")),
+        output_mode="complete",
+    ).persist()
+    dau = day_sk.select(
+        "d", F.hll_sketch_estimate("sk").cast("long").alias("dau")
+    )
+
+    def trailing(n: int, alias: str) -> DataFrame:
+        return (
+            day_sk.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("delta"),
+                "d",
+                "sk",
+            )
+            .select(F.date_add(F.col("d"), F.col("delta")).alias("d"), "sk")
+            .groupBy("d")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                .cast("long")
+                .alias(alias)
+            )
+        )
+
+    return (
+        dau.join(trailing(7, "wau"), "d")
+        .join(trailing(30, "mau"), "d")
+        .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau", "mau")
+    )

@@ -2568,3 +2568,270 @@ def mix_temperature_langs_derived(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(bucket < F.floor(F.col("rate") * 1000000))
         .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
     )
+
+
+@query(
+    "quality_repetition_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ), base AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM t
+    ), g2 AS (
+      SELECT doc_id, array_to_string(tk[i : i + 1], ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS s(i)
+      WHERE len(tk) >= 2
+    ), top2 AS (
+      SELECT doc_id, c AS c2 FROM (
+        SELECT doc_id, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, gram) AS rk
+        FROM g2 GROUP BY doc_id, gram
+      ) WHERE rk = 1
+    ), g3 AS (
+      SELECT doc_id, array_to_string(tk[i : i + 2], ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(tk) - 2)) AS s(i)
+      WHERE len(tk) >= 3
+    ), top3 AS (
+      SELECT doc_id, c AS c3 FROM (
+        SELECT doc_id, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, gram) AS rk
+        FROM g3 GROUP BY doc_id, gram
+      ) WHERE rk = 1
+    ), g5 AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+             array_to_string(tk[i : i + 4], ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(tk) - 4)) AS s(i)
+      WHERE len(tk) >= 5
+    ), d5 AS (
+      SELECT doc_id, gram FROM g5
+      GROUP BY doc_id, gram HAVING count(*) >= 2
+    ), cov5 AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS cov FROM (
+        SELECT DISTINCT g.doc_id, g.p + o.o AS pos
+        FROM g5 g JOIN d5 USING (doc_id, gram),
+             UNNEST(generate_series(0, 4)) AS o(o)
+      ) GROUP BY doc_id
+    ), r AS (
+      SELECT b.doc_id, b.n AS n_words,
+             CAST(coalesce(t2.c2, 0) * 2 * 10000 // b.n AS BIGINT)
+               AS top2_frac_bp,
+             CAST(coalesce(t3.c3, 0) * 3 * 10000 // b.n AS BIGINT)
+               AS top3_frac_bp,
+             CAST(coalesce(c5.cov, 0) * 10000 // b.n AS BIGINT)
+               AS dup5_frac_bp
+      FROM base b
+      LEFT JOIN top2 t2 USING (doc_id)
+      LEFT JOIN top3 t3 USING (doc_id)
+      LEFT JOIN cov5 c5 USING (doc_id)
+    )
+    SELECT doc_id, n_words, top2_frac_bp, top3_frac_bp, dup5_frac_bp,
+           CAST(top2_frac_bp <= 2000 AS INT) AS r_top2,
+           CAST(top3_frac_bp <= 1800 AS INT) AS r_top3,
+           CAST(dup5_frac_bp <= 1500 AS INT) AS r_dup5,
+           CAST(top2_frac_bp <= 2000 AND top3_frac_bp <= 1800
+                AND dup5_frac_bp <= 1500 AS INT) AS keep
+    FROM r ORDER BY doc_id
+    """,
+    doc=(
+        "Gopher REPETITION rule bundle (Rae et al. 2021 arXiv:2112.11446 "
+        "§A1.1, the repetition half that quality_gopher_rules leaves "
+        "out): per doc, the token fraction covered by the MOST COMMON "
+        "2-gram / 3-gram (occurrences x k over n, most-common ties "
+        "broken lexicographically) and the fraction of token POSITIONS "
+        "covered by any within-doc duplicated 5-gram (distinct-position "
+        "union, so overlapping repeats never double-count) - all in "
+        "exact integer basis points (DIV), thresholds 0.20/0.18/0.15 "
+        "per the paper's table A1; per-rule pass flags + the keep "
+        "conjunction. Plan: the tokenized frame is built once "
+        "(persisted - 4 consumers), each gram family shuffles on "
+        "(doc_id, gram) with map-side partial aggs, and the three "
+        "per-doc summaries join back on doc_id - every key "
+        "doc-bounded, no all-pairs stage, scale-safe at 100 TB."
+    ),
+    bench=True,
+)
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    # persisted: consumed 4x (base + the 2/3/5-gram families)
+    staged = docs.select(
+        "doc_id", text.tokens("text").alias("toks")
+    ).persist()
+
+    def gram_col(k: int):
+        return F.when(
+            F.size("toks") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.array_join(F.slice("toks", i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def top_count(k: int, alias: str) -> DataFrame:
+        # min over struct(-count, gram) = max count, lex-smallest gram
+        return (
+            staged.select("doc_id", F.explode(gram_col(k)).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("gram")))
+                .alias("m")
+            )
+            .select("doc_id", (-F.col("m.nc")).alias(alias))
+        )
+
+    g5 = staged.select(
+        "doc_id", F.posexplode(gram_col(5)).alias("p", "gram")
+    )
+    cov5 = (
+        g5.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("p").alias("ps"))
+        .where(F.col("c") >= 2)
+        .select("doc_id", F.explode("ps").alias("p"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cov"))
+    )
+
+    base = staged.select("doc_id", F.size("toks").cast("long").alias("n"))
+    r = (
+        base.join(top_count(2, "c2"), "doc_id", "left")
+        .join(top_count(3, "c3"), "doc_id", "left")
+        .join(cov5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_words"),
+            F.expr(
+                "CAST(coalesce(c2, 0) * 2 * 10000 DIV n AS BIGINT)"
+            ).alias("top2_frac_bp"),
+            F.expr(
+                "CAST(coalesce(c3, 0) * 3 * 10000 DIV n AS BIGINT)"
+            ).alias("top3_frac_bp"),
+            F.expr(
+                "CAST(coalesce(cov, 0) * 10000 DIV n AS BIGINT)"
+            ).alias("dup5_frac_bp"),
+        )
+    )
+    flags = {
+        "r_top2": "top2_frac_bp <= 2000",
+        "r_top3": "top3_frac_bp <= 1800",
+        "r_dup5": "dup5_frac_bp <= 1500",
+    }
+    return r.select(
+        "doc_id", "n_words", "top2_frac_bp", "top3_frac_bp", "dup5_frac_bp",
+        *[F.expr(f"CAST({c} AS INT)").alias(n) for n, c in flags.items()],
+        F.expr(
+            "CAST(" + " AND ".join(flags.values()) + " AS INT)"
+        ).alias("keep"),
+    )
+
+
+def repetition_rules_stateless(docs: DataFrame) -> DataFrame:
+    """Per-row fold variant of quality_repetition_rules for the
+    streaming twin: every statistic (most-common 2/3-gram count,
+    duplicated-5-gram position coverage) computed INSIDE one row by
+    higher-order array folds — no shuffle, no keyed state, append mode.
+
+    Only the top-gram COUNT is needed (fractions never expose the gram
+    itself), so the batch plan's lexicographic tie-break has no
+    stateless counterpart to replicate. Per-row cost is
+    O(distinct-grams x n) inside codegen — the right trade when doc
+    length is policy-bounded (the Gopher pipeline itself caps docs at
+    100k words); the batch query's (doc_id, gram) shuffle plan remains
+    the robust path for unbounded documents. Every gram array is
+    routed through text.bind, so it is evaluated once per row, not
+    once per lambda reference."""
+    from ..operators.text import bind
+
+    def with_toks(toks):
+        n = F.size(toks)
+
+        def gram_arr(k: int):
+            return F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        def top_cnt(k: int):
+            return bind(
+                gram_arr(k),
+                lambda g: F.coalesce(
+                    F.array_max(
+                        F.transform(
+                            F.array_distinct(g),
+                            lambda d: F.size(F.filter(g, lambda x: x == d)),
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+
+        cov = F.when(
+            n >= 5,
+            bind(
+                gram_arr(5),
+                lambda g5: bind(
+                    F.transform(
+                        g5,
+                        lambda g: F.size(F.filter(g5, lambda x: x == g)) >= 2,
+                    ),
+                    lambda ds: F.size(
+                        F.filter(
+                            F.sequence(F.lit(0), n - 1),
+                            lambda p: F.exists(
+                                F.sequence(
+                                    F.greatest(p - 4, F.lit(0)),
+                                    F.least(p, F.size(g5) - 1),
+                                ),
+                                lambda i: F.element_at(ds, i + 1),
+                            ),
+                        )
+                    ),
+                ),
+            ),
+        ).otherwise(F.lit(0))
+        return F.struct(
+            n.cast("long").alias("n"),
+            top_cnt(2).cast("long").alias("c2"),
+            top_cnt(3).cast("long").alias("c3"),
+            cov.cast("long").alias("cov"),
+        )
+
+    staged = docs.select(
+        "doc_id", bind(text.tokens("text"), with_toks).alias("m")
+    )
+    r = staged.select(
+        "doc_id",
+        F.col("m.n").alias("n_words"),
+        F.expr("CAST(m.c2 * 2 * 10000 DIV m.n AS BIGINT)").alias(
+            "top2_frac_bp"
+        ),
+        F.expr("CAST(m.c3 * 3 * 10000 DIV m.n AS BIGINT)").alias(
+            "top3_frac_bp"
+        ),
+        F.expr("CAST(m.cov * 10000 DIV m.n AS BIGINT)").alias(
+            "dup5_frac_bp"
+        ),
+    )
+    flags = {
+        "r_top2": "top2_frac_bp <= 2000",
+        "r_top3": "top3_frac_bp <= 1800",
+        "r_dup5": "dup5_frac_bp <= 1500",
+    }
+    return r.select(
+        "doc_id", "n_words", "top2_frac_bp", "top3_frac_bp", "dup5_frac_bp",
+        *[F.expr(f"CAST({c} AS INT)").alias(nm) for nm, c in flags.items()],
+        F.expr(
+            "CAST(" + " AND ".join(flags.values()) + " AS INT)"
+        ).alias("keep"),
+    )

@@ -3029,3 +3029,101 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "label", "n_vecs", F.round(cos, 6).alias("cos_to_global")
     )
+
+
+@query(
+    "dedup_substring_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(tok[i : i + 19], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(tok) - 19)) AS g(i)
+      WHERE len(tok) >= 20
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + o.o AS p
+      FROM grams g JOIN dup d USING (gram),
+           UNNEST(generate_series(0, 19)) AS o(o)
+    ), kept AS (
+      SELECT t.doc_id, s.i, t.tok[s.i] AS w
+      FROM toks t, UNNEST(generate_series(1, len(t.tok))) AS s(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.p = s.i - 1
+      )
+    ), cleaned AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), affected AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(len(t.tok) AS BIGINT) AS n_toks,
+           a.n_removed,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM affected a
+    JOIN toks t USING (doc_id)
+    LEFT JOIN cleaned c USING (doc_id)
+    ORDER BY a.doc_id
+    """,
+    doc=(
+        "the REMOVE half of Lee et al. exact-substring dedup "
+        "(arXiv:2107.06499 §4.2: 'we remove the duplicated spans from "
+        "the corpus'): dedup_exact_substring detects maximal "
+        "duplicated passages; this query actually CUTS them - every "
+        "token position covered by a corpus-duplicated 20-gram is "
+        "dropped (all occurrences, the paper's aggressive variant; "
+        "keep-one-copy needs a global occurrence ranking and is noted "
+        "as the policy alternative), emitting the affected docs with "
+        "before/removed token counts and the reconstructed clean "
+        "text. Plan: the same three bounded-key shuffles as the "
+        "detector (posexploded k-grams, gram census, gram join back) "
+        "plus ONE more doc_id shuffle that merges covered positions "
+        "and filters the token array by index (JVM higher-order "
+        "filter, no UDF) - everything keyed by doc or gram, never "
+        "all-pairs; the clean text is rebuilt per-row from arrays, "
+        "so at 100 TB this is the detector's cost + one census-sized "
+        "join, the same shape production span-removal runs."
+    ),
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.duplicate_passages(docs, "text", "doc_id", k=20, hashed=True)
+    # covered token positions per affected doc (distinct-position union
+    # of the maximal spans; spans never overlap post-merge but DISTINCT
+    # keeps the contract obvious)
+    cov = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pass_start"),
+                    F.col("pass_start") + F.col("pass_len") - 1,
+                )
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("p")).alias("ps"),
+            F.count(F.lit(1)).cast("long").alias("n_removed"),
+        )
+    )
+    staged = docs.select("doc_id", text.tokens("text").alias("toks"))
+    return cov.join(staged, "doc_id").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        "n_removed",
+        F.array_join(
+            F.filter(
+                "toks",
+                lambda t, i: ~F.array_contains(F.col("ps"), i.cast("long")),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

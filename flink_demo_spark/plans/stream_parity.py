@@ -3018,3 +3018,38 @@ def streaming_dau_wau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(trailing(30, "mau"), "d")
         .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau", "mau")
     )
+
+
+def _repetition_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["quality_repetition_rules"].oracle
+
+
+@query(
+    "streaming_repetition_rules",
+    oracle=_repetition_oracle_ref(),
+    doc=(
+        "Gopher repetition rules on the LIVE document feed - "
+        "streaming twin of quality_repetition_rules, and the shape a "
+        "crawl-ingest filter actually wants: every repetition "
+        "statistic is computed INSIDE the arriving row by JVM "
+        "higher-order array folds (corpus.repetition_rules_stateless "
+        "- O(distinct-grams x n) per row in codegen, right for "
+        "policy-bounded doc lengths), so the stream is append-mode "
+        "with ZERO state - no watermark, no store, nothing to "
+        "checkpoint. Shares the batch oracle bit-for-bit: only gram "
+        "COUNTS feed the fractions, so the fold and the batch "
+        "(doc_id, gram) shuffle agree exactly."
+    ),
+)
+def streaming_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import documents_stream
+    from .corpus import repetition_rules_stateless
+
+    feed = documents_stream(spark, sf_dir)
+    return run_available_now(
+        repetition_rules_stateless(feed.select("doc_id", "text")),
+        output_mode="append",
+    )

@@ -41,3 +41,93 @@ def test_streaming_hll_twin_equals_batch(spark, sf_dir):
     batch = _by_day(REGISTRY["events_dau_wau_mau_hll"].fn(spark, sf_dir))
     stream = _by_day(REGISTRY["streaming_dau_wau_mau_hll"].fn(spark, sf_dir))
     assert batch == stream
+
+
+def _toks(t: str) -> list[str]:
+    return t.strip().split()
+
+
+def test_repetition_rules_match_python_model(spark, sf_dir):
+    """Independent pure-Python re-derivation of the Gopher repetition
+    fractions (most-common 2/3-gram token share, duplicated-5-gram
+    position coverage) over every sf0.001 doc."""
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        tk = _toks(text)
+        n = len(tk)
+
+        def top_frac(k: int) -> int:
+            grams = [" ".join(tk[i : i + k]) for i in range(n - k + 1)]
+            if not grams:
+                return 0
+            counts: dict[str, int] = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            best = min((-c, g) for g, c in counts.items())
+            return (-best[0]) * k * 10000 // n
+
+        g5 = [" ".join(tk[i : i + 5]) for i in range(n - 4)]
+        c5: dict[str, int] = {}
+        for g in g5:
+            c5[g] = c5.get(g, 0) + 1
+        covered: set[int] = set()
+        for i, g in enumerate(g5):
+            if c5[g] >= 2:
+                covered.update(range(i, i + 5))
+        want[doc_id] = (
+            top_frac(2), top_frac(3), len(covered) * 10000 // n
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["top2_frac_bp"], r["top3_frac_bp"], r["dup5_frac_bp"]
+        )
+        for r in REGISTRY["quality_repetition_rules"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_substring_removal_matches_python_model(spark, sf_dir):
+    """Pure-Python 20-gram corpus census + position-coverage removal:
+    the cleaned text must equal the engine's for every affected doc,
+    and unaffected docs must not appear."""
+    import duckdb
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    k = 20
+    census: dict[str, int] = {}
+    grams = {}
+    for doc_id, text in docs.items():
+        tk = _toks(text)
+        gs = [" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        grams[doc_id] = gs
+        for g in gs:
+            census[g] = census.get(g, 0) + 1
+    want = {}
+    for doc_id, text in docs.items():
+        tk = _toks(text)
+        covered: set[int] = set()
+        for i, g in enumerate(grams[doc_id]):
+            if census[g] >= 2:
+                covered.update(range(i, i + k))
+        if covered:
+            clean = " ".join(
+                w for i, w in enumerate(tk) if i not in covered
+            )
+            want[doc_id] = (len(tk), len(covered), clean)
+
+    got = {
+        r["doc_id"]: (r["n_toks"], r["n_removed"], r["clean_text"])
+        for r in REGISTRY["dedup_substring_removal"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # sf0.001 must actually contain duplicated passages

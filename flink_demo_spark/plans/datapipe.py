@@ -3127,3 +3127,110 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+@query(
+    "similarity_recall_ivf",
+    oracle=f"""
+    WITH bq AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), bs AS (
+      SELECT bq.query_id, e.vec_id AS neighbor_id,
+             round({_IVF_COS.format(a='bq.qv', b='e.embedding::DOUBLE[]')}, 6)
+               AS cosine_sim
+      FROM embeddings e CROSS JOIN bq
+      WHERE e.vec_id <> bq.query_id
+    ), brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM bs
+      ) WHERE rk <= 5
+    ), cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, ev, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                          c.cid
+               ) AS crk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE crk = 1
+    ), iq AS (
+      SELECT vec_id AS query_id, ev AS qv, cid FROM assign WHERE vec_id < 5
+    ), isc AS (
+      SELECT iq.query_id, a.vec_id AS neighbor_id,
+             round({_IVF_COS.format(a='iq.qv', b='a.ev')}, 6) AS cosine_sim
+      FROM assign a JOIN iq ON a.cid = iq.cid AND a.vec_id <> iq.query_id
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM isc
+      ) WHERE rk <= 5
+    ), base AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS k
+      FROM brute GROUP BY query_id
+    ), hits AS (
+      SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM brute b JOIN ivf i USING (query_id, neighbor_id)
+      GROUP BY b.query_id
+    )
+    SELECT base.query_id, base.k,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 10000 // base.k AS BIGINT)
+             AS recall_bp
+    FROM base LEFT JOIN hits h USING (query_id)
+    ORDER BY base.query_id
+    """,
+    doc=(
+        "ANN recall evaluation - the eval-harness query every vector "
+        "index deployment runs before trusting its ANN tier: per "
+        "query point, recall@5 of IVF(nprobe=1) against the exact "
+        "brute-force top-5 (hit count + integer basis-point recall), "
+        "composed verbatim from the two gate-green formulations "
+        "(similarity_topk / similarity_ivf_topk) so the oracle "
+        "replays BOTH retrieval paths and the set intersection. The "
+        "recall join runs on two k x |queries| frames - at 100 TB the "
+        "cost is the two retrievals themselves (broadcast query set, "
+        "cell-bounded probes); the eval adds census-sized work. Low "
+        "recall here is the signal to raise nprobe "
+        "(similarity_ivf_nprobe) or re-train centroids "
+        "(embedding_kmeans)."
+    ),
+)
+def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    brute = similarity.brute_force_top_k(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, round_to=6
+    ).select("query_id", "neighbor_id")
+    # 8-row bounded collect: the same fixed-centroid seed
+    # similarity_ivf_topk documents
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    ivf = similarity.ivf_top_k(
+        emb, queries, cents, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    base = brute.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    hits = (
+        brute.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "k",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.expr(
+            "CAST(coalesce(n_hits, 0) * 10000 DIV k AS BIGINT)"
+        ).alias("recall_bp"),
+    )

@@ -579,6 +579,52 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=4,
     ),
+    # round-10 additions ------------------------------------------------
+    # language-ID is a pure map: the integer n-gram scorer must fuse
+    # into the scan — no shuffle, no aggregate, no join of any kind
+    "lang_id_ngram": dict(
+        absent=["HashAggregate", "SortMergeJoin", "CartesianProduct",
+                "BroadcastHashJoin", "Exchange"],
+        max_exchanges=0,
+    ),
+    # derived-label mixing keeps the original's shape: ONE stats-agg
+    # shuffle + the 1-row broadcast back over the scan; deriving the
+    # label must stay in the map phase (no extra shuffle)
+    "mix_temperature_langs_derived": dict(
+        contains=["BroadcastNestedLoopJoin"],
+        absent=["SortMergeJoin", "MapInPandas"],
+        partial_agg=True,
+        max_exchanges=1,
+    ),
+    # repetition rules: gram families shuffle on doc-bounded keys and
+    # the three per-doc summaries BROADCAST back off the persisted
+    # tokenized frame — nothing sort-merges, nothing pairs up
+    "quality_repetition_rules": dict(
+        contains=["InMemoryRelation", "BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        partial_agg=True,
+        max_exchanges=7,
+    ),
+    # span removal rides the detector's bounded-key shuffles; the
+    # covered-position join back to the token arrays broadcasts
+    "dedup_substring_removal": dict(
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"],
+        partial_agg=True,
+        max_exchanges=4,
+    ),
+    # sketch-tier DAU/WAU/MAU: one event shuffle into the persisted
+    # day-sketch frame (ObjectHashAggregate — DataSketches HLL is a
+    # typed imperative agg), then day-keyed sketch merges that join
+    # broadcast; the exact twin's census×7/×30 distinct shuffles must
+    # NOT reappear
+    "events_dau_wau_mau_hll": dict(
+        contains=["InMemoryRelation", "ObjectHashAggregate",
+                  "BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        max_exchanges=3,
+    ),
     # BPE round-1 pair counts: one corpus-sized word agg + vocab-sized
     # pair agg, both partial; top-50 must be a TakeOrderedAndProject
     # (never a global Sort of the pair table)

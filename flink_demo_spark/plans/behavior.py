@@ -2179,3 +2179,77 @@ def events_dau_wau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(trailing(30, "mau"), "d")
         .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau", "mau")
     )
+
+
+@query(
+    "events_decayed_popularity",
+    oracle="""
+    WITH census AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             CAST(props->>'$.k' AS INT) AS page,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events
+      GROUP BY 1, 2
+    ), mx AS (
+      SELECT max(d) AS max_d FROM census
+    )
+    SELECT page,
+           CAST(sum(cnt) AS BIGINT) AS total_events,
+           CAST(sum(CAST(cnt AS HUGEINT)
+                    * (CAST(1 AS BIGINT) << (29 - datediff('day', d, max_d))))
+                AS DOUBLE) AS decayed_score
+    FROM census, mx
+    GROUP BY page
+    ORDER BY decayed_score DESC, page
+    LIMIT 10
+    """,
+    doc=(
+        "exponential-decay trending pages - the 'what is hot NOW' "
+        "ranking every content dashboard runs (recency-weighted "
+        "popularity, Reddit/HN-style), computed EXACTLY: the (day, "
+        "page) census is built in one partial-agg shuffle, each "
+        "census row is weighted by the integer power-of-two half-life "
+        "weight 2^(29 - age_days) (ages are bounded by the 30-day "
+        "horizon, so the weight is an exact BIGINT shift - no float "
+        "pow, no cross-engine rounding), and the per-page fold runs "
+        "in DECIMAL(38,0) so the sum is exact at any count (the "
+        "final DOUBLE cast is presentation only - both engines cast "
+        "the same exact integer). The "
+        "horizon anchor max(day) is a 1-row broadcast off the "
+        "persisted census; top-10 rides TakeOrderedAndProject. At "
+        "100 TB the event scan collapses into the days x pages "
+        "census in its ONE shuffle and every later step is "
+        "census-sized - the same shape as events_dau_wau_mau."
+    ),
+)
+def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    # persisted: 2 consumers (max-day anchor, weighted fold)
+    census = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+            page.alias("page"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    mx = census.agg(F.max("d").alias("max_d"))
+    weighted = census.crossJoin(F.broadcast(mx)).select(
+        "page",
+        "cnt",
+        F.expr(
+            "CAST(cnt AS DECIMAL(38,0))"
+            " * CAST(SHIFTLEFT(CAST(1 AS BIGINT),"
+            "        29 - datediff(max_d, d)) AS DECIMAL(38,0))"
+        ).alias("w"),
+    )
+    return (
+        weighted.groupBy("page")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_events"),
+            F.sum("w").cast("double").alias("decayed_score"),
+        )
+        .orderBy(F.col("decayed_score").desc(), "page")
+        .limit(10)
+    )

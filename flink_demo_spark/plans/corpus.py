@@ -2835,3 +2835,147 @@ def repetition_rules_stateless(docs: DataFrame) -> DataFrame:
             "CAST(" + " AND ".join(flags.values()) + " AS INT)"
         ).alias("keep"),
     )
+
+
+@query(
+    "chunk_cdc",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), cuts AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) >= 4 THEN
+               list_filter(generate_series(3, len(t) - 1), i ->
+                 list_reduce(list_transform(generate_series(1, 15),
+                   j -> strpos('0123456789abcdef',
+                          substr(md5(array_to_string(t[i-2:i], ' ')),
+                                 j, 1)) - 1),
+                   (a, b) -> a * 16 + b) % 16 = 0)
+             ELSE CAST([] AS BIGINT[]) END AS cut_pos
+      FROM toks
+    ), bounds AS (
+      SELECT doc_id, t,
+             [1] || list_transform(cut_pos, c -> c + 1) AS starts,
+             cut_pos || [n] AS ends
+      FROM cuts
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(j - 1 AS INT) AS chunk_id,
+             CAST(starts[j] AS INT) AS chunk_start,
+             CAST(ends[j] - starts[j] + 1 AS INT) AS n_chunk_tokens,
+             CAST(list_reduce(list_transform(generate_series(1, 15),
+               k -> strpos('0123456789abcdef',
+                      substr(md5(array_to_string(t[starts[j]:ends[j]], ' ')),
+                             k, 1)) - 1),
+               (a, b) -> a * 16 + b) AS BIGINT) AS chunk_hash
+      FROM bounds, LATERAL unnest(generate_series(1, len(starts))) AS g(j)
+    ), freq AS (
+      SELECT chunk_hash, CAST(count(*) AS BIGINT) AS corpus_freq
+      FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id, c.chunk_id, c.chunk_start, c.n_chunk_tokens,
+           c.chunk_hash, f.corpus_freq
+    FROM chunks c JOIN freq f USING (chunk_hash)
+    ORDER BY c.doc_id, c.chunk_id
+    """,
+    doc=(
+        "content-defined chunking (FastCDC/rolling-hash family, "
+        "window = 3 tokens, expected chunk 16): the storage/dedup "
+        "chunking that fixed-stride chunk_documents can never give - "
+        "a boundary is declared wherever the 3-token window's "
+        "portable md5-fold digest is 0 mod 16, so boundaries depend "
+        "only on LOCAL content and an insertion early in a document "
+        "shifts no later chunk (fixed-stride re-cuts everything after "
+        "the edit; CDC re-cuts one chunk). Each chunk carries its "
+        "60-bit content hash and the corpus-wide occurrence count of "
+        "that hash - identical passages land in identical chunks at "
+        "ANY offset, which is exactly what makes chunk-level dedup "
+        "and incremental-crawl storage work. Chunking itself is a "
+        "pure map (token array -> cut positions -> chunk structs, "
+        "all inside whole-stage codegen via bind-materialized "
+        "arrays); the only shuffles are the chunk-hash census and "
+        "the census join back - the inverted-index shape of the "
+        "dedup family, never all-pairs. At 100 TB the census key "
+        "space is content-hash-uniform (no skew) and the map stage "
+        "is embarrassingly parallel."
+    ),
+)
+def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    mod = 16
+
+    def h60(c):
+        # the repo-wide portable md5-fold digest (dedup.portable_hash60)
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    def chunks_of(t):
+        n = F.size(t)
+        cut_expr = F.when(
+            n >= 4,
+            F.filter(
+                F.sequence(F.lit(3), n - 1),
+                lambda i: h60(F.array_join(F.slice(t, i - 2, F.lit(3)), " "))
+                % mod
+                == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+        def build(cuts):
+            starts = F.concat(
+                F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1)
+            )
+            ends = F.concat(cuts, F.array(n))
+            return F.transform(
+                F.sequence(F.lit(0), F.size(cuts)),
+                lambda j: F.struct(
+                    j.cast("int").alias("chunk_id"),
+                    F.element_at(starts, j + 1)
+                    .cast("int")
+                    .alias("chunk_start"),
+                    (
+                        F.element_at(ends, j + 1)
+                        - F.element_at(starts, j + 1)
+                        + 1
+                    )
+                    .cast("int")
+                    .alias("n_chunk_tokens"),
+                    h60(
+                        F.array_join(
+                            F.slice(
+                                t,
+                                F.element_at(starts, j + 1),
+                                F.element_at(ends, j + 1)
+                                - F.element_at(starts, j + 1)
+                                + 1,
+                            ),
+                            " ",
+                        )
+                    ).alias("chunk_hash"),
+                ),
+            )
+
+        return text.bind(cut_expr, build)
+
+    # persisted: 2 consumers (hash census, census join back)
+    per_chunk = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                text.bind(F.split(F.trim("text"), r"\s+"), chunks_of)
+            ).alias("c"),
+        )
+        .select("doc_id", "c.*")
+        .persist()
+    )
+    freq = per_chunk.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("corpus_freq")
+    )
+    return per_chunk.join(freq, "chunk_hash").select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        "chunk_hash",
+        "corpus_freq",
+    )

@@ -741,9 +741,9 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_jaccard_pairs",
-    oracle="""
+# shared with dedup_recall_minhash, which replays this exact-tier text
+# verbatim as one side of its recall intersection
+_JACCARD_PAIRS_ORACLE = """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
     ), sh AS (
@@ -778,7 +778,12 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes n2 ON n2.doc_id = doc2
     WHERE n_common / (n1.n + n2.n - n_common) >= 0.3
     ORDER BY doc1, doc2
-    """,
+    """
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=_JACCARD_PAIRS_ORACLE,
     doc=(
         "n-gram (3-shingle) Jaccard near-dup pairs via inverted index; "
         "posting lists capped at max(64, 1% of corpus) docs — a "
@@ -3233,4 +3238,90 @@ def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(coalesce(n_hits, 0) * 10000 DIV k AS BIGINT)"
         ).alias("recall_bp"),
+    )
+
+
+@query(
+    "dedup_recall_minhash",
+    oracle=f"""
+    WITH exact AS (
+      {_JACCARD_PAIRS_ORACLE}
+    ), lsh AS (
+      {_minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.3)}
+    ), je AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact
+    ), jl AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh
+    ), jc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM exact e JOIN lsh m ON e.doc1 = m.doc1 AND e.doc2 = m.doc2
+    )
+    SELECT n_exact, n_lsh, n_common,
+           CAST(CASE WHEN n_exact = 0 THEN 10000
+                ELSE n_common * 10000 // n_exact END AS BIGINT) AS recall_bp,
+           CAST(CASE WHEN n_lsh = 0 THEN 0
+                ELSE (n_lsh - n_common) * 10000 // n_lsh END AS BIGINT)
+             AS lsh_extra_bp
+    FROM je, jl, jc
+    """,
+    doc=(
+        "near-dup recall evaluation - the eval-harness query a dedup "
+        "deployment runs before trusting its sketch tier (the "
+        "similarity_recall_ivf of the dedup family): the MinHash(16)/"
+        "LSH(4-band) verified pairs are intersected with the "
+        "inverted-index exact-Jaccard pairs at the same 0.3 "
+        "threshold, both composed VERBATIM from the two gate-green "
+        "formulations (dedup_minhash_lsh / dedup_jaccard_pairs) so "
+        "the oracle replays both tiers and the set intersection. "
+        "recall_bp measures what LSH banding forfeits (pairs whose "
+        "signatures never collide in any band); lsh_extra_bp "
+        "measures the converse - verified near-dup pairs the exact "
+        "tier's scale-relative posting cap forfeits (both tiers "
+        "prune, in different places; the two numbers separate the "
+        "prunings). Cost is the two pair stages themselves - both "
+        "bucketed, never all-pairs - plus census-sized joins on the "
+        "pair lists; the output is ONE summary row. Low recall here "
+        "is the signal to raise bands/hashes before running the "
+        "sketch tier at 100 TB."
+    ),
+)
+def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    # persisted: each pair frame feeds its count AND the intersection
+    exact = (
+        dedup.jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
+        )
+        .select("doc1", "doc2")
+        .persist()
+    )
+    lsh = (
+        dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id",
+            num_hashes=16, bands=4, k=3, verify_threshold=0.3,
+        )
+        .select("doc1", "doc2")
+        .persist()
+    )
+    je = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    jl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    jc = exact.join(lsh, ["doc1", "doc2"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        je.crossJoin(F.broadcast(jl))
+        .crossJoin(F.broadcast(jc))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN 10000"
+                " ELSE n_common * 10000 DIV n_exact END AS BIGINT)"
+            ).alias("recall_bp"),
+            F.expr(
+                "CAST(CASE WHEN n_lsh = 0 THEN 0"
+                " ELSE (n_lsh - n_common) * 10000 DIV n_lsh END AS BIGINT)"
+            ).alias("lsh_extra_bp"),
+        )
     )

@@ -3053,3 +3053,57 @@ def streaming_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_rules_stateless(feed.select("doc_id", "text")),
         output_mode="append",
     )
+
+
+def _decayed_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["events_decayed_popularity"].oracle
+
+
+@query(
+    "streaming_decayed_popularity",
+    oracle=_decayed_oracle_ref(),
+    doc=(
+        "exponential-decay trending pages on the LIVE stream - "
+        "streaming twin of events_decayed_popularity (the dashboard "
+        "this ranking actually serves is continuously updated): the "
+        "(day, page) count census runs as the single incremental "
+        "complete-mode streaming aggregation (days x pages keyed "
+        "state - bounded by the catalog, volume-free), then the "
+        "horizon anchor, power-of-two weights and DECIMAL fold "
+        "reduce the census-sized sink output exactly as batch. "
+        "Shares the batch oracle; exact integer weights, so the "
+        "stream and batch rankings can never diverge by float "
+        "drift."
+    ),
+)
+def streaming_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    census = run_available_now(
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+            F.get_json_object("props", "$.k").cast("int").alias("page"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        output_mode="complete",
+    ).persist()
+    mx = census.agg(F.max("d").alias("max_d"))
+    weighted = census.crossJoin(F.broadcast(mx)).select(
+        "page",
+        "cnt",
+        F.expr(
+            "CAST(cnt AS DECIMAL(38,0))"
+            " * CAST(SHIFTLEFT(CAST(1 AS BIGINT),"
+            "        29 - datediff(max_d, d)) AS DECIMAL(38,0))"
+        ).alias("w"),
+    )
+    return (
+        weighted.groupBy("page")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_events"),
+            F.sum("w").cast("double").alias("decayed_score"),
+        )
+        .orderBy(F.col("decayed_score").desc(), "page")
+        .limit(10)
+    )

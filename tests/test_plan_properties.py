@@ -625,6 +625,35 @@ EXPECT = {
         absent=["SortMergeJoin", "CartesianProduct"],
         max_exchanges=3,
     ),
+    # decayed trending: ONE event shuffle into the persisted (day,
+    # page) census, the max-day anchor is a 1-row broadcast back over
+    # it, and the top-10 must ride TakeOrderedAndProject (never a
+    # global sort of the page census)
+    "events_decayed_popularity": dict(
+        contains=["InMemoryRelation", "BroadcastNestedLoopJoin",
+                  "TakeOrderedAndProject"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        partial_agg=True,
+        max_exchanges=3,
+    ),
+    # content-defined chunking: the cut/chunk construction is a pure
+    # map over bind-materialized arrays (one Generate, no window, no
+    # doc-keyed shuffle); only the chunk-hash census shuffles, and the
+    # census joins back as a broadcast off the persisted chunk frame
+    "chunk_cdc": dict(
+        contains=["InMemoryRelation", "Generate", "BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct", "Window"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    # recall harness: composes the two pinned pair stages (their own
+    # EXPECT rows above guard the expensive shapes); here we only pin
+    # that the intersection/count layer adds no all-pairs operator
+    "dedup_recall_minhash": dict(
+        contains=["InMemoryRelation"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+        max_exchanges=16,
+    ),
     # BPE round-1 pair counts: one corpus-sized word agg + vocab-sized
     # pair agg, both partial; top-50 must be a TakeOrderedAndProject
     # (never a global Sort of the pair table)

@@ -131,3 +131,90 @@ def test_substring_removal_matches_python_model(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0  # sf0.001 must actually contain duplicated passages
+
+
+def test_chunk_cdc_matches_python_model(spark, sf_dir):
+    """Independent pure-Python re-derivation of the content-defined
+    chunking: md5-fold 60-bit digest of each 3-token window, cut where
+    digest % 16 == 0, chunks hashed by content. Also asserts the
+    partition property (chunks tile the token array exactly) and the
+    CDC property itself: every chunk's hash equals the hash of its
+    text, so identical passages yield identical chunk hashes at any
+    offset."""
+    import hashlib
+
+    import duckdb
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    hash_freq = {}
+    for doc_id, text in docs:
+        t = text.strip().split()
+        n = len(t)
+        cuts = [
+            i
+            for i in range(3, n)  # cut AFTER i, only i < n matters
+            if i < n and h60(" ".join(t[i - 3 : i])) % 16 == 0
+        ]
+        # NB: positions are 1-indexed in the engine; python slice of
+        # the window ending at 1-indexed i is t[i-3:i]
+        starts = [1] + [c + 1 for c in cuts]
+        ends = cuts + [n]
+        chunks = []
+        covered = []
+        for j, (s, e) in enumerate(zip(starts, ends)):
+            txt = " ".join(t[s - 1 : e])
+            chunks.append((j, s, e - s + 1, h60(txt)))
+            covered.extend(t[s - 1 : e])
+            hash_freq[h60(txt)] = hash_freq.get(h60(txt), 0) + 1
+        assert covered == t, doc_id  # chunks tile the document
+        want[doc_id] = chunks
+
+    got = {}
+    rows = REGISTRY["chunk_cdc"].fn(spark, sf_dir).collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["n_chunk_tokens"],
+             r["chunk_hash"], r["corpus_freq"])
+        )
+    assert set(got) == set(want)
+    for doc_id, chunks in want.items():
+        engine = sorted(got[doc_id])
+        assert [c[:4] for c in engine] == chunks, doc_id
+        for c in engine:
+            assert c[4] == hash_freq[c[3]], (doc_id, c)
+
+
+def test_decayed_popularity_weights_exact(spark, sf_dir):
+    """The decayed score must be the exact integer census fold:
+    re-derive it from the (day, page) census in Python with arbitrary
+    precision ints and compare bit-for-bit (the DOUBLE cast is exact
+    for these magnitudes)."""
+    import duckdb
+
+    census = duckdb.sql(
+        f"""
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+               CAST(props->>'$.k' AS INT) AS page, count(*) AS cnt
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2
+        """
+    ).fetchall()
+    max_d = max(d for d, _, _ in census)
+    scores: dict[int, int] = {}
+    totals: dict[int, int] = {}
+    for d, page, cnt in census:
+        age = (max_d - d).days
+        scores[page] = scores.get(page, 0) + cnt * (1 << (29 - age))
+        totals[page] = totals.get(page, 0) + cnt
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = [(p, totals[p], float(s)) for p, s in top]
+    got = [
+        (r["page"], r["total_events"], r["decayed_score"])
+        for r in REGISTRY["events_decayed_popularity"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want

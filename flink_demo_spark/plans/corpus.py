@@ -2903,6 +2903,25 @@ def repetition_rules_stateless(docs: DataFrame) -> DataFrame:
 )
 def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    # persisted: 2 consumers (hash census, census join back)
+    per_chunk = cdc_chunk_frame(docs).persist()
+    freq = per_chunk.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("corpus_freq")
+    )
+    return per_chunk.join(freq, "chunk_hash").select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        "chunk_hash",
+        "corpus_freq",
+    )
+
+
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """The stateless CDC chunker (doc rows -> one row per chunk),
+    shared by chunk_cdc and its streaming twin: a per-row array
+    program, streaming-legal in append mode."""
     mod = 16
 
     def h60(c):
@@ -2957,25 +2976,126 @@ def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return text.bind(cut_expr, build)
 
-    # persisted: 2 consumers (hash census, census join back)
-    per_chunk = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                text.bind(F.split(F.trim("text"), r"\s+"), chunks_of)
-            ).alias("c"),
+    return docs.select(
+        "doc_id",
+        F.explode(
+            text.bind(F.split(F.trim("text"), r"\s+"), chunks_of)
+        ).alias("c"),
+    ).select("doc_id", "c.*")
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ),
+    sp AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN h % 10 <= 7 THEN 'train'
+                  WHEN h % 10 = 8 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, cluster_id,
+               list_reduce(list_transform(generate_series(1, 15),
+                 j -> strpos('0123456789abcdef',
+                        substr(md5(CAST(cluster_id AS VARCHAR)), j, 1)) - 1),
+                 (a, b) -> a * 16 + b) AS h
+        FROM clusters
+      )
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+      FROM pairs p
+      JOIN sp a ON a.doc_id = p.doc1
+      JOIN sp b ON b.doc_id = p.doc2
+      WHERE a.split <> b.split
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           leaked_pairs
+    FROM sp, leak
+    GROUP BY split, leaked_pairs
+    ORDER BY split
+    """,
+    doc=(
+        "leakage-safe train/valid/test split - the eval-hygiene "
+        "operator every LLM data pipeline needs and a naive "
+        "hash-split gets WRONG: splitting documents independently "
+        "puts near-duplicate pairs on both sides of the train/test "
+        "boundary (memorization leaks straight into eval). Here the "
+        "split unit is the NEAR-DUP CLUSTER (Jaccard>=0.3 pairs -> "
+        "connected components, the verified dedup_cluster_assign "
+        "machinery): every member of a cluster inherits the same "
+        "80/10/10 bucket from the portable md5-fold of its cluster "
+        "id, so near-dups can never straddle splits BY CONSTRUCTION "
+        "- and the query audits its own guarantee by counting "
+        "cross-split near-dup pairs (leaked_pairs, provably 0, "
+        "computed not asserted - the decontamination family's "
+        "self-audit style). Cost over cluster assignment: one "
+        "map-side hash + a census-sized pair-vs-split join; the "
+        "split decision adds ZERO shuffles at 100 TB."
+    ),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    # persisted: CC iterations + the leakage audit both consume edges
+    edges = dedup.jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+    ).persist()
+    labels = graph.connected_components(
+        edges, "doc1", "doc2", nodes=docs.select("doc_id")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    # persisted: the split census + both sides of the leakage audit
+    sp = (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
         )
-        .select("doc_id", "c.*")
+        .withColumn(
+            "split",
+            F.when(h <= 7, F.lit("train"))
+            .when(h == 8, F.lit("valid"))
+            .otherwise(F.lit("test")),
+        )
         .persist()
     )
-    freq = per_chunk.groupBy("chunk_hash").agg(
-        F.count(F.lit(1)).cast("long").alias("corpus_freq")
+    leak = (
+        edges.join(
+            sp.select(F.col("doc_id").alias("doc1"), F.col("split").alias("s1")),
+            "doc1",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc2"), F.col("split").alias("s2")),
+            "doc2",
+        )
+        .where(F.col("s1") != F.col("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_pairs"))
     )
-    return per_chunk.join(freq, "chunk_hash").select(
-        "doc_id",
-        "chunk_id",
-        "chunk_start",
-        "n_chunk_tokens",
-        "chunk_hash",
-        "corpus_freq",
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_clusters", "leaked_pairs")
     )

@@ -3107,3 +3107,56 @@ def streaming_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_score").desc(), "page")
         .limit(10)
     )
+
+
+def _chunk_cdc_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["chunk_cdc"].oracle
+
+
+@query(
+    "streaming_chunk_cdc",
+    oracle=_chunk_cdc_oracle_ref(),
+    doc=(
+        "content-defined chunking on the LIVE document feed - how CDC "
+        "actually runs in an incremental-crawl ingest (each arriving "
+        "doc chunks itself; boundaries depend only on local content, "
+        "so a doc's chunks never depend on arrival order or on any "
+        "other doc): the chunker is the shared stateless array "
+        "program (corpus.cdc_chunk_frame) riding append mode with "
+        "ZERO stream state, and the corpus-frequency census + join "
+        "back run on the sink output exactly as batch (at 100 TB "
+        "that census is the same inverted-index shuffle either way "
+        "- the streaming side only changes WHEN chunks are "
+        "produced, not what they cost). Shares the batch oracle "
+        "bit-for-bit."
+    ),
+)
+def streaming_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import documents_stream
+    from .corpus import cdc_chunk_frame
+
+    feed = documents_stream(spark, sf_dir)
+    per_chunk = run_available_now(
+        cdc_chunk_frame(feed), output_mode="append"
+    ).persist()
+    # the census side re-aliases its key: both branches read the same
+    # memory-sink view, and an un-renamed self-join would carry
+    # conflicting attribute references
+    freq = (
+        per_chunk.select(F.col("chunk_hash").alias("ch"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("corpus_freq"))
+    )
+    return per_chunk.join(
+        freq, per_chunk["chunk_hash"] == freq["ch"]
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        "chunk_hash",
+        "corpus_freq",
+    )

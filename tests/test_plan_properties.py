@@ -654,6 +654,15 @@ EXPECT = {
         absent=["CartesianProduct", "SortMergeJoin"],
         max_exchanges=16,
     ),
+    # leakage-safe split: the pair stage + CC labels are persisted
+    # (iterative min-label propagation re-reads edges), the split
+    # decision is a pure map off the labels, and the audit joins are
+    # census-sized — nothing may pair up all docs
+    "split_leakage_safe": dict(
+        contains=["InMemoryRelation"],
+        absent=["CartesianProduct"],
+        partial_agg=True,
+    ),
     # BPE round-1 pair counts: one corpus-sized word agg + vocab-sized
     # pair agg, both partial; top-50 must be a TakeOrderedAndProject
     # (never a global Sort of the pair table)

@@ -218,3 +218,36 @@ def test_decayed_popularity_weights_exact(spark, sf_dir):
         for r in REGISTRY["events_decayed_popularity"].fn(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_split_leakage_safe_invariants(spark, sf_dir):
+    """The split's two contracts, re-derived independently: (a) every
+    doc in a near-dup cluster lands in the same split as its whole
+    cluster (leaked_pairs == 0 is computed by the query; here we
+    re-check by construction), (b) the 80/10/10 buckets come from the
+    md5-fold of the cluster id."""
+    import hashlib
+
+    assign = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in REGISTRY["dedup_cluster_assign"].fn(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["split_leakage_safe"].fn(spark, sf_dir).collect()
+    got = {r["split"]: (r["n_docs"], r["n_clusters"], r["leaked_pairs"]) for r in rows}
+    assert all(v[2] == 0 for v in got.values())
+
+    def bucket(cid: int) -> str:
+        h = int(hashlib.md5(str(cid).encode()).hexdigest()[:15], 16) % 10
+        return "train" if h <= 7 else ("valid" if h == 8 else "test")
+
+    want: dict[str, list] = {"train": [set(), 0], "valid": [set(), 0],
+                             "test": [set(), 0]}
+    for doc_id, (cid, _) in assign.items():
+        b = bucket(cid)
+        want[b][0].add(cid)
+        want[b][1] += 1
+    for split, (clusters, n_docs) in want.items():
+        if n_docs == 0:
+            assert split not in got
+        else:
+            assert got[split][:2] == (n_docs, len(clusters)), split

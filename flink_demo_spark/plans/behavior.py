@@ -2221,6 +2221,7 @@ def events_dau_wau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "census in its ONE shuffle and every later step is "
         "census-sized - the same shape as events_dau_wau_mau."
     ),
+    bench=True,
 )
 def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)

@@ -2837,10 +2837,9 @@ def repetition_rules_stateless(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "chunk_cdc",
-    oracle="""
-    WITH toks AS (
+# the CDC chunk construction, shared by chunk_cdc (per-chunk listing)
+# and dedup_chunk_level (the storage-savings summary over the census)
+_CDC_CHUNK_CTES = """toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents
     ), cuts AS (
@@ -2870,7 +2869,13 @@ def repetition_rules_stateless(docs: DataFrame) -> DataFrame:
                              k, 1)) - 1),
                (a, b) -> a * 16 + b) AS BIGINT) AS chunk_hash
       FROM bounds, LATERAL unnest(generate_series(1, len(starts))) AS g(j)
-    ), freq AS (
+    )"""
+
+
+@query(
+    "chunk_cdc",
+    oracle=f"""
+    WITH {_CDC_CHUNK_CTES}, freq AS (
       SELECT chunk_hash, CAST(count(*) AS BIGINT) AS corpus_freq
       FROM chunks GROUP BY 1
     )
@@ -2900,6 +2905,7 @@ def repetition_rules_stateless(docs: DataFrame) -> DataFrame:
         "space is content-hash-uniform (no skew) and the map stage "
         "is embarrassingly parallel."
     ),
+    bench=True,
 )
 def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
@@ -3098,4 +3104,59 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leak))
         .select("split", "n_docs", "n_clusters", "leaked_pairs")
+    )
+
+
+@query(
+    "dedup_chunk_level",
+    oracle=f"""
+    WITH {_CDC_CHUNK_CTES}, census AS (
+      SELECT chunk_hash,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(max(n_chunk_tokens) AS BIGINT) AS n_tok
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT CAST(sum(freq) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_unique_chunks,
+           CAST(sum(freq * n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum((freq - 1) * n_tok) AS BIGINT) AS dup_tokens,
+           CAST(sum((freq - 1) * n_tok) * 10000 // sum(freq * n_tok)
+                AS BIGINT) AS savings_bp
+    FROM census
+    """,
+    doc=(
+        "chunk-level dedup savings - the summary a CDC-backed corpus "
+        "store reads before committing to content-addressed storage "
+        "(what fraction of tokens vanishes if every duplicate chunk "
+        "is stored once): the CDC chunk census (identical passages "
+        "produce identical chunk hashes at ANY offset - chunk_cdc's "
+        "defining property) aggregated to total vs duplicated tokens "
+        "in exact integer basis points. n_tok is constant per hash "
+        "by construction (same content, same length), so max() is "
+        "exact, not approximate. One chunk-hash shuffle, a 1-row "
+        "reduce after - the census never grows faster than unique "
+        "content at 100 TB, which is the entire point of CDC."
+    ),
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    census = (
+        cdc_chunk_frame(docs)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.max("n_chunk_tokens").cast("long").alias("n_tok"),
+        )
+    )
+    return census.agg(
+        F.sum("freq").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        F.sum(F.col("freq") * F.col("n_tok")).cast("long").alias("total_tokens"),
+        F.sum((F.col("freq") - 1) * F.col("n_tok"))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.expr(
+            "CAST(sum((freq - 1) * n_tok) * 10000"
+            " DIV sum(freq * n_tok) AS BIGINT)"
+        ).alias("savings_bp"),
     )

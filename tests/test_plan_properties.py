@@ -663,6 +663,14 @@ EXPECT = {
         absent=["CartesianProduct"],
         partial_agg=True,
     ),
+    # chunk-level savings: one chunk-hash census shuffle + the 1-row
+    # reduce; no join of any kind (the census IS the data)
+    "dedup_chunk_level": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
     # BPE round-1 pair counts: one corpus-sized word agg + vocab-sized
     # pair agg, both partial; top-50 must be a TakeOrderedAndProject
     # (never a global Sort of the pair table)

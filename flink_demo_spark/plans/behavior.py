@@ -2254,3 +2254,66 @@ def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_score").desc(), "page")
         .limit(10)
     )
+
+
+@query(
+    "user_interarrival_bots",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms
+      FROM events
+    ), g AS (
+      SELECT user_id,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms, event_id) AS gap_ms
+      FROM e
+    ), s AS (
+      SELECT user_id,
+             CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+             CAST(count(*) FILTER (WHERE gap_ms < 60000) AS BIGINT)
+               AS burst_gaps
+      FROM g GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, burst_gaps,
+           CAST(burst_gaps * 10000 // n_gaps AS BIGINT) AS burst_share_bp,
+           (burst_gaps * 2 >= n_gaps) AS is_bot
+    FROM s WHERE n_gaps >= 20
+    ORDER BY user_id
+    """,
+    doc=(
+        "inter-arrival burstiness screen - the classic bot/scripted-"
+        "traffic signal (humans pause; scripts fire sub-minute "
+        "bursts): per user, consecutive event gaps in exact integer "
+        "milliseconds (epoch_ms on both engines - no float seconds, "
+        "no truncation mismatch), the share of gaps under 60 s in "
+        "exact bp, and the bot flag at >= 50%% by integer cross-"
+        "multiplication (burst_gaps * 2 >= n_gaps, no division). "
+        "Users with < 20 gaps are suppressed (warm-up, same policy "
+        "as the rate-spike monitor). ONE user_id shuffle serves "
+        "both the lag window and the per-user aggregate - the "
+        "partitioning is reused, so at 100 TB this is a single "
+        "pass over events with census-sized output."
+    ),
+)
+def user_interarrival_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    g = ev.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    ).withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
+    s = g.groupBy("user_id").agg(
+        F.count("gap_ms").cast("long").alias("n_gaps"),
+        F.count(F.when(F.col("gap_ms") < 60000, 1))
+        .cast("long")
+        .alias("burst_gaps"),
+    )
+    return s.where(F.col("n_gaps") >= 20).select(
+        "user_id",
+        "n_gaps",
+        "burst_gaps",
+        F.expr("CAST(burst_gaps * 10000 DIV n_gaps AS BIGINT)").alias(
+            "burst_share_bp"
+        ),
+        (F.col("burst_gaps") * 2 >= F.col("n_gaps")).alias("is_bot"),
+    )

@@ -3444,3 +3444,89 @@ def similarity_recall_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_pq_bp"),
         )
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), census AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY word
+    ), ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk
+      FROM census
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n FROM census
+    ), sizes AS (
+      SELECT unnest([8, 16, 32, 64, 128]) AS vocab_size
+    )
+    SELECT CAST(s.vocab_size AS INT) AS vocab_size,
+           CAST(sum(r.cnt) AS BIGINT) AS covered_tokens,
+           CAST(max(t.n) AS BIGINT) AS total_tokens,
+           CAST(sum(r.cnt) * 10000 // max(t.n) AS BIGINT) AS coverage_bp
+    FROM sizes s
+    JOIN ranked r ON r.rk <= s.vocab_size
+    CROSS JOIN tot t
+    GROUP BY s.vocab_size
+    ORDER BY vocab_size
+    """,
+    doc=(
+        "tokenizer vocabulary coverage curve - the design question "
+        "every tokenizer build answers first (what share of corpus "
+        "tokens does a vocab of size V cover?), here at V = 8/16/32/"
+        "64/128 in exact integer basis points: ONE token-census "
+        "shuffle (partial agg absorbs repeats - the shuffle carries "
+        "the Heaps-law-bounded vocabulary, never corpus rows), a "
+        "rank over the census, and each census row fans out to the "
+        "curve points it belongs to via a constant <=5-element array "
+        "filter-explode (no size-x-census join on the Spark side; "
+        "the oracle's rk <= vocab_size join is the same set). The "
+        "single-partition census window is the corpus_source_gini "
+        "shape - bounded by vocabulary, not volume, which is what "
+        "keeps an exact curve feasible at 100 TB."
+    ),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    # persisted: the rank pass and the 1-row total both read it
+    census = (
+        docs.select(
+            F.explode_outer(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+                "word"
+            )
+        )
+        .where(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    ranked = census.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+        .alias("rk"),
+    )
+    tot = census.agg(F.sum("cnt").cast("long").alias("n"))
+    sizes = F.array(*[F.lit(s) for s in (8, 16, 32, 64, 128)])
+    cov = (
+        ranked.select(
+            "cnt",
+            F.explode(
+                F.filter(sizes, lambda v: v >= F.col("rk"))
+            ).alias("vocab_size"),
+        )
+        .groupBy("vocab_size")
+        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        F.col("vocab_size").cast("int").alias("vocab_size"),
+        "covered_tokens",
+        F.col("n").alias("total_tokens"),
+        F.expr(
+            "CAST(covered_tokens * 10000 DIV n AS BIGINT)"
+        ).alias("coverage_bp"),
+    )

@@ -671,6 +671,22 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=2,
     ),
+    # vocab coverage curve: one token-census shuffle; the curve math
+    # fans out per census row (constant array explode), the 1-row
+    # total broadcasts — never a sizes-x-census shuffled join
+    "text_vocab_coverage": dict(
+        contains=["InMemoryRelation", "BroadcastNestedLoopJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        partial_agg=True,
+        max_exchanges=4,
+    ),
+    # burstiness screen: ONE user_id shuffle reused by the lag window
+    # AND the per-user aggregate; no join of any kind
+    "user_interarrival_bots": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin"],
+        max_exchanges=1,
+    ),
     # BPE round-1 pair counts: one corpus-sized word agg + vocab-sized
     # pair agg, both partial; top-50 must be a TakeOrderedAndProject
     # (never a global Sort of the pair table)

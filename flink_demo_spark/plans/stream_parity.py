@@ -3160,3 +3160,134 @@ def streaming_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_hash",
         "corpus_freq",
     )
+
+
+def _vocab_coverage_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["text_vocab_coverage"].oracle
+
+
+@query(
+    "streaming_vocab_coverage",
+    oracle=_vocab_coverage_oracle_ref(),
+    doc=(
+        "vocabulary coverage curve on the LIVE document feed - the "
+        "tokenizer-design dashboard updated as the crawl ingests: "
+        "the token census runs as the single incremental "
+        "complete-mode streaming aggregation (vocabulary-sized "
+        "keyed state, Heaps-bounded - volume-free), then the rank, "
+        "constant array fan-out and 1-row total reduce the "
+        "census-sized sink output exactly as batch. Shares the "
+        "batch oracle; pure integer counts."
+    ),
+)
+def streaming_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import documents_stream
+
+    feed = documents_stream(spark, sf_dir)
+    census = run_available_now(
+        feed.select(
+            F.explode_outer(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("word")
+        )
+        .where(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        output_mode="complete",
+    ).persist()
+    ranked = census.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+        .alias("rk"),
+    )
+    tot = census.agg(F.sum("cnt").cast("long").alias("n"))
+    sizes = F.array(*[F.lit(s) for s in (8, 16, 32, 64, 128)])
+    cov = (
+        ranked.select(
+            "cnt",
+            F.explode(
+                F.filter(sizes, lambda v: v >= F.col("rk"))
+            ).alias("vocab_size"),
+        )
+        .groupBy("vocab_size")
+        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        F.col("vocab_size").cast("int").alias("vocab_size"),
+        "covered_tokens",
+        F.col("n").alias("total_tokens"),
+        F.expr(
+            "CAST(covered_tokens * 10000 DIV n AS BIGINT)"
+        ).alias("coverage_bp"),
+    )
+
+
+def _interarrival_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["user_interarrival_bots"].oracle
+
+
+@query(
+    "streaming_interarrival_bots",
+    oracle=_interarrival_oracle_ref(),
+    doc=(
+        "burstiness bot screen on the LIVE stream - the signal is "
+        "only useful while the traffic is arriving: per-user event "
+        "journeys accumulate as the single complete-mode incremental "
+        "aggregation (collect_list keyed state, the funnel/session "
+        "twins' journey shape), and the gap math runs on the "
+        "census-sized sink output with array_sort making the fold "
+        "arrival-order-independent - the sorted (ts_ms, event_id) "
+        "walk reproduces the batch lag window exactly. Shares the "
+        "batch oracle; exact integer milliseconds."
+    ),
+)
+def streaming_interarrival_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    per_user = run_available_now(
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_millis("ts").alias("ts_ms"),
+                F.col("event_id").alias("eid"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_list("e").alias("evts")),
+        output_mode="complete",
+    )
+    ts_sorted = F.transform(F.array_sort("evts"), lambda s: s["ts_ms"])
+    gaps = F.zip_with(
+        F.slice(ts_sorted, 2, F.greatest(F.size(ts_sorted) - 1, F.lit(1))),
+        F.slice(ts_sorted, 1, F.greatest(F.size(ts_sorted) - 1, F.lit(1))),
+        lambda a, b: a - b,
+    )
+    s = per_user.select(
+        "user_id",
+        F.when(F.size("evts") > 1, F.size("evts") - 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("n_gaps"),
+        F.when(
+            F.size("evts") > 1,
+            F.size(F.filter(gaps, lambda g: g < 60000)),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("burst_gaps"),
+    )
+    return s.where(F.col("n_gaps") >= 20).select(
+        "user_id",
+        "n_gaps",
+        "burst_gaps",
+        F.expr("CAST(burst_gaps * 10000 DIV n_gaps AS BIGINT)").alias(
+            "burst_share_bp"
+        ),
+        (F.col("burst_gaps") * 2 >= F.col("n_gaps")).alias("is_bot"),
+    )

@@ -3291,3 +3291,52 @@ def streaming_interarrival_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("burst_gaps") * 2 >= F.col("n_gaps")).alias("is_bot"),
     )
+
+
+def _chunk_level_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["dedup_chunk_level"].oracle
+
+
+@query(
+    "streaming_chunk_savings",
+    oracle=_chunk_level_oracle_ref(),
+    doc=(
+        "chunk-level dedup savings on the LIVE crawl - the "
+        "content-addressed-store dashboard number updated as "
+        "documents arrive: the stateless CDC chunker feeds the "
+        "chunk-hash census as the single incremental complete-mode "
+        "streaming aggregation (state = unique chunks, which is "
+        "exactly the store's own key space), and the 1-row savings "
+        "reduce runs on the census-sized sink output. Shares "
+        "dedup_chunk_level's batch oracle; exact integer bp."
+    ),
+)
+def streaming_chunk_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import documents_stream
+    from .corpus import cdc_chunk_frame
+
+    feed = documents_stream(spark, sf_dir)
+    census = run_available_now(
+        cdc_chunk_frame(feed)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.max("n_chunk_tokens").cast("long").alias("n_tok"),
+        ),
+        output_mode="complete",
+    )
+    return census.agg(
+        F.sum("freq").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        F.sum(F.col("freq") * F.col("n_tok")).cast("long").alias("total_tokens"),
+        F.sum((F.col("freq") - 1) * F.col("n_tok"))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.expr(
+            "CAST(sum((freq - 1) * n_tok) * 10000"
+            " DIV sum(freq * n_tok) AS BIGINT)"
+        ).alias("savings_bp"),
+    )

@@ -13,8 +13,11 @@ planner batch demos (``TableSQLFunc.scala:390-402``, ``QueryTest
 .scala:356-388``); TPC-H shapes are the canonical stand-ins.
 
 Adaptations forced by the schema (no partsupp, no commit/receipt
-dates, no shipmode/shipinstruct): Q2/Q11/Q20 are not expressible and
-stay documented as n/a; Q4/Q21 define "late" as shipping >60 days
+dates, no shipmode/shipinstruct): Q2/Q11/Q20 run against a partsupp
+DERIVED deterministically from part x supplier with dbgen's public
+supplier-assignment formula (see the Q2/Q11/Q20 section below) — both
+engines materialize the identical relation, so the three query shapes
+are exercised for real; Q4/Q21 define "late" as shipping >60 days
 after the order date; Q12 buckets by l_returnflag instead of
 l_shipmode; Q16 counts lineitem suppliers instead of partsupp rows.
 
@@ -566,4 +569,275 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q20 — the three queries the driver schema blocked for nine
+# rounds (no partsupp table). Unblocked by DERIVING partsupp
+# deterministically from part x supplier with dbgen's own public
+# supplier-assignment formula (TPC-H spec 4.2.3 / dbgen build.c:
+# suppkey = (partkey + i*(S/4 + (partkey-1)/S)) % S + 1, i in 0..3), so
+# BOTH engines materialize the identical 4-suppliers-per-part relation
+# and the three query shapes (correlated min, global-fraction HAVING,
+# quantity-threshold semi-join chain) run for real. availqty and
+# supplycost are deterministic integer mixes (cents — never floats), so
+# every comparison and aggregate below is integer-exact.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """ps AS (
+      SELECT p_partkey AS ps_partkey,
+             CAST((p_partkey + i.i * (s.cnt // 4 + (p_partkey - 1) // s.cnt))
+                  % s.cnt + 1 AS BIGINT) AS ps_suppkey,
+             CAST((p_partkey * 31 + i.i * 17) % 9999 + 1 AS BIGINT)
+               AS ps_availqty,
+             CAST((p_partkey * 7 + i.i * 3) % 99900 + 100 AS BIGINT)
+               AS ps_supplycost_cents
+      FROM part
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+      CROSS JOIN (SELECT count(*) AS cnt FROM supplier) s
+    )"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation (see module comment above): 4 rows
+    per part, supplier picked by the dbgen formula over the ACTUAL
+    supplier count (a 1-row broadcast — the relation scales with the
+    dims, and derivation is a pure map over part at 100 TB)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    scnt = _t(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    return (
+        part.crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey",
+            "s_cnt",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                "CAST((p_partkey + i * (s_cnt DIV 4 + (p_partkey - 1)"
+                " DIV s_cnt)) % s_cnt + 1 AS BIGINT)"
+            ).alias("ps_suppkey"),
+            F.expr(
+                "CAST((p_partkey * 31 + i * 17) % 9999 + 1 AS BIGINT)"
+            ).alias("ps_availqty"),
+            F.expr(
+                "CAST((p_partkey * 7 + i * 3) % 99900 + 100 AS BIGINT)"
+            ).alias("ps_supplycost_cents"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_SQL}, euro AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), mn AS (
+      SELECT ps_partkey, min(ps_supplycost_cents) AS min_cost_cents
+      FROM euro GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+           e.ps_supplycost_cents AS supplycost_cents
+    FROM euro e
+    JOIN mn ON mn.ps_partkey = e.ps_partkey
+           AND e.ps_supplycost_cents = mn.min_cost_cents
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size = 15
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc=(
+        "TPC-H-Q2 (minimum-cost supplier) on the derived partsupp: "
+        "for every size-15 part, the EUROPE supplier(s) "
+        "offering the region-wide minimum supply cost - the "
+        "correlated-min-subquery pattern, planned as a group-min + "
+        "equality join back (one pass over the region-filtered "
+        "partsupp instead of a per-row subquery). All dims "
+        "(supplier/nation/region/part filters) broadcast; the only "
+        "shuffles are the per-part min census and its join back - "
+        "at 100 TB partsupp is fact-sized and this stays a "
+        "single-shuffle pattern. Costs compared in integer cents; "
+        "top-100 deterministic via the full TPC-H tie-break chain."
+    ),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro = (
+        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "ps_partkey", "ps_supplycost_cents", "s_acctbal", "s_name",
+            "n_name",
+        )
+        .persist()  # 2 consumers: the min census + the detail join
+    )
+    # the census side re-aliases its key: mn derives FROM euro, and an
+    # un-renamed self-join would carry ambiguous attribute references
+    mn = euro.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cost_cents")
+    ).withColumnRenamed("ps_partkey", "mn_partkey")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    return (
+        euro.join(
+            mn,
+            (F.col("ps_partkey") == F.col("mn_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cost_cents")),
+        )
+        .join(F.broadcast(part), euro["ps_partkey"] == part["p_partkey"])
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.col("ps_supplycost_cents").alias("supplycost_cents"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PS_SQL}, nat_ps AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost_cents * ps.ps_availqty AS v
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ), val AS (
+      SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+      FROM nat_ps GROUP BY ps_partkey
+    ), tot AS (
+      SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM val
+    )
+    SELECT ps_partkey, value_cents
+    FROM val, tot
+    WHERE value_cents * 1000 > total_cents
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+    doc=(
+        "TPC-H-Q11 (important stock identification) on the derived "
+        "partsupp: parts whose NATION_7 stock value exceeds 1/1000 "
+        "of the nation's total, the global-fraction HAVING pattern. "
+        "The threshold compare is the integer cross-multiplication "
+        "value_cents * 1000 > total_cents (no float fraction), the "
+        "nation filter broadcasts onto the partsupp scan, and the "
+        "global total is a 1-row broadcast over the per-part value "
+        "census - one shuffle, census-sized everything after, the "
+        "shape that survives a fact-sized partsupp at 100 TB."
+    ),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    val = (
+        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("value_cents")
+        )
+        .persist()  # 2 consumers: the global total + the filter
+    )
+    tot = val.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH {_PS_SQL}, sm AS (
+      SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+                 AND p.p_name LIKE 'small%'
+      JOIN sm ON sm.l_partkey = ps.ps_partkey
+             AND sm.l_suppkey = ps.ps_suppkey
+      WHERE 2 * ps.ps_availqty > sm.qty
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    JOIN cand ON cand.ps_suppkey = s.s_suppkey
+    ORDER BY s.s_name, n.n_name
+    """,
+    doc=(
+        "TPC-H-Q20 (potential part promotion) on the derived "
+        "partsupp: EUROPE suppliers holding more than half a "
+        "year's shipped quantity of any 'small%' part - the nested "
+        "IN-subquery chain, planned as filters + joins: lineitem "
+        "collapses to its (part, supplier, 1996) quantity census "
+        "FIRST (partial agg - the only fact-sized shuffle), the "
+        "part-name filter broadcasts onto partsupp, the threshold "
+        "is the integer cross-multiplication 2*availqty > qty "
+        "(sum(l_quantity) is integral, cast exact), and the "
+        "supplier set reaches the dim join as a distinct census. "
+        "Matches TPC-H semantics where pairs with no 1996 "
+        "shipments are excluded (NULL comparison in the spec's "
+        "correlated form = inner join here)."
+    ),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem")
+    sm = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    cand = (
+        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .join(
+            sm,
+            (ps["ps_partkey"] == sm["l_partkey"])
+            & (ps["ps_suppkey"] == sm["l_suppkey"]),
+        )
+        .where(2 * F.col("ps_availqty") > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cand, supp["s_suppkey"] == cand["ps_suppkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name", "n_name")
     )

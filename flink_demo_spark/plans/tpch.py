@@ -724,19 +724,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
       FROM nat_ps GROUP BY ps_partkey
     ), tot AS (
-      SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM val
+      SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_parts FROM val
     )
     SELECT ps_partkey, value_cents
     FROM val, tot
-    WHERE value_cents * 1000 > total_cents
+    WHERE value_cents * n_parts > 2 * total_cents
     ORDER BY value_cents DESC, ps_partkey
     """,
     doc=(
         "TPC-H-Q11 (important stock identification) on the derived "
-        "partsupp: parts whose NATION_7 stock value exceeds 1/1000 "
-        "of the nation's total, the global-fraction HAVING pattern. "
-        "The threshold compare is the integer cross-multiplication "
-        "value_cents * 1000 > total_cents (no float fraction), the "
+        "partsupp: parts whose NATION_7 stock value exceeds "
+        "twice the average per-part value, the global-fraction "
+        "HAVING pattern. TPC-H scales its fraction by 1/SF so the "
+        "row count stays meaningful as parts grow; the same "
+        "scale-relative idea here is value > 2x the mean, as the "
+        "integer cross-multiplication value_cents * n_parts > "
+        "2 * total_cents (no float fraction, no fixed constant "
+        "that empties at 100 TB - the dedup posting cap's lesson), "
+        "the "
         "nation filter broadcasts onto the partsupp scan, and the "
         "global total is a 1-row broadcast over the per-part value "
         "census - one shuffle, census-sized everything after, the "
@@ -758,10 +764,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # 2 consumers: the global total + the filter
     )
-    tot = val.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    tot = val.agg(
+        F.sum("value_cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
     return (
         val.crossJoin(F.broadcast(tot))
-        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .where(
+            F.col("value_cents") * F.col("n_parts")
+            > 2 * F.col("total_cents")
+        )
         .select("ps_partkey", "value_cents")
         .orderBy(F.desc("value_cents"), "ps_partkey")
     )

@@ -2317,3 +2317,185 @@ def user_interarrival_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("burst_gaps") * 2 >= F.col("n_gaps")).alias("is_bot"),
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
+             CAST(props->>'$.k' AS INT) AS page
+      FROM events
+    ), t AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN ts_ms * 1000 + page END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pack
+      FROM e
+    )
+    SELECT CAST(pack % 1000 AS INT) AS page,
+           CAST(count(*) AS BIGINT) AS n_attributed,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS attributed_cents
+    FROM t
+    WHERE event_type = 'purchase' AND pack IS NOT NULL
+      AND pack // 1000 >= ts_ms - 86400000
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "last-touch conversion attribution - the ads/growth query "
+        "behind 'which page drives purchases': each purchase credits "
+        "the user's latest click STRICTLY before it (ts, then "
+        "event_id - deterministic even on timestamp ties) within a "
+        "24 h window. The carried click is a single packed BIGINT "
+        "(ts_ms * 1000 + page - exact, no struct-ordering "
+        "portability hazard) via last(... IGNORE NULLS) over the "
+        "user timeline, so the whole attribution is ONE user_id "
+        "shuffle with no purchase-x-click join at all (the naive "
+        "formulation is an interval self-join that explodes on "
+        "active users); revenue lands in exact integer cents. The "
+        "page census output is catalog-bounded at 100 TB."
+    ),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_millis("ts").alias("ts_ms"),
+        page.alias("page"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = e.withColumn(
+        "pack",
+        F.last(
+            F.when(
+                F.col("event_type") == "click",
+                F.col("ts_ms") * 1000 + F.col("page"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        t.where(
+            (F.col("event_type") == "purchase")
+            & F.col("pack").isNotNull()
+            & (F.expr("pack DIV 1000") >= F.col("ts_ms") - 86400000)
+        )
+        .groupBy(F.expr("CAST(pack % 1000 AS INT)").alias("page"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_attributed"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+    )
+
+
+@query(
+    "session_duration_quantiles",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms
+      FROM events
+    ), g AS (
+      SELECT user_id, ts_ms,
+             CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                    ORDER BY ts_ms, event_id) > 3600000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), s AS (
+      SELECT user_id, ts_ms,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), d AS (
+      SELECT (max(ts_ms) - min(ts_ms)) // 1000 AS dur_s
+      FROM s GROUP BY user_id, sid
+    ), c AS (
+      SELECT dur_s, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY dur_s
+    ), r AS (
+      SELECT dur_s, cnt,
+             sum(cnt) OVER (ORDER BY dur_s ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM c
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_sessions,
+           CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN dur_s END)
+                AS BIGINT) AS p50_s,
+           CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN dur_s END)
+                AS BIGINT) AS p90_s,
+           CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN dur_s END)
+                AS BIGINT) AS p99_s
+    FROM r
+    """,
+    doc=(
+        "session-duration quantiles - the engagement-dashboard "
+        "headline (p50/p90/p99 time-on-site): 1 h lag-gap sessions "
+        "(the session_funnel_conversion sessionization, ONE user_id "
+        "shuffle reused by lag + cumulative-sum + the per-session "
+        "reduce), session durations in exact integer seconds, then "
+        "EXACT quantiles by census-and-cumulate over the duration "
+        "value domain (the events_value_quantiles_by_type pattern, "
+        "global) - never a row sort, never an approximation. At "
+        "100 TB: one event shuffle, then a duration-domain-bounded "
+        "census."
+    ),
+)
+def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    g = e.withColumn(
+        "brk",
+        F.when(
+            F.col("ts_ms") - F.lag("ts_ms").over(wl) > 3600000, 1
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid",
+        F.sum("brk").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_ms")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    d = s.groupBy("user_id", "sid").agg(
+        F.expr("(max(ts_ms) - min(ts_ms)) DIV 1000").alias("dur_s")
+    )
+    c = d.groupBy("dur_s").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r = c.select(
+        "dur_s",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("dur_s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(F.lit(1))
+        ).alias("n"),
+    )
+    qcol = lambda q, nm: F.min(  # noqa: E731
+        F.when(F.expr(f"cum >= ({q} * n + 99) DIV 100"), F.col("dur_s"))
+    ).cast("long").alias(nm)
+    return r.agg(
+        F.max("n").cast("long").alias("n_sessions"),
+        qcol(50, "p50_s"),
+        qcol(90, "p90_s"),
+        qcol(99, "p99_s"),
+    )

@@ -3530,3 +3530,90 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(covered_tokens * 10000 DIV n AS BIGINT)"
         ).alias("coverage_bp"),
     )
+
+
+@query(
+    "similarity_recall_lsh",
+    oracle=f"""
+    WITH bq AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), bs AS (
+      SELECT bq.query_id, e.vec_id AS neighbor_id,
+             round({_IVF_COS.format(a='bq.qv', b='e.embedding::DOUBLE[]')}, 6)
+               AS cosine_sim
+      FROM embeddings e CROSS JOIN bq
+      WHERE e.vec_id <> bq.query_id
+    ), brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM bs
+      ) WHERE rk <= 5
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5
+    ), lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round({_IVF_COS.format(a='q.qv', b='c.v')}, 6) DESC,
+                 c.vec_id) AS rk
+        FROM b c JOIN q ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rk <= 5
+    ), base AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS k
+      FROM brute GROUP BY query_id
+    ), hits AS (
+      SELECT b2.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM brute b2 JOIN lsh USING (query_id, neighbor_id)
+      GROUP BY b2.query_id
+    )
+    SELECT base.query_id, base.k,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 10000 // base.k AS BIGINT)
+             AS recall_bp
+    FROM base LEFT JOIN hits h USING (query_id)
+    ORDER BY base.query_id
+    """,
+    doc=(
+        "LSH recall evaluation - the third ANN eval-harness row, "
+        "completing the family (recall_ivf prices the IVF partition "
+        "approximation, recall_quant the int8/PQ code "
+        "approximations; this prices the random-hyperplane BUCKET "
+        "approximation): per query point, recall@5 of the "
+        "single-bucket LSH retrieval against exact brute-force "
+        "cosine, both composed VERBATIM from the gate-green "
+        "formulations (similarity_lsh_topk / similarity_topk). "
+        "Together the three rows rank every ANN tier the engine "
+        "ships by measured recall before anyone trusts one at "
+        "100 TB. Same census-sized eval cost as the siblings."
+    ),
+)
+def similarity_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    brute = similarity.brute_force_top_k(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, round_to=6
+    ).select("query_id", "neighbor_id")
+    lsh = similarity_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    base = brute.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    hits = (
+        brute.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "k",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.expr(
+            "CAST(coalesce(n_hits, 0) * 10000 DIV k AS BIGINT)"
+        ).alias("recall_bp"),
+    )

@@ -687,6 +687,24 @@ EXPECT = {
                 "BroadcastNestedLoopJoin"],
         max_exchanges=1,
     ),
+    # last-touch attribution: the packed-BIGINT carry makes this ONE
+    # event-scale user_id shuffle plus the catalog-bounded page-census
+    # agg — the naive purchase-x-click interval self-join must never
+    # appear
+    "attribution_last_touch": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin"],
+        partial_agg=True,
+        max_exchanges=2,
+    ),
+    # session durations: user shuffle reused by lag/cumsum/session
+    # reduce (subset-partitioning satisfies the (user, sid) group), a
+    # duration-domain census, then the census-bounded global cumulate
+    "session_duration_quantiles": dict(
+        absent=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"],
+        partial_agg=True,
+        max_exchanges=4,
+    ),
     # BPE round-1 pair counts: one corpus-sized word agg + vocab-sized
     # pair agg, both partial; top-50 must be a TakeOrderedAndProject
     # (never a global Sort of the pair table)

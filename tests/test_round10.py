@@ -251,3 +251,38 @@ def test_split_leakage_safe_invariants(spark, sf_dir):
             assert split not in got
         else:
             assert got[split][:2] == (n_docs, len(clusters)), split
+
+
+def test_attribution_matches_python_model(spark, sf_dir):
+    """Independent pure-Python walk of each user's timeline: latest
+    click strictly before each purchase (ts, then event_id), 24 h
+    window, revenue in exact cents."""
+    import json as _json
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_id, event_type, value,
+                   CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT), props
+            FROM read_parquet('{sf_dir}/events.parquet')
+            ORDER BY user_id, 5, event_id"""
+    ).fetchall()
+    want: dict[int, list] = {}
+    last_click: dict[int, tuple] = {}
+    cur_user = None
+    for user_id, event_id, etype, value, ts_ms, props in rows:
+        if user_id != cur_user:
+            cur_user, carry = user_id, None
+        if etype == "purchase" and carry is not None:
+            c_ts, c_page = carry
+            if c_ts >= ts_ms - 86400000:
+                ent = want.setdefault(c_page, [0, 0])
+                ent[0] += 1
+                ent[1] += int(round(value * 100))
+        if etype == "click":
+            carry = (ts_ms, int(_json.loads(props)["k"]))
+    got = {
+        r["page"]: [r["n_attributed"], r["attributed_cents"]]
+        for r in REGISTRY["attribution_last_touch"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

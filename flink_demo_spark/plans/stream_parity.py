@@ -3340,3 +3340,91 @@ def streaming_chunk_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV sum(freq * n_tok) AS BIGINT)"
         ).alias("savings_bp"),
     )
+
+
+def _attribution_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["attribution_last_touch"].oracle
+
+
+@query(
+    "streaming_attribution",
+    oracle=_attribution_oracle_ref(),
+    doc=(
+        "last-touch attribution on the LIVE stream - the growth "
+        "dashboard this query feeds is watched in real time: "
+        "per-user event journeys accumulate as the single "
+        "complete-mode incremental aggregation (collect_list keyed "
+        "state, the funnel twins' shape), and the attribution walk "
+        "runs on the census-sized sink output as one array fold "
+        "over the (ts_ms, event_id)-sorted journey - the carry is "
+        "the batch twin's packed BIGINT, and the 24 h window "
+        "compare is kept in multiples of 1000 (carry >= "
+        "(ts-86400000)*1000) so the fold never divides - exact "
+        "integer arithmetic end to end, bit-equal to the batch "
+        "window-function formulation. Shares the batch oracle."
+    ),
+)
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    page = F.get_json_object("props", "$.k").cast("int")
+    per_user = run_available_now(
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_millis("ts").alias("ts_ms"),
+                F.col("event_id").alias("eid"),
+                (F.col("event_type") == "click").cast("int").alias("is_click"),
+                (F.col("event_type") == "purchase")
+                .cast("int")
+                .alias("is_purchase"),
+                page.alias("page"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_list("e").alias("evts")),
+        output_mode="complete",
+    )
+    hit_t = "array<struct<page:int,cents:bigint>>"
+    fold = F.aggregate(
+        F.array_sort("evts"),
+        F.struct(
+            F.lit(None).cast("long").alias("carry"),
+            F.expr(f"CAST(array() AS {hit_t})").alias("hits"),
+        ),
+        lambda acc, e: F.struct(
+            F.when(
+                e["is_click"] == 1, e["ts_ms"] * 1000 + e["page"]
+            )
+            .otherwise(acc["carry"])
+            .alias("carry"),
+            F.when(
+                (e["is_purchase"] == 1)
+                & acc["carry"].isNotNull()
+                & (acc["carry"] >= (e["ts_ms"] - 86400000) * 1000),
+                F.concat(
+                    acc["hits"],
+                    F.array(
+                        F.struct(
+                            (acc["carry"] % 1000).cast("int").alias("page"),
+                            e["cents"].alias("cents"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(acc["hits"])
+            .alias("hits"),
+        ),
+    )
+    return (
+        per_user.select(F.explode(fold["hits"]).alias("h"))
+        .select("h.page", "h.cents")
+        .groupBy("page")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_attributed"),
+            F.sum("cents").cast("long").alias("attributed_cents"),
+        )
+    )

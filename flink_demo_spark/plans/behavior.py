@@ -2499,3 +2499,123 @@ def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         qcol(90, "p90_s"),
         qcol(99, "p99_s"),
     )
+
+
+@query(
+    "browse_prediction_accuracy",
+    oracle="""
+    WITH pages AS (
+      SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS page
+      FROM events
+    ), hops AS (
+      SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src,
+             page AS dst, CAST(ts AS TIMESTAMP) AS t
+      FROM pages
+    ), clean AS (
+      SELECT src, dst, t FROM hops WHERE src IS NOT NULL AND src <> dst
+    ), train AS (
+      SELECT src, dst, count(*) AS cnt FROM clean
+      WHERE t < TIMESTAMP '2024-01-16' GROUP BY 1, 2
+    ), model AS (
+      SELECT src, dst AS pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+                    ORDER BY cnt DESC, dst) AS rk
+        FROM train
+      ) WHERE rk = 1
+    ), test AS (
+      SELECT src, dst FROM clean WHERE t >= TIMESTAMP '2024-01-16'
+    ), joined AS (
+      SELECT te.dst, m.pred
+      FROM test te LEFT JOIN model m ON m.src = te.src
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(count(pred) AS BIGINT) AS n_covered,
+             CAST(count(*) FILTER (WHERE dst = pred) AS BIGINT) AS n_correct
+      FROM joined
+    ), tr AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_train FROM train
+    )
+    SELECT n_train, n_test, n_covered, n_correct,
+           CAST(CASE WHEN n_covered = 0 THEN 0
+                ELSE n_correct * 10000 // n_covered END AS BIGINT)
+             AS accuracy_bp,
+           CAST(CASE WHEN n_test = 0 THEN 0
+                ELSE n_covered * 10000 // n_test END AS BIGINT)
+             AS coverage_bp
+    FROM agg, tr
+    """,
+    doc=(
+        "next-page prediction accuracy - the eval-harness row for the "
+        "browse-graph Markov model (the behavioral family's "
+        "similarity_recall_ivf): TEMPORAL holdout split (train on "
+        "transitions before Jan 16, the corpus midpoint; test on the "
+        "rest - the only honest split for a sequence model, never "
+        "random), top-1 next page per source from the train counts "
+        "(ties to the smaller page, the browse_transition_topk rank "
+        "rule), then exact integer top-1 accuracy and model coverage "
+        "on the held-out transitions. The transition frame is built "
+        "ONCE (persisted) and both splits are filters over it; the "
+        "model is the page-catalog census and broadcasts onto the "
+        "test side - at 100 TB this is one user shuffle + one edge "
+        "census, the browse_transition cost, with the eval adding "
+        "census-sized work. Low accuracy here is the signal the "
+        "prefetch/recommendation tier needs more than first-order "
+        "transitions."
+    ),
+)
+def browse_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        "user_id", "ts", "event_id", page.alias("page")
+    ).select(
+        F.lag("page").over(w).alias("src"),
+        F.col("page").alias("dst"),
+        F.col("ts").alias("t"),
+    )
+    # persisted: the train census and the test filter both read it
+    clean = (
+        hops.where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .persist()
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    train = (
+        clean.where(F.col("t") < split)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()  # 2 consumers: the model rank + the n_train total
+    )
+    rk = Window.partitionBy("src").orderBy(F.desc("cnt"), "dst")
+    model = (
+        train.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(F.col("src").alias("m_src"), F.col("dst").alias("pred"))
+    )
+    test = clean.where(F.col("t") >= split).select("src", "dst")
+    joined = test.join(
+        F.broadcast(model), test["src"] == model["m_src"], "left"
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.count("pred").cast("long").alias("n_covered"),
+        F.count(F.when(F.col("dst") == F.col("pred"), 1))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    tr = train.agg(F.sum("cnt").cast("long").alias("n_train"))
+    return agg.crossJoin(F.broadcast(tr)).select(
+        "n_train",
+        "n_test",
+        "n_covered",
+        "n_correct",
+        F.expr(
+            "CAST(CASE WHEN n_covered = 0 THEN 0"
+            " ELSE n_correct * 10000 DIV n_covered END AS BIGINT)"
+        ).alias("accuracy_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_test = 0 THEN 0"
+            " ELSE n_covered * 10000 DIV n_test END AS BIGINT)"
+        ).alias("coverage_bp"),
+    )

@@ -3428,3 +3428,83 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("attributed_cents"),
         )
     )
+
+
+def _session_dur_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["session_duration_quantiles"].oracle
+
+
+@query(
+    "streaming_session_duration",
+    oracle=_session_dur_oracle_ref(),
+    doc=(
+        "session-duration quantiles on the LIVE stream - the "
+        "engagement dashboard's continuous form: per-user journeys "
+        "accumulate as the single complete-mode incremental "
+        "aggregation (collect_list keyed state), then the sink "
+        "output replays the batch twin's exact pipeline - lag-gap "
+        "sessionize in integer milliseconds, per-session duration "
+        "reduce, census-and-cumulate exact quantiles. Shares the "
+        "batch oracle; the duration census is domain-bounded, so "
+        "the post-sink math never touches event volume."
+    ),
+)
+def streaming_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    per_user = run_available_now(
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_millis("ts").alias("ts_ms"),
+                F.col("event_id").alias("eid"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_list("e").alias("evts")),
+        output_mode="complete",
+    )
+    rows = per_user.select(
+        "user_id", F.explode("evts").alias("e")
+    ).select("user_id", "e.ts_ms", F.col("e.eid").alias("event_id"))
+    wl = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    g = rows.withColumn(
+        "brk",
+        F.when(
+            F.col("ts_ms") - F.lag("ts_ms").over(wl) > 3600000, 1
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid",
+        F.sum("brk").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_ms")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    d = s.groupBy("user_id", "sid").agg(
+        F.expr("(max(ts_ms) - min(ts_ms)) DIV 1000").alias("dur_s")
+    )
+    c = d.groupBy("dur_s").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r = c.select(
+        "dur_s",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("dur_s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    qcol = lambda q, nm: F.min(  # noqa: E731
+        F.when(F.expr(f"cum >= ({q} * n + 99) DIV 100"), F.col("dur_s"))
+    ).cast("long").alias(nm)
+    return r.agg(
+        F.max("n").cast("long").alias("n_sessions"),
+        qcol(50, "p50_s"),
+        qcol(90, "p90_s"),
+        qcol(99, "p99_s"),
+    )

@@ -705,6 +705,14 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=4,
     ),
+    # Markov eval: transition frame persisted once (both splits filter
+    # it), the top-1 model broadcasts onto the test side — the train
+    # census must never sort-merge back onto event-scale data
+    "browse_prediction_accuracy": dict(
+        contains=["InMemoryRelation", "BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+        partial_agg=True,
+    ),
     # BPE round-1 pair counts: one corpus-sized word agg + vocab-sized
     # pair agg, both partial; top-50 must be a TakeOrderedAndProject
     # (never a global Sort of the pair table)

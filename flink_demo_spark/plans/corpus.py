@@ -3160,3 +3160,109 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV sum(freq * n_tok) AS BIGINT)"
         ).alias("savings_bp"),
     )
+
+
+@query(
+    "mix_epoch_waterfill",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+               AS BIGINT) AS toks
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT sum(toks) AS total, count(*) AS n FROM t
+    ), b AS (
+      SELECT CAST(total * 15 // 10 AS BIGINT) AS budget, n FROM tot
+    ), s AS (
+      SELECT lang, toks, 4 * toks AS cap4,
+             row_number() OVER (ORDER BY toks, lang) AS rk,
+             CAST(coalesce(sum(4 * toks) OVER (
+               ORDER BY toks, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pfx
+      FROM t
+    ), reach AS (
+      SELECT s.rk, s.pfx FROM s CROSS JOIN b
+      WHERE s.pfx + (b.n - s.rk + 1) * s.cap4 >= b.budget
+      ORDER BY s.rk LIMIT 1
+    ), cap AS (
+      SELECT CAST((b.budget - r.pfx) // (b.n - r.rk + 1) AS BIGINT) AS c
+      FROM reach r CROSS JOIN b
+    )
+    SELECT s.lang, s.toks,
+           least(s.cap4, c.c) AS allocated_tokens,
+           CAST(least(s.cap4, c.c) * 10000 // s.toks AS BIGINT)
+             AS epochs_bp
+    FROM s CROSS JOIN cap c
+    ORDER BY s.lang
+    """,
+    doc=(
+        "epoch-capped waterfilling - data-constrained mixture "
+        "allocation (Muennighoff et al. 2023, arXiv:2305.16264: "
+        "repeating data beyond ~4 epochs stops helping, so a "
+        "domain's usable supply is 4x its tokens): allocate a "
+        "budget LARGER than the corpus (150% here) across domains "
+        "where each domain caps at 4 epochs - the water level C "
+        "solves sum(min(4*toks_d, C)) = budget. Same exact "
+        "ascending-prefix integer solve as mix_waterfill_budget "
+        "(ranking by toks IS ranking by capacity - the cap is "
+        "monotone), emitting per-domain allocated tokens and epochs "
+        "in basis points (10000 = one epoch, 40000 = the cap); "
+        "small domains repeat up to 4x, oversized ones train once "
+        "partially. Window over the domain census; budget, "
+        "breakpoint and C are 1-row broadcasts - census-bounded at "
+        "100 TB like its sibling."
+    ),
+)
+def mix_epoch_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    t = (
+        docs.select(
+            "lang", F.size(text.tokens("text")).cast("long").alias("nt")
+        )
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("toks"))
+    )
+    tot = t.agg(
+        F.sum("toks").alias("total"), F.count(F.lit(1)).alias("n")
+    ).select(
+        F.expr("CAST(total * 15 DIV 10 AS BIGINT)").alias("budget"), "n"
+    )
+    wo = Window.orderBy("toks", "lang")
+    s = (
+        t.crossJoin(F.broadcast(tot))
+        .withColumn("cap4", 4 * F.col("toks"))
+        .withColumn("rk", F.row_number().over(wo))
+        .withColumn(
+            "pfx",
+            F.coalesce(
+                F.sum("cap4").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .persist()  # 2 consumers: the breakpoint probe + the output
+    )
+    reach = (
+        s.where(
+            F.col("pfx") + (F.col("n") - F.col("rk") + 1) * F.col("cap4")
+            >= F.col("budget")
+        )
+        .orderBy("rk")
+        .limit(1)
+        .select(
+            F.expr(
+                "CAST((budget - pfx) DIV (n - rk + 1) AS BIGINT)"
+            ).alias("c")
+        )
+    )
+    return s.crossJoin(F.broadcast(reach)).select(
+        "lang",
+        "toks",
+        F.least(F.col("cap4"), F.col("c")).alias("allocated_tokens"),
+        F.expr(
+            "CAST(least(cap4, c) * 10000 DIV toks AS BIGINT)"
+        ).alias("epochs_bp"),
+    )

@@ -3617,3 +3617,136 @@ def similarity_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(coalesce(n_hits, 0) * 10000 DIV k AS BIGINT)"
         ).alias("recall_bp"),
     )
+
+
+def _qsa_oracle() -> str:
+    """Compose the signal-agreement oracle from the two registered
+    quality oracles (corpus loads before this module, so both are in
+    the registry at decoration time)."""
+    from .registry import REGISTRY
+
+    q = REGISTRY["text_quality_score"].oracle
+    g = REGISTRY["quality_gopher_rules"].oracle
+    th = ",\n             ".join(
+        f"min(CASE WHEN cum >= ({k} * n + 9) // 10 THEN v END) AS t{k}"
+        for k in range(1, 10)
+    )
+    bucket = " + ".join(f"CAST(jj.quality_bp > th.t{k} AS INT)"
+                        for k in range(1, 10))
+    return f"""
+    WITH q AS (
+      {q}
+    ), g AS (
+      {g}
+    ), jj AS (
+      SELECT q.doc_id, q.quality_bp, g.keep
+      FROM q JOIN g ON g.doc_id = q.doc_id
+    ), c AS (
+      SELECT quality_bp AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM jj GROUP BY 1
+    ), r AS (
+      SELECT v, cnt,
+             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM c
+    ), th AS (
+      SELECT {th}
+      FROM r
+    ), bucketed AS (
+      SELECT jj.doc_id, jj.quality_bp, jj.keep,
+             1 + {bucket} AS bucket
+      FROM jj CROSS JOIN th
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(quality_bp) AS BIGINT) AS min_quality_bp,
+           CAST(max(quality_bp) AS BIGINT) AS max_quality_bp,
+           CAST(sum(CAST(keep AS INT)) AS BIGINT) AS n_gopher_keep,
+           CAST(sum(CAST(keep AS INT)) * 10000 // count(*) AS BIGINT)
+             AS keep_share_bp
+    FROM bucketed
+    GROUP BY bucket ORDER BY bucket
+    """
+
+
+@query(
+    "quality_signal_agreement",
+    oracle=_qsa_oracle(),
+    doc=(
+        "quality-signal agreement audit - the calibration check run "
+        "before trusting any single quality gate (do the heuristic "
+        "score and the Gopher rule bundle rank documents the same "
+        "way?): documents bucket into quality-score deciles by "
+        "EXACT census-and-cumulate thresholds (t_k = smallest score "
+        "whose cumulative count reaches ceil(k*n/10) - value-domain "
+        "census, so ties share a bucket and the bucketing never "
+        "needs the row-scale single-partition ntile window), then "
+        "each bucket reports its Gopher keep share in exact bp. A "
+        "monotone share curve = the signals agree; a flat or "
+        "inverted segment names exactly WHERE they disagree. Both "
+        "signals replay their gate-green formulations verbatim; "
+        "the 9 thresholds ride one 1-row broadcast back over the "
+        "doc-level join - census-bounded at 100 TB."
+    ),
+)
+def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import quality_gopher_rules
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_bp")
+    g = quality_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    # persisted: the threshold census and the bucketed output both
+    # read the joined frame
+    jj = q.join(g, "doc_id").persist()
+    c = jj.groupBy(F.col("quality_bp").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    r = c.select(
+        "v",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    th = r.agg(
+        *[
+            F.min(
+                F.when(
+                    F.expr(f"cum >= ({k} * n + 9) DIV 10"), F.col("v")
+                )
+            ).alias(f"t{k}")
+            for k in range(1, 10)
+        ]
+    )
+    bucket = F.lit(1)
+    for k in range(1, 10):
+        bucket = bucket + (
+            F.col("quality_bp") > F.col(f"t{k}")
+        ).cast("int")
+    return (
+        jj.crossJoin(F.broadcast(th))
+        .select("quality_bp", "keep", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("quality_bp").cast("long").alias("min_quality_bp"),
+            F.max("quality_bp").cast("long").alias("max_quality_bp"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_gopher_keep"),
+            F.expr(
+                "CAST(sum(CAST(keep AS INT)) * 10000 DIV count(*) AS BIGINT)"
+            ).alias("keep_share_bp"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "min_quality_bp",
+            "max_quality_bp",
+            "n_gopher_keep",
+            "keep_share_bp",
+        )
+    )

@@ -3266,3 +3266,189 @@ def mix_epoch_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(least(cap4, c) * 10000 DIV toks AS BIGINT)"
         ).alias("epochs_bp"),
     )
+
+
+_PIPE3_ORACLE = f"""
+    WITH RECURSIVE {langid.oracle_scored_cte(src="documents",
+                                             keep_cols="doc_id, text")},
+    lid AS (
+      SELECT doc_id, pred_lang AS lang, text FROM __lid_scored
+    ), pfp AS (
+      SELECT doc_id, lang, text,
+             md5(array_to_string(
+                   list_sort(list_distinct(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+               AS fp
+      FROM lid
+    ), s1 AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM pfp
+      ) WHERE rk = 1
+    ), gt AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM s1
+    ), gm AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_distinct(list_transform(toks, x -> lower(x))))
+                  AS BIGINT) AS n_distinct,
+             CAST(len(list_distinct(list_filter(
+                    list_transform(toks, x -> lower(x)),
+                    x -> x IN ({_SW_LIST})))) AS BIGINT) AS n_sw_distinct
+      FROM gt
+    ), gk AS (
+      SELECT doc_id FROM gm
+      WHERE n_words BETWEEN 20 AND 100000
+        AND sum_len * 100 // n_words BETWEEN 300 AND 1000
+        AND n_distinct * 10000 // n_words >= 2000
+        AND n_sw_distinct >= 2
+    ), s2 AS (
+      SELECT s1.* FROM s1 JOIN gk USING (doc_id)
+    ),
+    {_jaccard_pairs_ctes("s2", "j")},
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM jpairs
+      UNION ALL
+      SELECT doc2, doc1 FROM jpairs
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM s2
+      UNION
+      SELECT e.b, wk.comp FROM walk wk JOIN edges e ON e.a = wk.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(5000 * least(n, 50) // 50
+                  + (3000 * d) // n
+                  + (2000 * least(n, 10 * sw)) // n AS BIGINT) AS quality_bp
+      FROM (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n,
+               CAST(len(list_distinct(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS d,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> lower(x) IN ({_SW_LIST}))) AS BIGINT) AS sw
+        FROM s2
+      ) t
+    ),
+    s3 AS (
+      SELECT doc_id, lang, quality_bp, cluster_id FROM (
+        SELECT s2.doc_id, s2.lang, q.quality_bp, c.cluster_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY q.quality_bp DESC, s2.doc_id) AS rk
+        FROM clusters c
+        JOIN q ON q.doc_id = c.doc_id
+        JOIN s2 ON s2.doc_id = c.doc_id
+      ) WHERE rk = 1
+    )
+    SELECT doc_id, lang, quality_bp,
+           CASE WHEN h % 10 <= 7 THEN 'train'
+                WHEN h % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang, quality_bp,
+             list_reduce(list_transform(generate_series(1, 15),
+               j -> strpos('0123456789abcdef',
+                      substr(md5(CAST(cluster_id AS VARCHAR)), j, 1)) - 1),
+               (a, b) -> a * 16 + b) AS h
+      FROM s3
+    )
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "pipeline_corpus_curation_v3",
+    oracle=_PIPE3_ORACLE,
+    doc=(
+        "the round-10 curation pipeline as one composed query - v3 "
+        "re-orders v2 into the order a REAL crawl release runs and "
+        "swaps in the round-10 stages: (1) content-based language ID "
+        "derives the lang column from text (the crawl has no labels "
+        "- lang_id_ngram's scorer, map-only), (2) exact-dedup "
+        "keep-first (fingerprint row_number), (3) the Gopher rule "
+        "bundle gates quality (paper rules, not the heuristic score "
+        "- the score survives as the keep-BEST criterion), (4) "
+        "near-dup clustering with keep-best resolution (Jaccard "
+        "pairs -> connected components -> highest-quality keeper), "
+        "(5) leakage-safe 80/10/10 split assignment from the "
+        "md5-fold of the cluster id - the final artifact is a "
+        "train/valid/test-labeled curated corpus, and because "
+        "splits key on CLUSTERS the assignment is stable even if a "
+        "near-dup member is later re-admitted. Every stage is a "
+        "verified standalone query; the oracle is assembled from "
+        "the same parameterized CTE generators "
+        "(langid.oracle_scored_cte, _jaccard_pairs_ctes) so the "
+        "composition is oracle-exact end to end. Plan cost = lang "
+        "scoring fused into the scan + v2's stages + one map-side "
+        "hash; nothing new shuffles."
+    ),
+)
+def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe import quality_bp_frame
+
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    lid = langid.with_lang_scores(docs).select(
+        "doc_id", F.col("pred_lang").alias("lang"), "text"
+    )
+    fp = lid.select(
+        "doc_id", "lang", "text", text.fingerprint("text").alias("fp")
+    )
+    s1 = (
+        fp.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk", "fp")
+    )
+    gk = (
+        gopher_rules_frame(s1)
+        .where(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    s2 = s1.join(gk, "doc_id")
+    quality = quality_bp_frame(s2).select("doc_id", "quality_bp")
+    edges = dedup.jaccard_pairs(
+        s2, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+    )
+    labels = graph.connected_components(
+        edges, "doc1", "doc2", nodes=s2.select("doc_id")
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    s3 = (
+        labels.join(quality, "doc_id")
+        .join(s2.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("quality_bp"), F.asc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return s3.select(
+        "doc_id",
+        "lang",
+        "quality_bp",
+        F.when(h <= 7, F.lit("train"))
+        .when(h == 8, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

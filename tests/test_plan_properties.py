@@ -377,6 +377,13 @@ EXPECT = {
         absent=["CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"],
         partial_agg=True,
     ),
+    # composed v3 pipeline: lang scoring must fuse into the scan (no
+    # shuffle of its own), every stage stays JVM-side, nothing pairs
+    # all docs
+    "pipeline_corpus_curation_v3": dict(
+        absent=["CartesianProduct", "MapInPandas"],
+        partial_agg=True,
+    ),
     # RRF hybrid: the query-token side broadcasts into the lexical
     # overlap join; both top-k cuts ride WindowGroupLimit. The ONE
     # SortMergeJoin is the fusion full-outer of the two ~(queries x

@@ -380,9 +380,12 @@ EXPECT = {
     # composed v3 pipeline: lang scoring must fuse into the scan (no
     # shuffle of its own), every stage stays JVM-side, nothing pairs
     # all docs
+    # (no partial_agg assertion: the CC stage materializes its label
+    # frame during construction, so the RETURNED plan is the keep-best
+    # window + split projection — its aggregates live in the
+    # already-executed stages, each pinned under its own entry)
     "pipeline_corpus_curation_v3": dict(
         absent=["CartesianProduct", "MapInPandas"],
-        partial_agg=True,
     ),
     # RRF hybrid: the query-token side broadcasts into the lexical
     # overlap join; both top-k cuts ride WindowGroupLimit. The ONE

@@ -3621,8 +3621,11 @@ def similarity_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _qsa_oracle() -> str:
     """Compose the signal-agreement oracle from the two registered
-    quality oracles (corpus loads before this module, so both are in
-    the registry at decoration time)."""
+    quality oracles. The corpus import makes this safe under DIRECT
+    `import datapipe` too (tests do this), not just under _load_all's
+    corpus-first order — without it the gopher row isn't registered
+    yet and the decorator raises at collection time."""
+    from . import corpus  # noqa: F401  (registers quality_gopher_rules)
     from .registry import REGISTRY
 
     q = REGISTRY["text_quality_score"].oracle

@@ -60,6 +60,14 @@ def main() -> None:
                 errors[name] = str(e).split("\n")[0][:200]
                 continue
             rep_times[name].append(round(time.perf_counter() - t0, 3))
+            # drop leftover persisted frames OUTSIDE the timed window:
+            # with 37 queries x 3 reps in one session, accumulated
+            # caches evict each other and the victim's re-timing looks
+            # like a regression (r10: knn_graph_mutual +64% purely
+            # from its block kernel losing storage memory to later
+            # queries' persists) — each query is timed cold and
+            # self-contained
+            spark.catalog.clearCache()
     # A query that errored in ANY rep contributes nothing to the headline
     # value: mixing a single surviving rep's timing into `value` while the
     # same name sits in `errors` would make the artifact ambiguous about

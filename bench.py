@@ -56,23 +56,36 @@ def main() -> None:
             try:
                 df = spec.fn(spark, SF_DIR)
                 df.write.mode("overwrite").format("noop").save()
+                rep_times[name].append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # a broken query must not kill the bench
                 errors[name] = str(e).split("\n")[0][:200]
-                continue
-            rep_times[name].append(round(time.perf_counter() - t0, 3))
-            # drop leftover persisted frames OUTSIDE the timed window:
-            # with 37 queries x 3 reps in one session, accumulated
-            # caches evict each other and the victim's re-timing looks
-            # like a regression (r10: knn_graph_mutual +64% purely
-            # from its block kernel losing storage memory to later
-            # queries' persists) — each query is timed cold and
-            # self-contained
-            spark.catalog.clearCache()
+            finally:
+                # drop leftover persisted frames OUTSIDE the timed
+                # window: with ~40 queries x 3 reps in one session,
+                # accumulated caches evict each other and the victim's
+                # re-timing looks like a regression (r10:
+                # knn_graph_mutual +64% purely from its block kernel
+                # losing storage memory to later queries' persists) —
+                # each query is timed cold and self-contained. In a
+                # finally so a query that ERRORS after persisting can't
+                # leak its cache into the next query's timing
+                # (round-11 ADVICE).
+                spark.catalog.clearCache()
     # A query that errored in ANY rep contributes nothing to the headline
     # value: mixing a single surviving rep's timing into `value` while the
     # same name sits in `errors` would make the artifact ambiguous about
     # which names the total covers (round-7 ADVICE).
     timings = {n: min(ts) for n, ts in rep_times.items() if ts and n not in errors}
+    # median-of-3 alongside min (round-10 verdict #1): min is the
+    # noise-floor number history compares against; the median makes
+    # same-methodology host variance (the r10 47.66-vs-52.93 gap)
+    # visible mechanically without re-running. With 3 reps the median
+    # is simply the middle value.
+    medians = {
+        n: sorted(ts)[len(ts) // 2]
+        for n, ts in rep_times.items()
+        if ts and n not in errors
+    }
 
     # streaming throughput: full events replay through watermark +
     # tumbling window agg to a memory sink (reference generators cap at
@@ -125,6 +138,7 @@ def main() -> None:
         "value_r4_comparable_subset": round(
             sum(v for n, v in timings.items() if n in r4_set), 3
         ),
+        "value_median": round(sum(medians.values()), 3),
         "unit": "sec",
         "queries": timings,
         "reps": REPS,
@@ -137,6 +151,7 @@ def main() -> None:
         summary["errors"] = errors
 
     detail = dict(summary)
+    detail["queries_median"] = medians
     detail["queries_reps"] = {n: ts for n, ts in rep_times.items() if ts}
     # per-query variance band (round-9 verdict #5): spread of the three
     # reps relative to the min, so a round-over-round delta can be read

@@ -2199,6 +2199,7 @@ def events_dau_wau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (CAST(1 AS BIGINT) << (29 - datediff('day', d, max_d))))
                 AS DOUBLE) AS decayed_score
     FROM census, mx
+    WHERE datediff('day', d, max_d) <= 29
     GROUP BY page
     ORDER BY decayed_score DESC, page
     LIMIT 10
@@ -2209,9 +2210,11 @@ def events_dau_wau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "popularity, Reddit/HN-style), computed EXACTLY: the (day, "
         "page) census is built in one partial-agg shuffle, each "
         "census row is weighted by the integer power-of-two half-life "
-        "weight 2^(29 - age_days) (ages are bounded by the 30-day "
-        "horizon, so the weight is an exact BIGINT shift - no float "
-        "pow, no cross-engine rounding), and the per-page fold runs "
+        "weight 2^(29 - age_days) (the census is FILTERED to the "
+        "30-day horizon on both engines, so the shift amount is "
+        "provably in [0, 29] - an exact BIGINT shift, no float pow, "
+        "no cross-engine rounding, and no negative-shift divergence "
+        "on longer spans), and the per-page fold runs "
         "in DECIMAL(38,0) so the sum is exact at any count (the "
         "final DOUBLE cast is presentation only - both engines cast "
         "the same exact integer). The "
@@ -2236,14 +2239,23 @@ def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     mx = census.agg(F.max("d").alias("max_d"))
-    weighted = census.crossJoin(F.broadcast(mx)).select(
-        "page",
-        "cnt",
-        F.expr(
-            "CAST(cnt AS DECIMAL(38,0))"
-            " * CAST(SHIFTLEFT(CAST(1 AS BIGINT),"
-            "        29 - datediff(max_d, d)) AS DECIMAL(38,0))"
-        ).alias("w"),
+    # 30-day horizon filter BEFORE the shift: days older than the
+    # horizon would make the shift amount negative — DuckDB errors on a
+    # negative shift while Spark's shiftleft masks the amount mod 64 and
+    # silently fabricates weights (round-11 ADVICE). The docstring's
+    # horizon is now enforced, not assumed, on both engines.
+    weighted = (
+        census.crossJoin(F.broadcast(mx))
+        .where(F.expr("datediff(max_d, d) <= 29"))
+        .select(
+            "page",
+            "cnt",
+            F.expr(
+                "CAST(cnt AS DECIMAL(38,0))"
+                " * CAST(SHIFTLEFT(CAST(1 AS BIGINT),"
+                "        29 - datediff(max_d, d)) AS DECIMAL(38,0))"
+            ).alias("w"),
+        )
     )
     return (
         weighted.groupBy("page")
@@ -2330,6 +2342,7 @@ def user_interarrival_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t AS (
       SELECT *,
              last_value(CASE WHEN event_type = 'click'
+                             AND page BETWEEN 0 AND 999
                              THEN ts_ms * 1000 + page END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -2379,8 +2392,15 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.withColumn(
         "pack",
         F.last(
+            # the pack reserves 3 decimal digits for the page, so the
+            # encoding is only valid for page in [0, 1000) — enforced
+            # here on BOTH engines rather than assumed from the current
+            # 0-99 catalog (round-11 ADVICE: a wider catalog would
+            # silently corrupt attribution identically on both sides,
+            # parity-green but wrong)
             F.when(
-                F.col("event_type") == "click",
+                (F.col("event_type") == "click")
+                & F.col("page").between(0, 999),
                 F.col("ts_ms") * 1000 + F.col("page"),
             ),
             ignorenulls=True,
@@ -2410,14 +2430,14 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms
       FROM events
     ), g AS (
-      SELECT user_id, ts_ms,
+      SELECT user_id, ts_ms, event_id,
              CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
                     ORDER BY ts_ms, event_id) > 3600000
                   THEN 1 ELSE 0 END AS brk
       FROM e
     ), s AS (
       SELECT user_id, ts_ms,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM g
     ), d AS (
@@ -2467,9 +2487,13 @@ def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = g.withColumn(
         "sid",
+        # (ts_ms, event_id) — the SAME total order as the lag window:
+        # a ROWS frame without the tie-break is nondeterministic on
+        # duplicate (user, ts) rows and the engines could sessionize
+        # differently (round-11 ADVICE; latent — no ties in the data)
         F.sum("brk").over(
             Window.partitionBy("user_id")
-            .orderBy("ts_ms")
+            .orderBy("ts_ms", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

@@ -38,10 +38,16 @@ def _jaccard_pairs_ctes(src: str = "documents", p: str = "") -> str:
                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
         FROM {p}toks
       )
+    ), {p}cap AS (
+      -- mirror of the engine's SCALE-RELATIVE posting cap
+      -- (max_posting_frac=0.01, floor 64): a document-frequency
+      -- FRACTION of the corpus, so the skew guard travels across
+      -- corpus sizes (a fixed 64 emptied the candidate set at sf1,
+      -- round-8 sweep; round-11 ADVICE migrated this whole family)
+      SELECT greatest(64, (count(*) + 99) // 100) AS c FROM {src}
     ), {p}keep_sh AS (
-      -- mirror of the engine's posting-list skew cap (max_posting=64):
-      -- ultra-frequent boilerplate shingles are dropped from the index
-      SELECT shingle FROM {p}sh GROUP BY shingle HAVING count(*) <= 64
+      SELECT shingle FROM {p}sh GROUP BY shingle
+      HAVING count(*) <= (SELECT c FROM {p}cap)
     ), {p}sizes AS (
       SELECT doc_id, count(*) AS n FROM {p}sh GROUP BY doc_id
     ), {p}common AS (
@@ -89,11 +95,12 @@ _JACCARD_PAIRS_CTES = _jaccard_pairs_ctes()
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    # max_posting=64: same skew cap as dedup_jaccard_pairs (mirrored in
-    # the oracle's keep_sh CTE) — one viral shingle must not become a
-    # single-task straggler at corpus scale
+    # max_posting_frac=0.01 (floor 64): same SCALE-RELATIVE skew cap as
+    # dedup_jaccard_pairs (mirrored in the oracle's cap/keep_sh CTEs) —
+    # one viral shingle must not become a single-task straggler, and a
+    # FIXED cap goes blind at sf1+ (round-8 sweep / round-11 ADVICE)
     edges = dedup.jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
     )
     labels = graph.connected_components(
         edges, "doc1", "doc2", nodes=docs.select("doc_id")
@@ -164,7 +171,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     edges = dedup.jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
     )
     labels = graph.connected_components(
         edges, "doc1", "doc2", nodes=docs.select("doc_id")
@@ -780,7 +787,7 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality = quality_bp_frame(s1).select("doc_id", "quality_bp")
     edges = dedup.jaccard_pairs(
-        s1, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+        s1, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
     )
     labels = graph.connected_components(
         edges, "doc1", "doc2", nodes=s1.select("doc_id")
@@ -879,7 +886,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 5), k=20, round_to=6
     ).select("query_id", "neighbor_id", "cosine_sim")
     nd = dedup.jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
     )
     ndd = nd.select(F.col("doc1").alias("a"), F.col("doc2").alias("b")).union(
         nd.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
@@ -3058,7 +3065,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
     # persisted: CC iterations + the leakage audit both consume edges
     edges = dedup.jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+        docs, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
     ).persist()
     labels = graph.connected_components(
         edges, "doc1", "doc2", nodes=docs.select("doc_id")
@@ -3417,7 +3424,7 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1.join(gk, "doc_id")
     quality = quality_bp_frame(s2).select("doc_id", "quality_bp")
     edges = dedup.jaccard_pairs(
-        s2, "text", "doc_id", k=3, threshold=0.3, max_posting=64
+        s2, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
     )
     labels = graph.connected_components(
         edges, "doc1", "doc2", nodes=s2.select("doc_id")

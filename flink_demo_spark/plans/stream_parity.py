@@ -3089,14 +3089,23 @@ def streaming_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     ).persist()
     mx = census.agg(F.max("d").alias("max_d"))
-    weighted = census.crossJoin(F.broadcast(mx)).select(
-        "page",
-        "cnt",
-        F.expr(
-            "CAST(cnt AS DECIMAL(38,0))"
-            " * CAST(SHIFTLEFT(CAST(1 AS BIGINT),"
-            "        29 - datediff(max_d, d)) AS DECIMAL(38,0))"
-        ).alias("w"),
+    # 30-day horizon filter BEFORE the shift: days older than the
+    # horizon would make the shift amount negative — DuckDB errors on a
+    # negative shift while Spark's shiftleft masks the amount mod 64 and
+    # silently fabricates weights (round-11 ADVICE). The docstring's
+    # horizon is now enforced, not assumed, on both engines.
+    weighted = (
+        census.crossJoin(F.broadcast(mx))
+        .where(F.expr("datediff(max_d, d) <= 29"))
+        .select(
+            "page",
+            "cnt",
+            F.expr(
+                "CAST(cnt AS DECIMAL(38,0))"
+                " * CAST(SHIFTLEFT(CAST(1 AS BIGINT),"
+                "        29 - datediff(max_d, d)) AS DECIMAL(38,0))"
+            ).alias("w"),
+        )
     )
     return (
         weighted.groupBy("page")
@@ -3396,8 +3405,12 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(array() AS {hit_t})").alias("hits"),
         ),
         lambda acc, e: F.struct(
+            # page BETWEEN 0 AND 999: the pack reserves 3 decimal
+            # digits — same encoding guard as the batch twin
+            # (round-11 ADVICE)
             F.when(
-                e["is_click"] == 1, e["ts_ms"] * 1000 + e["page"]
+                (e["is_click"] == 1) & e["page"].between(0, 999),
+                e["ts_ms"] * 1000 + e["page"],
             )
             .otherwise(acc["carry"])
             .alias("carry"),
@@ -3478,9 +3491,11 @@ def streaming_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = g.withColumn(
         "sid",
+        # (ts_ms, event_id) tie-break — same total order as the lag
+        # window and as the batch twin (round-11 ADVICE)
         F.sum("brk").over(
             Window.partitionBy("user_id")
-            .orderBy("ts_ms")
+            .orderBy("ts_ms", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

@@ -91,6 +91,11 @@ def test_jaccard_shingle_expression_evaluated_once(spark, sf_dir):
     expression below the fan-out repartition (the explode_outer
     formulation in dedup.jaccard_pairs prevents it): the zip_with
     shingle chain appears exactly once in the optimized plan."""
+    # plan inspection needs a clean cache: since the round-11 cap
+    # unification, split_leakage_safe persists the IDENTICAL pair
+    # subplan, and a leftover InMemoryRelation from an earlier test
+    # would replace the subtree under inspection
+    spark.catalog.clearCache()
     df = REGISTRY["dedup_jaccard_pairs"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("zip_with(zip_with") == 1, (

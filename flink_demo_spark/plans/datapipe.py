@@ -3246,6 +3246,242 @@ def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "similarity_recall_ivf_trained",
+    oracle="""
+    WITH nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+    ), prm AS (
+      -- integer sqrt with float-boundary correction: nlist is the
+      -- exact isqrt(n) (engine uses math.isqrt), floored at 8
+      SELECT n,
+             greatest(8, CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                              WHEN s * s > n THEN s - 1 ELSE s END) AS nlist
+      FROM (SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s
+            FROM nn)
+    ), prm2 AS (
+      SELECT n, nlist, n // nlist AS stride FROM prm
+    ), cent0 AS (
+      -- deterministic strided seeds: every stride-th vec_id
+      SELECT e.vec_id AS cid, e.embedding::DOUBLE[] AS cv
+      FROM embeddings e, prm2 p
+      WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * p.nlist
+    ), a0 AS (
+      SELECT vec_id, ev, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cid
+               ) AS crk
+        FROM embeddings e CROSS JOIN cent0 c
+      ) WHERE crk = 1
+    
+    ), cent1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT cid, pos,
+               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        FROM (SELECT cid, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x
+              FROM a0)
+        GROUP BY cid, pos
+      ) GROUP BY cid
+    
+    ), a1 AS (
+      SELECT vec_id, ev, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cid
+               ) AS crk
+        FROM embeddings e CROSS JOIN cent1 c
+      ) WHERE crk = 1
+    
+    ), cent2 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT cid, pos,
+               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        FROM (SELECT cid, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x
+              FROM a1)
+        GROUP BY cid, pos
+      ) GROUP BY cid
+    
+    ), assign AS (
+      SELECT vec_id, ev, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cid
+               ) AS crk
+        FROM embeddings e CROSS JOIN cent2 c
+      ) WHERE crk = 1
+    
+    ), qrk AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                        c.cid
+             ) AS crk
+      FROM embeddings e CROSS JOIN cent2 c
+      WHERE e.vec_id < 32
+    ), qc AS (
+      SELECT vec_id AS query_id, ev AS qv, cid, crk FROM qrk WHERE crk <= 4
+    ), bq AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 32
+    ), bs AS (
+      SELECT bq.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(bq.qv, e.embedding::DOUBLE[]) / (sqrt(list_dot_product(bq.qv, bq.qv)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine_sim
+      FROM embeddings e CROSS JOIN bq
+      WHERE e.vec_id <> bq.query_id
+    ), brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM bs
+      ) WHERE rk <= 5
+    ), bt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+      FROM brute
+    ), np AS (
+      SELECT unnest([1, 2, 4]) AS nprobe
+    ), isc AS (
+      SELECT np.nprobe, q.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, a.ev) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.ev, a.ev))), 6) AS cosine_sim
+      FROM np, qc q JOIN assign a
+        ON a.cid = q.cid AND a.vec_id <> q.query_id
+      WHERE q.crk <= np.nprobe
+    ), ivf AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM isc
+      ) WHERE rk <= 5
+    ), hits AS (
+      SELECT i.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ivf i JOIN brute b USING (query_id, neighbor_id)
+      GROUP BY i.nprobe
+    )
+    SELECT p.nlist AS nlist, CAST(np.nprobe AS INT) AS nprobe,
+           bt.n_queries AS n_queries,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 10000 // bt.n_truth AS BIGINT)
+             AS recall_bp
+    FROM np CROSS JOIN prm2 p CROSS JOIN bt
+    LEFT JOIN hits h ON h.nprobe = np.nprobe
+    ORDER BY nprobe
+    """,
+    doc=(
+        "recall-vs-nprobe curve on a TRAINED IVF codebook - the "
+        "tuning run a 100 TB vector-search deployment actually "
+        "executes before committing to index parameters (the other "
+        "registered IVF demos pin 8 seed centroids; this one trains "
+        "the codebook the way FAISS/ScaNN users do): nlist = "
+        "isqrt(n) centroids (the sqrt(N) rule - cells stay ~sqrt(N) "
+        "so probe cost and cell count grow together), seeded "
+        "deterministically at every stride-th vec_id, trained with "
+        "TWO Lloyd iterations of spherical k-means (cosine-argmax "
+        "assignment + DECIMAL-exact per-dimension centroid means, so "
+        "the trained codebook is bit-identical on both engines - the "
+        "embedding_kmeans contract), then recall@5 of "
+        "IVF(nprobe=1/2/4) against the exact brute-force top-5 over "
+        "32 query points, one row per nprobe. Cost: iterations x "
+        "one (cell,dim)-keyed partial agg (K x dim driver state, "
+        "corpus never leaves the executors) + the corpus assignment "
+        "reused across all three probe settings (persisted once); "
+        "at 100 TB you train on a sample (sample_dsir demonstrates "
+        "the sampler) and nlist rises as sqrt(N), which is exactly "
+        "what this query's derivation automates. The recall curve "
+        "is THE number an ANN user tunes: read recall_bp down the "
+        "nprobe column and pick the cheapest probe width above the "
+        "quality bar."
+    ),
+)
+def similarity_recall_ivf_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # bounded driver values: the corpus count (1 long) and the seed /
+    # trained codebooks (nlist x dim doubles) - the same K x dim
+    # driver-state contract as embedding_kmeans / MLlib KMeans
+    n = emb.count()
+    nlist = max(8, math.isqrt(n))
+    stride = n // nlist
+    seeds = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(
+            (F.col("vec_id") % stride == 0)
+            & (F.col("vec_id") < stride * nlist)
+        ).collect()
+    )
+    cents = similarity.kmeans_lloyd(emb, seeds, iterations=2)
+    # corpus assigned ONCE under the trained codebook; all three probe
+    # settings reuse it (the probe side only changes which cells each
+    # QUERY visits, never the corpus partitioning)
+    assigned = similarity.ivf_assign(emb, cents).persist()
+    queries = emb.where(F.col("vec_id") < 32)
+    brute = (
+        similarity.brute_force_top_k(
+            emb, queries, id_col="vec_id", vec_col="embedding",
+            k=5, round_to=6,
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    bt = brute.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    out = None
+    for nprobe in (1, 2, 4):
+        qb = similarity.ivf_probe_cells(q, cents, nprobe, "__qvec")
+        sim = F.round(
+            similarity.cosine(F.col("__qvec"), F.col("embedding")), 6
+        )
+        scored = (
+            assigned.join(F.broadcast(qb), "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                sim.alias("cosine_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("neighbor_id")
+        )
+        ivf = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        # both sides are k x |queries| bounded (<= 160 rows); the ivf
+        # side is marked broadcast so the intersection never sorts
+        hits = brute.join(F.broadcast(ivf), ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        row = bt.crossJoin(F.broadcast(hits)).select(
+            F.lit(nlist).cast("long").alias("nlist"),
+            F.lit(nprobe).cast("int").alias("nprobe"),
+            "n_queries",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(coalesce(n_hits, 0) * 10000 DIV n_truth AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 @query(
     "dedup_recall_minhash",
     oracle=f"""

@@ -793,6 +793,17 @@ EXPECT = {
         partial_agg=True,
         max_exchanges=6,
     ),
+    # round-11: trained-IVF recall curve. Training happens eagerly at
+    # build time (K x dim collects, the embedding_kmeans contract); the
+    # RESULT plan is the three probe settings over the ONE persisted
+    # corpus assignment (InMemoryRelation) with the query side always
+    # broadcast — never a shuffled join, never an all-pairs cartesian
+    # (the brute-force truth side is the intended BroadcastNestedLoopJoin
+    # of the tiny query set, same as similarity_topk)
+    "similarity_recall_ivf_trained": dict(
+        contains=["InMemoryRelation", "BroadcastHashJoin"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 

@@ -1,0 +1,154 @@
+"""Round-11 pins: the trained-IVF recall curve.
+
+similarity_recall_ivf_trained is oracle-backed (the DuckDB oracle
+replays seeds -> 2 Lloyd iterations -> assignment -> probe -> recall),
+but the oracle MIRRORS the engine formulation, so this adds the
+independent check: a pure-Python re-derivation of the whole pipeline
+(strided seeds, cosine-argmax assignment with sequential-fold dot
+products, DECIMAL(28,12)-exact centroid means, recall@5 vs brute
+force) must reproduce the engine's rows bit-for-bit at sf0.001.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+
+from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+_load_all()
+
+_Q12 = Decimal("1e-12")
+_Q6 = Decimal("1e-6")
+
+
+def _dot(a: list[float], b: list[float]) -> float:
+    # sequential left fold — the engine's F.aggregate summation order
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+
+def _round6(v: float) -> float:
+    # Spark round() = HALF_UP on the shortest decimal repr
+    return float(Decimal(repr(v)).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+
+def _assign(vecs: dict[int, list[float]], cents: dict[int, list[float]]):
+    """cosine argmax, ties to the smaller centroid id."""
+    out = {}
+    for vid, v in vecs.items():
+        best = max(
+            ((_cos(v, cv), -cid) for cid, cv in cents.items())
+        )
+        out[vid] = -best[1]
+    return out
+
+
+def _update(
+    vecs: dict[int, list[float]], assign: dict[int, int]
+) -> dict[int, list[float]]:
+    """DECIMAL(28,12)-exact per-dimension mean, then float64 divide —
+    the kmeans_update contract (order-independent, engine-exact)."""
+    sums: dict[int, list[Decimal]] = {}
+    counts: dict[int, int] = {}
+    for vid, cid in assign.items():
+        v = vecs[vid]
+        if cid not in sums:
+            sums[cid] = [Decimal(0)] * len(v)
+            counts[cid] = 0
+        counts[cid] += 1
+        for i, x in enumerate(v):
+            sums[cid][i] += Decimal(repr(x)).quantize(
+                _Q12, rounding=ROUND_HALF_UP
+            )
+    return {
+        cid: [float(s[i]) / counts[cid] for i in range(len(s))]
+        for cid, s in sums.items()
+    }
+
+
+def _top5(
+    qv: list[float], cands: dict[int, list[float]], qid: int
+) -> list[int]:
+    scored = sorted(
+        ((-_round6(_cos(qv, v)), nid) for nid, v in cands.items() if nid != qid)
+    )
+    return [nid for _, nid in scored[:5]]
+
+
+def test_ivf_trained_matches_python_model(spark, sf_dir):
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    vecs = {int(i): list(v) for i, v in rows}
+    n = len(vecs)
+    nlist = max(8, math.isqrt(n))
+    stride = n // nlist
+
+    cents = {
+        cid: vecs[cid]
+        for cid in vecs
+        if cid % stride == 0 and cid < stride * nlist
+    }
+    assert len(cents) == nlist
+    for _ in range(2):  # two Lloyd iterations, like the query
+        cents = _update(vecs, _assign(vecs, cents))
+
+    assign = _assign(vecs, cents)
+    queries = {qid: vecs[qid] for qid in vecs if qid < 32}
+    brute = {qid: set(_top5(qv, vecs, qid)) for qid, qv in queries.items()}
+    n_truth = sum(len(b) for b in brute.values())
+
+    # query-side cell ranking for multi-probe
+    qcells = {
+        qid: [
+            -c
+            for _, c in sorted(
+                ((-_cos(qv, cv), -cid) for cid, cv in cents.items())
+            )[:4]
+        ]
+        for qid, qv in queries.items()
+    }
+
+    want = []
+    for nprobe in (1, 2, 4):
+        hits = 0
+        for qid, qv in queries.items():
+            probed = set(qcells[qid][:nprobe])
+            cands = {
+                nid: vecs[nid]
+                for nid, cid in assign.items()
+                if cid in probed
+            }
+            hits += len(brute[qid] & set(_top5(qv, cands, qid)))
+        want.append(
+            (nlist, nprobe, len(queries), hits, hits * 10000 // n_truth)
+        )
+
+    got = sorted(
+        (
+            r["nlist"],
+            r["nprobe"],
+            r["n_queries"],
+            r["n_hits"],
+            r["recall_bp"],
+        )
+        for r in REGISTRY["similarity_recall_ivf_trained"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert got == want
+
+    # the curve the query exists to publish: recall never decreases as
+    # probes widen
+    recalls = [r[4] for r in got]
+    assert recalls == sorted(recalls)

@@ -3523,3 +3523,59 @@ def streaming_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         qcol(90, "p90_s"),
         qcol(99, "p99_s"),
     )
+
+
+@query(
+    "streaming_session_duration_v2",
+    oracle=_session_dur_oracle_ref(),
+    doc=(
+        "session-duration quantiles with EVICTING state - the "
+        "production form of streaming_session_duration (round-10 "
+        "verdict #4): per-user state is ONLY the open session's "
+        "(start_ms, last_ms) - 2 longs - via applyInPandasWithState; "
+        "a session emits its duration the moment a 1 h gap closes it, "
+        "and the final open session flushes on event-time timeout "
+        "when the watermark passes it (an EOF sentinel row drags the "
+        "final watermark past every gap horizon - the bounded-replay "
+        "analogue of Flink's end-of-input MAX_WATERMARK; Flink's own "
+        "session windows do exactly this eviction, state = the open "
+        "window's accumulator). The sink holds one row per SESSION "
+        "(not per event), and the exact census-and-cumulate quantiles "
+        "run on that session-sized output. At 100 TB the state store "
+        "grows with CONCURRENT users, not with history - the v1 twin "
+        "keeps whole journeys and is the parity-shape form, this is "
+        "the one to deploy. Shares the batch oracle bit-for-bit."
+    ),
+)
+def streaming_session_duration_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.streams import events_stream_with_eof
+    from ..streaming.stateful import session_durations_evicting
+
+    ev = events_stream_with_eof(spark, sf_dir, watermark="10 minutes")
+    per_session = run_available_now(
+        session_durations_evicting(ev), output_mode="append"
+    )
+    d = per_session.where(F.col("user_id") >= 0)  # drop the sentinel
+    c = d.groupBy("dur_s").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r = c.select(
+        "dur_s",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("dur_s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    qcol = lambda q, nm: F.min(  # noqa: E731
+        F.when(F.expr(f"cum >= ({q} * n + 99) DIV 100"), F.col("dur_s"))
+    ).cast("long").alias(nm)
+    return r.agg(
+        F.max("n").cast("long").alias("n_sessions"),
+        qcol(50, "p50_s"),
+        qcol(90, "p90_s"),
+        qcol(99, "p99_s"),
+    )

@@ -109,6 +109,67 @@ def events_stream(
     return df
 
 
+def events_stream_with_eof(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str | None = "10 minutes",
+    pad_hours: int = 3,
+) -> DataFrame:
+    """events_stream plus ONE sentinel row (user_id = -1) stamped
+    ``pad_hours`` past the real max event time. The sentinel drags the
+    final watermark beyond every real session's gap horizon, so
+    evicting stateful operators (``session_durations_evicting``) can
+    flush their open state via event-time timeout before the
+    availableNow replay stops — the bounded-replay analogue of Flink's
+    end-of-input MAX_WATERMARK. Consumers filter ``user_id >= 0``.
+
+    The sentinel file is staged next to the events symlink with the
+    SAME physical parquet schema (incl. the ns timestamp encoding),
+    so the stream reader's sniffed schema reads both files.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..catalog import normalize_events_ts
+
+    apply_runtime_confs(spark)
+    src = _stage_stream_dir(sf_dir, "events")
+    d = src.rstrip("/") + "_eof"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    sentinel = os.path.join(d, "zz_eof.parquet")
+    if not os.path.exists(sentinel):
+        schema = pq.read_schema(link)
+        max_ts = pa.compute.max(
+            pq.read_table(link, columns=["ts"]).column("ts")
+        ).as_py()
+        import datetime
+
+        eof_ts = max_ts + datetime.timedelta(hours=pad_hours)
+        cols = {
+            "event_id": [-1],
+            "ts": [eof_ts],
+            "user_id": [-1],
+            "event_type": ["eof"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+        row = pa.table(
+            {f.name: pa.array(cols[f.name], type=f.type) for f in schema},
+            schema=schema,
+        )
+        tmp = sentinel + ".tmp"
+        pq.write_table(row, tmp)
+        os.replace(tmp, sentinel)  # atomic: concurrent stagers race safely
+    reader = spark.readStream.schema(_events_raw_schema(d))
+    df = normalize_events_ts(reader.parquet(d))
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return df
+
+
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the documents table as a stream (no event-time column —
     corpus pipelines consume document feeds in arrival order)."""

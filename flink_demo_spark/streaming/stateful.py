@@ -26,6 +26,7 @@ from collections.abc import Iterable
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -495,4 +496,101 @@ def tag_late_events(
         stateStructType=StructType([StructField("unused", LongType())]),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_DUR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("dur_s", LongType()),
+    ]
+)
+
+_SESSION_DUR_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+
+
+def session_durations_evicting(
+    events: DataFrame,
+    gap_ms: int = 3_600_000,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key gap-sessionization with EVICTING state — the production
+    form of the journey-state session twins (round-10 verdict #4):
+    state per user is ONLY the open session's (start_ms, last_ms) — 2
+    longs, never the journey — a closed session emits its duration the
+    moment the gap closes it, and the final open session flushes on
+    event-time timeout once the watermark passes it (the same
+    EventTimeTimeout wake the CEP buffers use). At 100 TB the state
+    store holds 2 longs per ACTIVE user instead of every event ever
+    seen — this is the difference between a state store that grows
+    with traffic and one that grows with concurrency.
+
+    Within-batch ordering is (ts, event_id) — the batch twin's total
+    order. Correct under per-key watermark-ordered arrival (the file
+    replay delivers each key's history in one batch); for sources that
+    deliver late data, compose with the watermark-release buffer
+    (``streaming/punctuated.py`` shape) in front.
+    """
+    import numpy as np
+
+    # the watermarked ts column must survive the projection — event-time
+    # timeout requires it on the applyInPandasWithState input
+    rows = events.select(
+        key_col,
+        ts_col,
+        F.unix_millis(ts_col).alias("ts_ms"),
+        F.col(id_col).alias("eid"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        out: list[tuple[int, int]] = []
+        uid = int(key[0])
+        if state.hasTimedOut:
+            start_ms, last_ms = state.get
+            out.append((uid, (last_ms - start_ms) // 1000))
+            state.remove()
+        else:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if len(batch):
+                ts = batch["ts_ms"].to_numpy("int64")
+                eid = batch["eid"].to_numpy("int64")
+                order = np.lexsort((eid, ts))
+                ts = ts[order]
+                if state.exists:
+                    start0, last0 = state.get
+                    walk = np.concatenate(([np.int64(last0)], ts))
+                else:
+                    start0 = int(ts[0])
+                    walk = ts
+                brk = np.flatnonzero(np.diff(walk) > gap_ms)
+                # session j spans walk[bounds[j] : bounds[j+1]]
+                bounds = np.concatenate(([0], brk + 1, [len(walk)]))
+                for j in range(len(bounds) - 2):  # all CLOSED sessions
+                    s = start0 if bounds[j] == 0 else int(walk[bounds[j]])
+                    e = int(walk[bounds[j + 1] - 1])
+                    out.append((uid, (e - s) // 1000))
+                open_start = (
+                    start0 if bounds[-2] == 0 else int(walk[bounds[-2]])
+                )
+                state.update((open_start, int(walk[-1])))
+                # wake as soon as the watermark moves: if it has passed
+                # this session's gap horizon the timeout flushes it
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        yield pd.DataFrame(out, columns=["user_id", "dur_s"])
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_DUR_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_DUR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -152,3 +152,57 @@ def test_ivf_trained_matches_python_model(spark, sf_dir):
     # probes widen
     recalls = [r[4] for r in got]
     assert recalls == sorted(recalls)
+
+
+def test_evicting_sessions_match_batch_multiset(spark, sf_dir):
+    """Stronger than the registered quantile row: the evicting
+    operator's per-session (user, duration) MULTISET must equal the
+    batch lag-gap sessionization exactly — every session, not just the
+    distribution summary. Also pins the eviction contract: the EOF
+    sentinel (user -1) flushes and is filterable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.plans.behavior import _events
+    from flink_demo_spark.sources.streams import events_stream_with_eof
+    from flink_demo_spark.streaming.runner import run_available_now
+    from flink_demo_spark.streaming.stateful import (
+        session_durations_evicting,
+    )
+
+    ev = events_stream_with_eof(spark, sf_dir, watermark="10 minutes")
+    got_df = run_available_now(
+        session_durations_evicting(ev), output_mode="append"
+    )
+    got = sorted(
+        (r["user_id"], r["dur_s"])
+        for r in got_df.where(F.col("user_id") >= 0).collect()
+    )
+    # the sentinel user flushed exactly one zero-length session
+    sentinel = [
+        r["dur_s"] for r in got_df.where(F.col("user_id") < 0).collect()
+    ]
+    assert sentinel == [0]
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    g = e.withColumn(
+        "brk",
+        F.when(F.col("ts_ms") - F.lag("ts_ms").over(wl) > 3600000, 1)
+        .otherwise(0),
+    )
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        (r["user_id"], r["dur_s"])
+        for r in g.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.expr("(max(ts_ms) - min(ts_ms)) DIV 1000").alias("dur_s"))
+        .collect()
+    )
+    assert got == want

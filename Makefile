@@ -4,7 +4,7 @@
 
 SF001 ?= /root/testdata/sf0.01
 
-.PHONY: test parity parity-sf001 driver-sim plans bench
+.PHONY: test parity parity-sf001 driver-sim driver-coverage plans bench
 
 # full local suite (sf0.001 oracles + goldens + e2e)
 test:
@@ -22,6 +22,11 @@ parity-sf001:
 # no recorded driver evidence yet — run before every round ends
 driver-sim:
 	python tools/driver_sim.py --new
+
+# regenerate the driver-sample rotation audit (round-11): lists
+# never-sampled names and the next round's exact 50-name window
+driver-coverage:
+	python tools/driver_coverage.py
 
 plans:
 	python tools/dump_plans.py

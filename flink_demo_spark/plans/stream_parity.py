@@ -3579,3 +3579,37 @@ def streaming_session_duration_v2(
         qcol(90, "p90_s"),
         qcol(99, "p99_s"),
     )
+
+
+@query(
+    "streaming_attribution_v2",
+    oracle=_attribution_oracle_ref(),
+    doc=(
+        "last-touch attribution with EVICTING state - the production "
+        "form of streaming_attribution (same upgrade as "
+        "streaming_session_duration_v2): per-user state is ONE packed "
+        "long (the latest click's ts_ms*1000+page, the batch twin's "
+        "pack with the same page-in-[0,1000) guard) via "
+        "applyInPandasWithState, and every purchase emits its "
+        "attributed (page, cents) row the moment it arrives - 8 bytes "
+        "of state per user instead of the journey, the Flink "
+        "ValueState shape of the original, and no timeout/flush at "
+        "all (purchases attribute immediately; nothing stays open at "
+        "end of input). The sink holds one row per ATTRIBUTED "
+        "PURCHASE and the catalog-bounded page census folds on top. "
+        "Shares the batch oracle bit-for-bit."
+    ),
+)
+def streaming_attribution_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import attribution_evicting
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    per_purchase = run_available_now(
+        attribution_evicting(ev), output_mode="append"
+    )
+    return per_purchase.groupBy(
+        F.col("page").cast("int").alias("page")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed"),
+        F.sum("cents").cast("long").alias("attributed_cents"),
+    )

@@ -594,3 +594,88 @@ def session_durations_evicting(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+ATTRIBUTION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("page", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+
+_ATTRIBUTION_STATE_SCHEMA = StructType(
+    [StructField("carry", LongType())]
+)
+
+
+def attribution_evicting(
+    events: DataFrame,
+    window_ms: int = 86_400_000,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Last-touch attribution with EVICTING state: per user the state
+    is ONE packed long — the latest click's (ts_ms * 1000 + page) —
+    and every purchase emits its attributed (page, cents) row the
+    moment it arrives. The journey-state twin (streaming_attribution)
+    accumulates whole histories in complete mode; here the state store
+    holds 8 bytes per user regardless of traffic, the Flink
+    ValueState shape of the original. No timeout needed: purchases
+    attribute immediately, nothing stays open at end of input.
+
+    The pack guards page to [0, 1000) (3 reserved decimal digits) and
+    the 24 h window compares in multiples of 1000 — the exact integer
+    arithmetic of the batch twin. Within-batch order is (ts,
+    event_id); correct under per-key ordered arrival (the bounded
+    file replay), same contract as session_durations_evicting.
+    """
+    import numpy as np
+
+    rows = events.select(
+        key_col,
+        ts_col,
+        F.unix_millis(ts_col).alias("ts_ms"),
+        F.col("event_id").alias("eid"),
+        (F.col("event_type") == "click").cast("long").alias("is_click"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_purchase"),
+        F.get_json_object("props", "$.k").cast("long").alias("page"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        carry = state.get[0] if state.exists else None
+        uid = int(key[0])
+        out: list[tuple[int, int, int]] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            ts = batch["ts_ms"].to_numpy("int64")
+            eid = batch["eid"].to_numpy("int64")
+            order = np.lexsort((eid, ts))
+            is_click = batch["is_click"].to_numpy("int64")[order]
+            is_purch = batch["is_purchase"].to_numpy("int64")[order]
+            page = batch["page"].to_numpy()[order]
+            cents = batch["cents"].to_numpy()[order]
+            ts = ts[order]
+            for i in range(len(ts)):
+                if is_purch[i] and carry is not None and (
+                    carry >= (int(ts[i]) - window_ms) * 1000
+                ):
+                    out.append((uid, int(carry % 1000), int(cents[i])))
+                if is_click[i] and page[i] is not None:
+                    p = int(page[i])
+                    if 0 <= p <= 999:
+                        carry = int(ts[i]) * 1000 + p
+        if carry is not None:
+            state.update((carry,))
+        yield pd.DataFrame(out, columns=["user_id", "page", "cents"])
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=ATTRIBUTION_OUTPUT_SCHEMA,
+        stateStructType=_ATTRIBUTION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

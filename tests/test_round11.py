@@ -206,3 +206,62 @@ def test_evicting_sessions_match_batch_multiset(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_evicting_attribution_matches_batch_multiset(spark, sf_dir):
+    """The evicting attribution operator's per-purchase (user, page,
+    cents) MULTISET must equal the batch window-function derivation —
+    every attributed purchase, not just the page census."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.plans.behavior import _events
+    from flink_demo_spark.sources.streams import events_stream
+    from flink_demo_spark.streaming.runner import run_available_now
+    from flink_demo_spark.streaming.stateful import attribution_evicting
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    got = sorted(
+        (r["user_id"], r["page"], r["cents"])
+        for r in run_available_now(
+            attribution_evicting(ev), output_mode="append"
+        ).collect()
+    )
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.get_json_object("props", "$.k").cast("long").alias("page"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = e.withColumn(
+        "pack",
+        F.last(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("page").between(0, 999),
+                F.col("ts_ms") * 1000 + F.col("page"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    want = sorted(
+        (r["user_id"], r["page"], r["cents"])
+        for r in t.where(
+            (F.col("event_type") == "purchase")
+            & F.col("pack").isNotNull()
+            & (F.expr("pack DIV 1000") >= F.col("ts_ms") - 86400000)
+        )
+        .select(
+            "user_id", F.expr("pack % 1000").alias("page"), "cents"
+        )
+        .collect()
+    )
+    assert got == want

@@ -122,7 +122,6 @@ def _minhash_lsh_oracle(
     ORDER BY doc1, doc2
     """
 
-
 @query(
     "batch_by_length",
     oracle="""
@@ -3486,6 +3485,153 @@ def similarity_recall_ivf_trained(
             F.expr(
                 "CAST(coalesce(n_hits, 0) * 10000 DIV n_truth AS BIGINT)"
             ).alias("recall_bp"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _recall_curve_setting_sql(b: int) -> str:
+    rows = 16 // b
+    return f"""
+    SELECT CAST(16 AS INT) AS num_hashes, CAST({b} AS INT) AS bands,
+           CAST({rows} AS INT) AS rows_per_band,
+           je.n_exact, s{b}.n_lsh, c{b}.n_common,
+           CAST(CASE WHEN je.n_exact = 0 THEN 10000
+                ELSE c{b}.n_common * 10000 // je.n_exact END AS BIGINT)
+             AS recall_bp,
+           CAST(CASE WHEN s{b}.n_lsh = 0 THEN 0
+                ELSE (s{b}.n_lsh - c{b}.n_common) * 10000 // s{b}.n_lsh
+                END AS BIGINT) AS lsh_extra_bp
+    FROM je, s{b}, c{b}
+    """
+
+
+@query(
+    "dedup_recall_minhash_curve",
+    oracle=f"""
+    WITH exact AS (
+      {_JACCARD_PAIRS_ORACLE}
+    ), lsh2 AS (
+      {_minhash_lsh_oracle(num_hashes=16, bands=2, threshold=0.3)}
+    ), lsh4 AS (
+      {_minhash_lsh_oracle(num_hashes=16, bands=4, threshold=0.3)}
+    ), lsh8 AS (
+      {_minhash_lsh_oracle(num_hashes=16, bands=8, threshold=0.3)}
+    ), je AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact
+    ), s2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh2
+    ), s4 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh4
+    ), s8 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh8
+    ), c2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM exact e JOIN lsh2 m ON e.doc1 = m.doc1 AND e.doc2 = m.doc2
+    ), c4 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM exact e JOIN lsh4 m ON e.doc1 = m.doc1 AND e.doc2 = m.doc2
+    ), c8 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM exact e JOIN lsh8 m ON e.doc1 = m.doc1 AND e.doc2 = m.doc2
+    )
+    {_recall_curve_setting_sql(2)}
+    UNION ALL
+    {_recall_curve_setting_sql(4)}
+    UNION ALL
+    {_recall_curve_setting_sql(8)}
+    ORDER BY bands
+    """,
+    doc=(
+        "MinHash recall-vs-bands curve - the dedup-side analogue of "
+        "similarity_recall_ivf_trained and the tuning run the "
+        "round-11 scaling adjudication points at (more bands = more "
+        "collisions = higher recall AND more random-collision "
+        "verification cost, the exact trade the sf10 probe priced): "
+        "at a fixed 16-hash signature, recall@(Jaccard>=0.3) of the "
+        "banded-LSH verified pairs against the exact capped-Jaccard "
+        "tier for bands = 2/4/8 (rows-per-band 8/4/2), one row per "
+        "setting with the same recall_bp / lsh_extra_bp split as "
+        "dedup_recall_minhash. The signature table is computed ONCE "
+        "and persisted (each setting only re-folds the SAME minhashes "
+        "into different band buckets - the cheap part), the shingle "
+        "sets for candidate verification are computed once, and the "
+        "exact tier is shared - so the curve costs one signature "
+        "pass + three bucket self-joins, all bucketed, never "
+        "all-pairs. Read recall_bp down the bands column and pick "
+        "the cheapest banding above the quality bar BEFORE running "
+        "the sketch tier at 100 TB."
+    ),
+)
+def dedup_recall_minhash_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    # persisted: the exact tier feeds its count and all three
+    # intersections; signatures and shingle sets feed every setting
+    exact = (
+        dedup.jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
+        )
+        .select("doc1", "doc2")
+        .persist()
+    )
+    je = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    sigs = dedup.minhash_table(docs, "text", "doc_id", 16, 3).persist()
+    sets_ = docs.select(
+        "doc_id", text.shingles("text", 3).alias("sh")
+    )
+    s1 = sets_.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = sets_.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    jac = inter / union
+    out = None
+    for b in (2, 4, 8):
+        banded = dedup.lsh_band_table(sigs, 16, b)
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+            )
+            .distinct()
+        )
+        vb = (
+            cand.join(s1, "doc1")
+            .join(s2, "doc2")
+            .where(jac >= 0.3)
+            .select("doc1", "doc2")
+            .persist()
+        )
+        jl = vb.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+        jc = exact.join(vb, ["doc1", "doc2"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_common")
+        )
+        row = (
+            je.crossJoin(F.broadcast(jl))
+            .crossJoin(F.broadcast(jc))
+            .select(
+                F.lit(16).cast("int").alias("num_hashes"),
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(16 // b).cast("int").alias("rows_per_band"),
+                "n_exact",
+                "n_lsh",
+                "n_common",
+                F.expr(
+                    "CAST(CASE WHEN n_exact = 0 THEN 10000"
+                    " ELSE n_common * 10000 DIV n_exact END AS BIGINT)"
+                ).alias("recall_bp"),
+                F.expr(
+                    "CAST(CASE WHEN n_lsh = 0 THEN 0"
+                    " ELSE (n_lsh - n_common) * 10000 DIV n_lsh END"
+                    " AS BIGINT)"
+                ).alias("lsh_extra_bp"),
+            )
         )
         out = row if out is None else out.unionAll(row)
     return out

@@ -804,6 +804,15 @@ EXPECT = {
         contains=["InMemoryRelation", "BroadcastHashJoin"],
         absent=["CartesianProduct", "SortMergeJoin"],
     ),
+    # round-11: recall-vs-bands curve. ONE persisted signature table
+    # (and one persisted exact tier) feeds all three band settings;
+    # candidates only ever form inside (band, bucket) groups — never
+    # an all-pairs stage
+    "dedup_recall_minhash_curve": dict(
+        contains=["InMemoryRelation"],
+        absent=["CartesianProduct"],
+        partial_agg=True,
+    ),
 }
 
 

@@ -265,3 +265,26 @@ def test_evicting_attribution_matches_batch_multiset(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_recall_curve_consistent_and_monotone(spark, sf_dir):
+    """The bands=4 row of the recall curve must agree exactly with the
+    standalone dedup_recall_minhash harness (same exact tier, same
+    16-hash/4-band sketch tier, independently composed), and recall
+    must be monotone non-decreasing in bands (more bands = more
+    collision chances, candidates can only grow)."""
+    curve = {
+        r["bands"]: (r["n_exact"], r["n_lsh"], r["n_common"], r["recall_bp"])
+        for r in REGISTRY["dedup_recall_minhash_curve"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(curve) == {2, 4, 8}
+    single = REGISTRY["dedup_recall_minhash"].fn(spark, sf_dir).collect()[0]
+    assert curve[4][:3] == (
+        single["n_exact"],
+        single["n_lsh"],
+        single["n_common"],
+    )
+    recalls = [curve[b][3] for b in (2, 4, 8)]
+    assert recalls == sorted(recalls)

@@ -141,6 +141,60 @@ def lsh_top_k(
     )
 
 
+# above this many centroids the per-centroid expression formulation is
+# replaced by a single transform over a constant-folded centroid array:
+# K separate dot-product aggregates blow past JIT method-size limits
+# (whole-stage codegen falls back to interpreted evaluation) while the
+# transform keeps ONE lambda regardless of K
+_CENTROID_EXPR_MAX = 32
+
+
+def _centroid_array(centroids: list[tuple[int, list[float]]]) -> Column:
+    """The codebook as ONE array<struct<cid,cv>> literal expression.
+    Every child is a literal, so Catalyst constant-folds the whole
+    tree into a single Literal before codegen — the broadcast-a-small-
+    dim shape, carried in the plan itself."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+
+
+def _sim_entries(
+    v: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """array of (sim, neg_cid) structs for v against every centroid —
+    the shared kernel of assignment (array_max) and multi-probe
+    (sort + slice). Chooses the per-centroid expression formulation
+    for small codebooks (marginally faster: no struct field access)
+    and the transform-over-constant-array formulation for large ones
+    (constant codegen size in K). Both produce IDENTICAL values: the
+    same sequential-fold dot product, the same (sim, -cid) structs.
+    """
+    if len(centroids) <= _CENTROID_EXPR_MAX:
+        entries = []
+        for cid, cvec in centroids:
+            c = F.array(*[F.lit(float(x)) for x in cvec])
+            sim = dot(v, c) / (l2_norm(v) * l2_norm(c))
+            entries.append(
+                F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_cid"))
+            )
+        return F.array(*entries)
+    cents = _centroid_array(centroids)
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            (dot(v, c["cv"]) / (l2_norm(v) * l2_norm(c["cv"]))).alias("sim"),
+            (-c["cid"]).cast("int").alias("neg_cid"),
+        ),
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -155,15 +209,9 @@ def ivf_assign(
     the cosine to the winning centroid is emitted too."""
     v = _as_double(F.col(vec_col))
     # argmax via array_max over (sim, -cid) structs: one linear pass,
-    # no nested-when expression blowup; tie -> smallest centroid id
-    entries = []
-    for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = dot(v, c) / (l2_norm(v) * l2_norm(c))
-        entries.append(
-            F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_cid"))
-        )
-    best = F.array_max(F.array(*entries))
+    # no nested-when expression blowup; tie -> smallest centroid id.
+    # _sim_entries picks the codegen-safe formulation for large K.
+    best = F.array_max(_sim_entries(v, centroids))
     out = df.withColumn(cell_col, (-best["neg_cid"]).cast("int"))
     if sim_col is not None:
         out = out.withColumn(sim_col, best["sim"])
@@ -236,15 +284,9 @@ def probe_cells_expr(
     cosine, ties to the smaller centroid id) — the query-side
     multi-probe expression, usable on batch and streaming rows alike."""
     v = _as_double(vec)
-    entries = []
-    for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = dot(v, c) / (l2_norm(v) * l2_norm(c))
-        entries.append(
-            F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_cid"))
-        )
     # sort desc: highest sim first; tie -> larger neg_cid = smaller cid
-    arr = F.sort_array(F.array(*entries), asc=False)
+    # (_sim_entries keeps codegen constant-size for large codebooks)
+    arr = F.sort_array(_sim_entries(v, centroids), asc=False)
     return F.transform(
         F.slice(arr, 1, nprobe), lambda s: (-s["neg_cid"]).cast("int")
     )

@@ -16,6 +16,8 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 
+from pyspark.sql import functions as F
+
 from flink_demo_spark.plans.registry import REGISTRY, _load_all
 
 _load_all()
@@ -288,3 +290,46 @@ def test_recall_curve_consistent_and_monotone(spark, sf_dir):
     )
     recalls = [curve[b][3] for b in (2, 4, 8)]
     assert recalls == sorted(recalls)
+
+
+def test_ivf_assign_formulations_identical(spark, sf_dir, monkeypatch):
+    """The transform-over-constant-array formulation (large codebooks)
+    must produce bit-identical assignments and probe cells to the
+    per-centroid expression formulation: same sequential-fold dot,
+    same (sim, -cid) argmax/sort. Verified on a 40-centroid codebook
+    — above the 32-entry switch, so path A is the transform and
+    path B (threshold raised) is the expression tree."""
+    from flink_demo_spark.catalog import load_table
+    from flink_demo_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 40).collect()
+    )
+    assert len(cents) == 40 > similarity._CENTROID_EXPR_MAX
+
+    def snap(df):
+        return sorted(
+            (r["vec_id"], r["cell"], r["sim"]) for r in df.collect()
+        )
+
+    def probe_snap():
+        return sorted(
+            (r["vec_id"], r["cell"])
+            for r in similarity.ivf_probe_cells(
+                emb.select("vec_id", F.col("embedding").alias("__qvec")),
+                cents,
+                3,
+                "__qvec",
+            ).collect()
+        )
+
+    a_assign = snap(similarity.ivf_assign(emb, cents, sim_col="sim"))
+    a_probe = probe_snap()
+    monkeypatch.setattr(similarity, "_CENTROID_EXPR_MAX", 1000)
+    b_assign = snap(similarity.ivf_assign(emb, cents, sim_col="sim"))
+    b_probe = probe_snap()
+    assert a_assign == b_assign
+    assert a_probe == b_probe
+

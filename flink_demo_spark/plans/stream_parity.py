@@ -3613,3 +3613,43 @@ def streaming_attribution_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_attributed"),
         F.sum("cents").cast("long").alias("attributed_cents"),
     )
+
+
+def _prequential_oracle_ref():
+    from .registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY["browse_prequential_accuracy"].oracle
+
+
+@query(
+    "streaming_prequential_accuracy",
+    oracle=_prequential_oracle_ref(),
+    doc=(
+        "prequential next-page accuracy on the LIVE stream - the "
+        "deployment shape of browse_prequential_accuracy: transitions "
+        "are extracted by an EVICTING stateful operator (state = the "
+        "last seen (ts, eid, page) per user, 3 longs - the streaming "
+        "lag window; every event emits its hop on arrival, nothing "
+        "stays open, no timeout), and the per-src test-then-train "
+        "walk runs on the transition-sized sink output exactly as "
+        "batch (catalog-bounded src groups, pinned-partition "
+        "applyInPandas). Shares the batch oracle bit-for-bit: the "
+        "extractor carries null pages through like lag does, so the "
+        "clean frame - and therefore every prediction - is identical."
+    ),
+)
+def streaming_prequential_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.behavior import prequential_summary
+    from ..streaming.stateful import transitions_evicting
+
+    ev = events_stream(spark, sf_dir, watermark="10 minutes")
+    hops = run_available_now(
+        transitions_evicting(ev), output_mode="append"
+    )
+    clean = hops.where(
+        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
+    )
+    return prequential_summary(clean)

@@ -679,3 +679,78 @@ def attribution_evicting(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITIONS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("src", LongType()),
+        StructField("dst", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("eid", LongType()),
+    ]
+)
+
+_TRANSITIONS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("last_eid", LongType()),
+        StructField("last_page", LongType()),
+    ]
+)
+
+
+def transitions_evicting(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-user page-transition extraction with EVICTING state: the
+    state is ONLY the last seen (ts_ms, eid, page) — 3 longs per
+    active user — and each arriving event emits its (src=carry,
+    dst=page) hop immediately. The streaming form of the batch lag
+    window; src is null for a user's first event and carries null
+    pages through exactly like lag does (a null-page event still
+    SHIFTS the carry), so downstream `src IS NOT NULL AND src <> dst`
+    filters reproduce the batch `clean` frame bit-for-bit. No
+    timeout: every event emits on arrival, nothing stays open.
+    Within-batch order (ts, event_id); per-key ordered arrival
+    contract as session_durations_evicting.
+    """
+    import numpy as np
+
+    rows = events.select(
+        key_col,
+        ts_col,
+        F.unix_millis(ts_col).alias("ts_ms"),
+        F.col("event_id").alias("eid"),
+        F.get_json_object("props", "$.k").cast("long").alias("page"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        carry_page = None
+        if state.exists:
+            _, _, carry_page = state.get
+        out: list[tuple] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            ts = batch["ts_ms"].to_numpy("int64")
+            eid = batch["eid"].to_numpy("int64")
+            order = np.lexsort((eid, ts))
+            ts, eid = ts[order], eid[order]
+            pages = batch["page"].to_numpy()[order]
+            for i in range(len(ts)):
+                pg = None if pd.isna(pages[i]) else int(pages[i])
+                out.append((carry_page, pg, int(ts[i]), int(eid[i])))
+                carry_page = pg
+            state.update((int(ts[-1]), int(eid[-1]), carry_page))
+        yield pd.DataFrame(out, columns=["src", "dst", "ts_ms", "eid"])
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=TRANSITIONS_OUTPUT_SCHEMA,
+        stateStructType=_TRANSITIONS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -813,6 +813,15 @@ EXPECT = {
         absent=["CartesianProduct"],
         partial_agg=True,
     ),
+    # round-11: prequential walk. ONE user shuffle builds transitions,
+    # the per-src walk is a pinned-count exchange into the pandas
+    # stage (AQE byte-coalescing must not collapse the CPU-bound
+    # walk), and no join exists anywhere — the oracle's quadratic
+    # prior-count join is exactly what the engine avoids
+    "browse_prequential_accuracy": dict(
+        contains=["FlatMapGroupsInPandas", "REPARTITION_BY_NUM"],
+        absent=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
 }
 
 

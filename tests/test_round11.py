@@ -333,3 +333,55 @@ def test_ivf_assign_formulations_identical(spark, sf_dir, monkeypatch):
     assert a_assign == b_assign
     assert a_probe == b_probe
 
+
+
+def test_prequential_matches_python_model(spark, sf_dir):
+    """Independent pure-Python prequential walk (global event order,
+    dict-of-dicts model, test-then-train) must reproduce the engine's
+    summary row exactly — and the streaming twin must equal batch."""
+    rows = duckdb.sql(
+        "SELECT user_id, event_id,"
+        " CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,"
+        " CAST(props->>'$.k' AS INT) AS page"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    # per-user lag in (ts_ms, event_id) order -> clean transitions
+    by_user: dict[int, list] = {}
+    for uid, eid, ts_ms, page in rows:
+        by_user.setdefault(uid, []).append((ts_ms, eid, page))
+    clean = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        prev = None
+        for ts_ms, eid, page in evs:
+            if prev is not None and page is not None and prev != page:
+                clean.append((ts_ms, eid, prev, page))
+            prev = page
+    clean.sort()  # global (ts, eid) order — test-then-train sequence
+    model: dict[int, dict[int, int]] = {}
+    covered = correct = 0
+    for ts_ms, eid, src, dst in clean:
+        cnts = model.get(src)
+        if cnts:
+            covered += 1
+            pred = min((-c, k) for k, c in cnts.items())[1]
+            if pred == dst:
+                correct += 1
+        model.setdefault(src, {})[dst] = model.get(src, {}).get(dst, 0) + 1
+    want = (
+        len(clean),
+        covered,
+        correct,
+        correct * 10000 // covered if covered else 0,
+        covered * 10000 // len(clean) if clean else 0,
+    )
+
+    def row(name):
+        r = REGISTRY[name].fn(spark, sf_dir).collect()[0]
+        return (
+            r["n_test"], r["n_covered"], r["n_correct"],
+            r["accuracy_bp"], r["coverage_bp"],
+        )
+
+    assert row("browse_prequential_accuracy") == want
+    assert row("streaming_prequential_accuracy") == want

@@ -2802,3 +2802,145 @@ def browse_prequential_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
     )
     return prequential_summary(clean)
+
+
+def prequential_by_day(clean: DataFrame) -> DataFrame:
+    """Per-DAY prequential accuracy over a clean transition frame —
+    the drift-monitoring readout (a falling curve = the browse graph
+    is shifting faster than the model accumulates; the day the curve
+    drops is the day to investigate). Same sharded test-then-train
+    walk as prequential_summary; days are exact integer epoch-day
+    indexes (ts_ms DIV 86400000 — no cross-engine calendar math)."""
+    import pandas as pd
+
+    def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_ms", "eid"])
+        counts: dict[int, int] = {}
+        days: dict[int, list[int]] = {}
+        for d, day in zip(
+            pdf["dst"].astype("int64"), pdf["epoch_day"].astype("int64")
+        ):
+            d, day = int(d), int(day)
+            rec = days.setdefault(day, [0, 0, 0])
+            rec[0] += 1
+            if counts:
+                rec[1] += 1
+                pred = min((-c, k) for k, c in counts.items())[1]
+                if pred == d:
+                    rec[2] += 1
+            counts[d] = counts.get(d, 0) + 1
+        return pd.DataFrame(
+            [(day, *rec) for day, rec in days.items()],
+            columns=["epoch_day", "n_test", "n_covered", "n_correct"],
+        )
+
+    n_parts = int(
+        clean.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    per_src_day = (
+        clean.withColumn("epoch_day", F.expr("ts_ms DIV 86400000"))
+        .repartition(n_parts, "src")
+        .groupBy("src")
+        .applyInPandas(
+            lambda pdf: walk(pdf),
+            "epoch_day long, n_test long, n_covered long, n_correct long",
+        )
+    )
+    return per_src_day.groupBy("epoch_day").agg(
+        F.sum("n_test").cast("long").alias("n_test"),
+        F.sum("n_covered").cast("long").alias("n_covered"),
+        F.sum("n_correct").cast("long").alias("n_correct"),
+    ).select(
+        "epoch_day",
+        "n_test",
+        "n_covered",
+        "n_correct",
+        F.expr(
+            "CAST(CASE WHEN n_covered = 0 THEN 0"
+            " ELSE n_correct * 10000 DIV n_covered END AS BIGINT)"
+        ).alias("accuracy_bp"),
+    )
+
+
+@query(
+    "browse_prequential_drift",
+    oracle="""
+    WITH pages AS (
+      SELECT user_id, event_id,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
+             CAST(props->>'$.k' AS INT) AS page
+      FROM events
+    ), hops AS (
+      SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+               AS src,
+             page AS dst, ts_ms, event_id AS eid
+      FROM pages
+    ), clean AS (
+      SELECT src, dst, ts_ms, eid, ts_ms // 86400000 AS epoch_day
+      FROM hops WHERE src IS NOT NULL AND src <> dst
+    ), pri AS (
+      SELECT t.eid AS teid, t.dst AS tdst, t.epoch_day, p.dst AS pdst,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM clean t JOIN clean p ON p.src = t.src
+       AND (p.ts_ms < t.ts_ms OR (p.ts_ms = t.ts_ms AND p.eid < t.eid))
+      GROUP BY t.eid, t.dst, t.epoch_day, p.dst
+    ), pred AS (
+      SELECT teid, tdst, epoch_day, pdst FROM (
+        SELECT *, row_number() OVER (PARTITION BY teid
+                    ORDER BY cnt DESC, pdst) AS rk
+        FROM pri
+      ) WHERE rk = 1
+    ), cov AS (
+      SELECT epoch_day,
+             CAST(count(*) AS BIGINT) AS n_covered,
+             CAST(count(*) FILTER (WHERE tdst = pdst) AS BIGINT)
+               AS n_correct
+      FROM pred GROUP BY epoch_day
+    ), tot AS (
+      SELECT epoch_day, CAST(count(*) AS BIGINT) AS n_test
+      FROM clean GROUP BY epoch_day
+    )
+    SELECT t.epoch_day AS epoch_day, t.n_test,
+           CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+           CAST(coalesce(c.n_correct, 0) AS BIGINT) AS n_correct,
+           CAST(CASE WHEN coalesce(c.n_covered, 0) = 0 THEN 0
+                ELSE c.n_correct * 10000 // c.n_covered END AS BIGINT)
+             AS accuracy_bp
+    FROM tot t LEFT JOIN cov c ON c.epoch_day = t.epoch_day
+    ORDER BY epoch_day
+    """,
+    doc=(
+        "prequential accuracy BY DAY - the drift-monitoring curve "
+        "(Gama et al. section on forgetting/drift: a model whose "
+        "daily prequential accuracy falls is being outrun by "
+        "distribution shift, and the day it drops names when): same "
+        "sharded test-then-train walk as browse_prequential_accuracy "
+        "with per-epoch-day counters (exact integer day index "
+        "ts_ms DIV 86400000 - no cross-engine calendar math), "
+        "emitting (day, n_test, n_covered, n_correct, accuracy_bp) - "
+        "a #days-bounded census. Same plan shape: one user-shuffle "
+        "lag + one pinned-partition pandas walk, no join; the "
+        "oracle's quadratic prior-count join stays sf0.01-bounded by "
+        "design."
+    ),
+)
+def browse_prequential_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    pages = ev.select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.unix_millis("ts").alias("ts_ms"),
+        page.alias("page"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "eid")
+    hops = pages.select(
+        F.lag("page").over(w).alias("src"),
+        F.col("page").alias("dst"),
+        "ts_ms",
+        "eid",
+    )
+    clean = hops.where(
+        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
+    )
+    return prequential_by_day(clean)

@@ -822,6 +822,12 @@ EXPECT = {
         contains=["FlatMapGroupsInPandas", "REPARTITION_BY_NUM"],
         absent=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     ),
+    # same shape with the per-day census on top
+    "browse_prequential_drift": dict(
+        contains=["FlatMapGroupsInPandas", "REPARTITION_BY_NUM"],
+        absent=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+        partial_agg=True,
+    ),
 }
 
 

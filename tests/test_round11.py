@@ -385,3 +385,18 @@ def test_prequential_matches_python_model(spark, sf_dir):
 
     assert row("browse_prequential_accuracy") == want
     assert row("streaming_prequential_accuracy") == want
+
+
+def test_prequential_drift_sums_to_summary(spark, sf_dir):
+    """The per-day drift census must partition the summary exactly:
+    sums of n_test/n_covered/n_correct over days equal the one-row
+    totals, and every day's covered <= tested."""
+    days = REGISTRY["browse_prequential_drift"].fn(spark, sf_dir).collect()
+    total = REGISTRY["browse_prequential_accuracy"].fn(
+        spark, sf_dir
+    ).collect()[0]
+    assert sum(r["n_test"] for r in days) == total["n_test"]
+    assert sum(r["n_covered"] for r in days) == total["n_covered"]
+    assert sum(r["n_correct"] for r in days) == total["n_correct"]
+    for r in days:
+        assert 0 <= r["n_correct"] <= r["n_covered"] <= r["n_test"]

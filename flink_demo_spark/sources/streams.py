@@ -85,7 +85,10 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+        try:
+            os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+        except FileExistsError:
+            pass  # concurrent stager won the race (round-11 ADVICE)
     return d
 
 
@@ -137,9 +140,21 @@ def events_stream_with_eof(
     d = src.rstrip("/") + "_eof"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
+    real = os.path.join(sf_dir, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        try:
+            os.symlink(real, link)
+        except FileExistsError:
+            pass  # concurrent stager won the race (round-11 ADVICE)
     sentinel = os.path.join(d, "zz_eof.parquet")
+    # the /tmp cache outlives the source file: if events.parquet was
+    # regenerated (later max ts) a stale sentinel would no longer drag
+    # the watermark past the gap horizon and open sessions would never
+    # flush - rebuild whenever the source is newer (round-11 ADVICE)
+    if os.path.exists(sentinel) and (
+        os.stat(real).st_mtime_ns >= os.stat(sentinel).st_mtime_ns
+    ):
+        os.remove(sentinel)
     if not os.path.exists(sentinel):
         schema = pq.read_schema(link)
         max_ts = pa.compute.max(

@@ -556,8 +556,16 @@ def session_durations_evicting(
         uid = int(key[0])
         if state.hasTimedOut:
             start_ms, last_ms = state.get
-            out.append((uid, (last_ms - start_ms) // 1000))
-            state.remove()
+            wm = state.getCurrentWatermarkMs()
+            if wm >= last_ms + gap_ms:
+                # the gap horizon has passed: the open session is closed
+                out.append((uid, (last_ms - start_ms) // 1000))
+                state.remove()
+            else:
+                # woken early (e.g. a key silent for one micro-batch
+                # while the watermark advanced) - the session is still
+                # open; re-arm at the real horizon (round-11 ADVICE)
+                state.setTimeoutTimestamp(max(last_ms + gap_ms, wm + 1))
         else:
             batch = pd.concat(list(pdfs), ignore_index=True)
             if len(batch):
@@ -581,10 +589,17 @@ def session_durations_evicting(
                 open_start = (
                     start0 if bounds[-2] == 0 else int(walk[bounds[-2]])
                 )
-                state.update((open_start, int(walk[-1])))
-                # wake as soon as the watermark moves: if it has passed
-                # this session's gap horizon the timeout flushes it
-                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+                last_ms = int(walk[-1])
+                state.update((open_start, last_ms))
+                # arm at the session's REAL gap horizon (same pattern as
+                # the CEP timeout buffer above): Spark requires the
+                # timestamp to sit past the current watermark, hence the
+                # max - and the timed-out branch re-checks the horizon,
+                # so a key whose history spans triggers never has an
+                # open session closed early (round-11 ADVICE, high)
+                state.setTimeoutTimestamp(
+                    max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+                )
         yield pd.DataFrame(out, columns=["user_id", "dur_s"])
 
     return rows.groupBy(key_col).applyInPandasWithState(
@@ -664,7 +679,10 @@ def attribution_evicting(
                     carry >= (int(ts[i]) - window_ms) * 1000
                 ):
                     out.append((uid, int(carry % 1000), int(cents[i])))
-                if is_click[i] and page[i] is not None:
+                # nullable LongType reaches pandas as float64/NaN, not
+                # None - pd.isna covers both (round-11 ADVICE; matches
+                # transitions_evicting below)
+                if is_click[i] and not pd.isna(page[i]):
                     p = int(page[i])
                     if 0 <= p <= 999:
                         carry = int(ts[i]) * 1000 + p

@@ -161,7 +161,10 @@ def test_evicting_sessions_match_batch_multiset(spark, sf_dir):
     operator's per-session (user, duration) MULTISET must equal the
     batch lag-gap sessionization exactly — every session, not just the
     distribution summary. Also pins the eviction contract: the EOF
-    sentinel (user -1) flushes and is filterable."""
+    sentinel (user -1) drags every REAL user's session past its gap
+    horizon, while its own session correctly stays open (since the
+    round-12 real-horizon arming fix nothing flushes before its gap
+    expires; the old wm+1 arming flushed the sentinel incidentally)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -180,11 +183,12 @@ def test_evicting_sessions_match_batch_multiset(spark, sf_dir):
         (r["user_id"], r["dur_s"])
         for r in got_df.where(F.col("user_id") >= 0).collect()
     )
-    # the sentinel user flushed exactly one zero-length session
+    # the sentinel user's own open session never meets ITS horizon
+    # (wm tops out at eof_ts - 10min < eof_ts + gap) -> emits nothing
     sentinel = [
         r["dur_s"] for r in got_df.where(F.col("user_id") < 0).collect()
     ]
-    assert sentinel == [0]
+    assert sentinel == []
 
     e = _events(spark, sf_dir).select(
         "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")

@@ -289,3 +289,50 @@ def test_stage_symlink_race_tolerated(tmp_path):
     import shutil
 
     shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+
+
+def test_prequential_packed_scan_equals_sequential_walk():
+    """The round-12 LINEAR oracle rests on one equivalence: the
+    running dst-count argmax (tie -> smaller dst) at each test point
+    equals the strictly-prior row maximizing (within-(src,dst)
+    row_number, then smaller dst). Fuzz it in pure Python against the
+    sequential walk on adversarial small domains (heavy ties, single
+    src, interleaved srcs)."""
+    import random
+
+    rng = random.Random(12)
+    for trial in range(200):
+        n = rng.randint(1, 60)
+        n_src = rng.randint(1, 3)
+        n_dst = rng.randint(1, 4)
+        rows = [
+            (
+                rng.randint(0, n_src - 1),          # src
+                rng.randint(0, n_dst - 1),          # dst
+                rng.randint(0, 5),                  # ts (heavy ties)
+                i,                                  # eid unique
+            )
+            for i in range(n)
+        ]
+        # sequential walk (the engine formulation)
+        want = []
+        counts: dict[tuple, dict] = {}
+        for src, dst, ts, eid in sorted(rows, key=lambda r: (r[2], r[3])):
+            c = counts.setdefault(src, {})
+            pred = min(((-v, k) for k, v in c.items()), default=None)
+            want.append((eid, pred[1] if pred else None))
+            c[dst] = c.get(dst, 0) + 1
+        # packed running-max scan (the oracle formulation)
+        got = []
+        seen: dict[tuple, int] = {}
+        best: dict[int, int] = {}
+        R = 1 << 20
+        for src, dst, ts, eid in sorted(rows, key=lambda r: (r[2], r[3])):
+            b = best.get(src)
+            got.append((eid, None if b is None else R - 1 - (b % R)))
+            rn = seen.get((src, dst), 0) + 1
+            seen[(src, dst)] = rn
+            packed = rn * R + (R - 1 - dst)
+            if b is None or packed > b:
+                best[src] = packed
+        assert got == want, f"trial {trial}"

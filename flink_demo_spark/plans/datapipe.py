@@ -3490,39 +3490,30 @@ def similarity_recall_ivf_trained(
     return out
 
 
-def _recall_curve_setting_sql(b: int) -> str:
-    rows = 16 // b
-    return f"""
-    SELECT CAST(16 AS INT) AS num_hashes, CAST({b} AS INT) AS bands,
-           CAST({rows} AS INT) AS rows_per_band,
-           je.n_exact, s{b}.n_lsh, c{b}.n_common,
-           CAST(CASE WHEN je.n_exact = 0 THEN 10000
-                ELSE c{b}.n_common * 10000 // je.n_exact END AS BIGINT)
-             AS recall_bp,
-           CAST(CASE WHEN s{b}.n_lsh = 0 THEN 0
-                ELSE (s{b}.n_lsh - c{b}.n_common) * 10000 // s{b}.n_lsh
-                END AS BIGINT) AS lsh_extra_bp
-    FROM je, s{b}, c{b}
-    """
-
-
-def _recall_curve_oracle() -> str:
-    """Multi-statement (temp-table materialized) bands-curve oracle
-    (round-12 verdict #4). The previous single-statement form inlined
-    the full shingle->minhash derivation THREE times (once per band
-    setting) plus the exact tier; DuckDB re-materialized the shared
-    stages per branch and the sf1 run spilled past the sandbox's temp
-    disk. This form materializes each shared stage ONCE as a temp
-    table — shingle sets, sizes, the 16-hash signature table, the
-    exact capped-Jaccard tier — exactly mirroring the engine's
-    persist() structure, then folds the SAME signatures into the three
-    band layouts. CREATE OR REPLACE so a rerun on the same connection
-    (the driver re-executes oracles) is idempotent. Values are
-    bit-identical to the old formulation (same md5-fold, same affine
-    family, same polynomial buckets, same verification)."""
+def _recall_grid_oracle(
+    settings: list[tuple[int, int]],
+    sig_hashes: int,
+    pfx: str,
+    order_col: str,
+) -> str:
+    """Multi-statement (temp-table materialized) recall-grid oracle
+    (round-12 verdict #4). The previous single-statement bands-curve
+    form inlined the full shingle->minhash derivation once PER setting
+    plus the exact tier; DuckDB re-materialized the shared stages per
+    branch and the sf1 run spilled past the sandbox's temp disk. This
+    form materializes each shared stage ONCE as a temp table —
+    shingle sets, sizes, ONE ``sig_hashes``-wide signature table
+    (MINHASH_COEF prefixes nest, so a 16-hash setting folds h0..h15 of
+    the 32-hash table), the exact capped-Jaccard tier — exactly
+    mirroring the engine's persist() structure, then folds the SAME
+    signatures into each (num_hashes, bands) layout. CREATE OR REPLACE
+    so a rerun on the same connection (the driver re-executes oracles)
+    is idempotent. Values are bit-identical to the single-statement
+    formulation (same md5-fold, same affine family, same polynomial
+    buckets, same verification)."""
     hcols = ",\n         ".join(
         f"min((x * {a} + {b}) % {dedup.MINHASH_P}) AS h{i}"
-        for i, (a, b) in enumerate(dedup.MINHASH_COEF[:16])
+        for i, (a, b) in enumerate(dedup.MINHASH_COEF[:sig_hashes])
     )
 
     def bucket_expr(band: int, rows: int) -> str:
@@ -3534,15 +3525,15 @@ def _recall_curve_oracle() -> str:
             )
         return acc
 
-    def lsh_table(b: int) -> str:
-        rows = 16 // b
+    def lsh_table(h: int, b: int) -> str:
+        rows = h // b
         bands_sql = "\n        UNION ALL\n        ".join(
             f"SELECT doc_id, {i} AS band, {bucket_expr(i, rows)} AS bucket"
-            " FROM prmc_sig"
+            f" FROM {pfx}_sig"
             for i in range(b)
         )
         return f"""
-    CREATE OR REPLACE TEMP TABLE prmc_lsh{b} AS
+    CREATE OR REPLACE TEMP TABLE {pfx}_lsh{h}x{b} AS
       WITH banded AS (
         {bands_sql}
       ), cand AS (
@@ -3553,18 +3544,46 @@ def _recall_curve_oracle() -> str:
       ), common AS (
         SELECT c.doc1, c.doc2, count(*) AS n_common
         FROM cand c
-        JOIN prmc_sh s1 ON s1.doc_id = c.doc1
-        JOIN prmc_sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+        JOIN {pfx}_sh s1 ON s1.doc_id = c.doc1
+        JOIN {pfx}_sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
         GROUP BY 1, 2
       )
       SELECT doc1, doc2 FROM common
-      JOIN prmc_sizes n1 ON n1.doc_id = doc1
-      JOIN prmc_sizes n2 ON n2.doc_id = doc2
+      JOIN {pfx}_sizes n1 ON n1.doc_id = doc1
+      JOIN {pfx}_sizes n2 ON n2.doc_id = doc2
       WHERE n_common / (n1.n + n2.n - n_common) >= 0.3;
     """
 
+    def setting_sql(h: int, b: int) -> str:
+        t = f"{h}x{b}"
+        return f"""
+    SELECT CAST({h} AS INT) AS num_hashes, CAST({b} AS INT) AS bands,
+           CAST({h // b} AS INT) AS rows_per_band,
+           je.n_exact, s{t}.n_lsh, c{t}.n_common,
+           CAST(CASE WHEN je.n_exact = 0 THEN 10000
+                ELSE c{t}.n_common * 10000 // je.n_exact END AS BIGINT)
+             AS recall_bp,
+           CAST(CASE WHEN s{t}.n_lsh = 0 THEN 0
+                ELSE (s{t}.n_lsh - c{t}.n_common) * 10000 // s{t}.n_lsh
+                END AS BIGINT) AS lsh_extra_bp
+    FROM je, s{t}, c{t}
+    """
+
+    count_ctes = ", ".join(
+        f"""s{h}x{b} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM {pfx}_lsh{h}x{b}
+    ), c{h}x{b} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM {pfx}_exact e JOIN {pfx}_lsh{h}x{b} m
+        ON e.doc1 = m.doc1 AND e.doc2 = m.doc2
+    )"""
+        for h, b in settings
+    )
+    union = "\n    UNION ALL\n    ".join(
+        setting_sql(h, b) for h, b in settings
+    )
     return f"""
-    CREATE OR REPLACE TEMP TABLE prmc_sh AS
+    CREATE OR REPLACE TEMP TABLE {pfx}_sh AS
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -3575,9 +3594,9 @@ def _recall_curve_oracle() -> str:
           FROM documents
         )
       );
-    CREATE OR REPLACE TEMP TABLE prmc_sizes AS
-      SELECT doc_id, count(*) AS n FROM prmc_sh GROUP BY doc_id;
-    CREATE OR REPLACE TEMP TABLE prmc_sig AS
+    CREATE OR REPLACE TEMP TABLE {pfx}_sizes AS
+      SELECT doc_id, count(*) AS n FROM {pfx}_sh GROUP BY doc_id;
+    CREATE OR REPLACE TEMP TABLE {pfx}_sig AS
       SELECT doc_id,
          {hcols}
       FROM (
@@ -3586,56 +3605,38 @@ def _recall_curve_oracle() -> str:
                  i -> strpos('0123456789abcdef',
                              substr(md5(shingle), i, 1)) - 1),
                  (a, b) -> a * 16 + b) % {dedup.MINHASH_P} AS x
-        FROM prmc_sh
+        FROM {pfx}_sh
       ) GROUP BY doc_id;
-    CREATE OR REPLACE TEMP TABLE prmc_exact AS
+    CREATE OR REPLACE TEMP TABLE {pfx}_exact AS
       WITH cap AS (
         SELECT greatest(64, (count(*) + 99) // 100) AS c FROM documents
       ), kept AS (
-        SELECT shingle FROM prmc_sh GROUP BY shingle
+        SELECT shingle FROM {pfx}_sh GROUP BY shingle
         HAVING count(*) <= (SELECT c FROM cap)
       ), common AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
-        FROM prmc_sh a JOIN prmc_sh b
+        FROM {pfx}_sh a JOIN {pfx}_sh b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         JOIN kept k ON k.shingle = a.shingle
         GROUP BY 1, 2
       )
       SELECT doc1, doc2 FROM common
-      JOIN prmc_sizes n1 ON n1.doc_id = doc1
-      JOIN prmc_sizes n2 ON n2.doc_id = doc2
+      JOIN {pfx}_sizes n1 ON n1.doc_id = doc1
+      JOIN {pfx}_sizes n2 ON n2.doc_id = doc2
       WHERE n_common / (n1.n + n2.n - n_common) >= 0.3;
-    {lsh_table(2)}
-    {lsh_table(4)}
-    {lsh_table(8)}
+    {"".join(lsh_table(h, b) for h, b in settings)}
     WITH je AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_exact FROM prmc_exact
-    ), s2 AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM prmc_lsh2
-    ), s4 AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM prmc_lsh4
-    ), s8 AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM prmc_lsh8
-    ), c2 AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_common
-      FROM prmc_exact e JOIN prmc_lsh2 m
-        ON e.doc1 = m.doc1 AND e.doc2 = m.doc2
-    ), c4 AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_common
-      FROM prmc_exact e JOIN prmc_lsh4 m
-        ON e.doc1 = m.doc1 AND e.doc2 = m.doc2
-    ), c8 AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_common
-      FROM prmc_exact e JOIN prmc_lsh8 m
-        ON e.doc1 = m.doc1 AND e.doc2 = m.doc2
-    )
-    {_recall_curve_setting_sql(2)}
-    UNION ALL
-    {_recall_curve_setting_sql(4)}
-    UNION ALL
-    {_recall_curve_setting_sql(8)}
-    ORDER BY bands
+      SELECT CAST(count(*) AS BIGINT) AS n_exact FROM {pfx}_exact
+    ), {count_ctes}
+    {union}
+    ORDER BY {order_col}
     """
+
+
+def _recall_curve_oracle() -> str:
+    return _recall_grid_oracle(
+        [(16, 2), (16, 4), (16, 8)], 16, "prmc", "bands"
+    )
 
 
 @query(
@@ -3718,6 +3719,103 @@ def dedup_recall_minhash_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(16).cast("int").alias("num_hashes"),
                 F.lit(b).cast("int").alias("bands"),
                 F.lit(16 // b).cast("int").alias("rows_per_band"),
+                "n_exact",
+                "n_lsh",
+                "n_common",
+                F.expr(
+                    "CAST(CASE WHEN n_exact = 0 THEN 10000"
+                    " ELSE n_common * 10000 DIV n_exact END AS BIGINT)"
+                ).alias("recall_bp"),
+                F.expr(
+                    "CAST(CASE WHEN n_lsh = 0 THEN 0"
+                    " ELSE (n_lsh - n_common) * 10000 DIV n_lsh END"
+                    " AS BIGINT)"
+                ).alias("lsh_extra_bp"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@query(
+    "dedup_recall_minhash_hashes",
+    oracle=_recall_grid_oracle(
+        [(16, 4), (32, 4)], 32, "prmh", "num_hashes"
+    ),
+    doc=(
+        "MinHash recall-vs-num_hashes curve - the OTHER signature "
+        "knob, priced the same way as the bands curve (round-12 "
+        "verdict #5 names this the collision-control response: at a "
+        "fixed band count, doubling hashes doubles rows-per-band, so "
+        "random in-bucket collisions fall ~quadratically in bucket "
+        "occupancy while true near-dups above the threshold mostly "
+        "survive): recall@(Jaccard>=0.3) + lsh_extra_bp of the "
+        "banded-LSH verified pairs vs the exact capped-Jaccard tier "
+        "for 16 vs 32 hashes at bands=4 (rows-per-band 4 vs 8). The "
+        "affine MinHash family is a PREFIX family (MINHASH_COEF[:16] "
+        "is a prefix of [:32]), so the engine computes ONE 32-hash "
+        "signature table and each setting folds its prefix - exactly "
+        "what a production tuner does when deciding whether the "
+        "bigger signature pays for itself. lsh_extra_bp falling from "
+        "16 to 32 hashes is the measured collision-term controllab"
+        "ility the sf10 streaming-minhash adjudication cites."
+    ),
+)
+def dedup_recall_minhash_hashes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = text.fan_out(load_table(spark, sf_dir, "documents"))
+    exact = (
+        dedup.jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.3, max_posting_frac=0.01
+        )
+        .select("doc1", "doc2")
+        .persist()
+    )
+    je = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    # ONE 32-hash signature pass; the 16-hash setting folds h0..h15
+    sigs = dedup.minhash_table(docs, "text", "doc_id", 32, 3).persist()
+    sets_ = docs.select("doc_id", text.shingles("text", 3).alias("sh"))
+    s1 = sets_.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = sets_.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    jac = inter / union
+    out = None
+    for h in (16, 32):
+        banded = dedup.lsh_band_table(sigs, h, 4)
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+            )
+            .distinct()
+        )
+        vb = (
+            cand.join(s1, "doc1")
+            .join(s2, "doc2")
+            .where(jac >= 0.3)
+            .select("doc1", "doc2")
+            .persist()
+        )
+        jl = vb.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+        jc = exact.join(vb, ["doc1", "doc2"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_common")
+        )
+        row = (
+            je.crossJoin(F.broadcast(jl))
+            .crossJoin(F.broadcast(jc))
+            .select(
+                F.lit(h).cast("int").alias("num_hashes"),
+                F.lit(4).cast("int").alias("bands"),
+                F.lit(h // 4).cast("int").alias("rows_per_band"),
                 "n_exact",
                 "n_lsh",
                 "n_common",

@@ -3582,6 +3582,60 @@ def streaming_session_duration_v2(
 
 
 @query(
+    "streaming_session_duration_v2_multi",
+    oracle=_session_dur_oracle_ref(),
+    doc=(
+        "streaming_session_duration_v2 replayed across MULTIPLE "
+        "micro-batches (3 time-ordered chunks at maxFilesPerTrigger=1 "
+        "+ the EOF sentinel batch + the final timeout batch) instead "
+        "of the single-batch availableNow contract - the deployment "
+        "reality where a user's session spans triggers and the "
+        "watermark advances while a key is silent. The evicting "
+        "operator must carry open (start_ms, last_ms) state over "
+        "trigger boundaries and its event-time timeout must fire at "
+        "the REAL gap horizon, never early (the round-12 fix: arm at "
+        "last_ms + gap, re-check in the timed-out branch) - before "
+        "that fix this exact replay split sessions at every batch "
+        "boundary. Shares the batch oracle bit-for-bit with the "
+        "single-batch twin, so the driver verifies trigger-boundary "
+        "state carry-over on every run."
+    ),
+)
+def streaming_session_duration_v2_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.streams import events_stream_with_eof_split
+    from ..streaming.stateful import session_durations_evicting
+
+    ev = events_stream_with_eof_split(spark, sf_dir, n_chunks=3)
+    per_session = run_available_now(
+        session_durations_evicting(ev), output_mode="append"
+    )
+    d = per_session.where(F.col("user_id") >= 0)  # drop the sentinel
+    c = d.groupBy("dur_s").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r = c.select(
+        "dur_s",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("dur_s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    qcol = lambda q, nm: F.min(  # noqa: E731
+        F.when(F.expr(f"cum >= ({q} * n + 99) DIV 100"), F.col("dur_s"))
+    ).cast("long").alias(nm)
+    return r.agg(
+        F.max("n").cast("long").alias("n_sessions"),
+        qcol(50, "p50_s"),
+        qcol(90, "p90_s"),
+        qcol(99, "p99_s"),
+    )
+
+
+@query(
     "streaming_attribution_v2",
     oracle=_attribution_oracle_ref(),
     doc=(

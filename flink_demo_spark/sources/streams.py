@@ -185,6 +185,99 @@ def events_stream_with_eof(
     return df
 
 
+def events_stream_with_eof_split(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    watermark: str | None = "10 minutes",
+    pad_hours: int = 3,
+) -> DataFrame:
+    """``events_stream_with_eof`` replayed as ``n_chunks`` TIME-ORDERED
+    files with ``maxFilesPerTrigger=1`` — a genuinely multi-micro-batch
+    replay (n_chunks data batches + the sentinel batch + the final
+    timeout batch) instead of the single-batch contract. Because the
+    chunks are globally (ts, event_id)-sorted, every key's history
+    arrives in event-time order ACROSS batches and no event is ever
+    late (each chunk's min ts exceeds the previous chunk's
+    watermark), so evicting stateful operators must carry open state
+    over trigger boundaries — the exact path the round-12 real-horizon
+    timeout fix guards, now exercised by a registered query on every
+    driver run rather than only by a golden test.
+
+    Chunks are staged once per (sf_dir, n_chunks) under /tmp and
+    rebuilt when the source file is regenerated (same staleness rule
+    as the EOF sentinel); a ``_done`` marker written last makes the
+    staging crash-safe."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..catalog import normalize_events_ts
+
+    apply_runtime_confs(spark)
+    src = _stage_stream_dir(sf_dir, "events")
+    d = src.rstrip("/") + f"_eof_split{n_chunks}"
+    os.makedirs(d, exist_ok=True)
+    real = os.path.join(sf_dir, "events.parquet")
+    done = os.path.join(d, "_done")
+    if os.path.exists(done) and (
+        os.stat(real).st_mtime_ns >= os.stat(done).st_mtime_ns
+    ):
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+    if not os.path.exists(done):
+        t = pq.read_table(real)
+        order = pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        n = t.num_rows
+        now = __import__("time").time()
+        cuts = [n * i // n_chunks for i in range(n_chunks + 1)]
+        for i in range(n_chunks):
+            p = os.path.join(d, f"chunk{i:02d}.parquet")
+            pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), p + ".tmp")
+            os.replace(p + ".tmp", p)
+            # mtime ordering = replay order for the file stream source
+            mt = now - 10 * (n_chunks + 1 - i)
+            os.utime(p, (mt, mt))
+        # sentinel last (newest mtime): drags the final watermark past
+        # every gap horizon, same construction as events_stream_with_eof
+        max_ts = pc.max(t.column("ts")).as_py()
+        import datetime
+
+        import pyarrow as pa
+
+        schema = t.schema
+        eof_ts = max_ts + datetime.timedelta(hours=pad_hours)
+        cols = {
+            "event_id": [-1],
+            "ts": [eof_ts],
+            "user_id": [-1],
+            "event_type": ["eof"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+        sentinel = os.path.join(d, "zz_eof.parquet")
+        pq.write_table(
+            pa.table(
+                {f.name: pa.array(cols[f.name], type=f.type) for f in schema},
+                schema=schema,
+            ),
+            sentinel + ".tmp",
+        )
+        os.replace(sentinel + ".tmp", sentinel)
+        os.utime(sentinel, (now, now))
+        with open(done, "w") as f:
+            f.write("ok\n")
+    reader = spark.readStream.schema(_events_raw_schema(d)).option(
+        "maxFilesPerTrigger", 1
+    )
+    df = normalize_events_ts(reader.parquet(d))
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return df
+
+
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the documents table as a stream (no event-time column —
     corpus pipelines consume document feeds in arrival order)."""

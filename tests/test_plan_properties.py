@@ -828,6 +828,14 @@ EXPECT = {
         absent=["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
         partial_agg=True,
     ),
+    # round-12: recall-vs-hashes curve. Same contract as the bands
+    # curve - ONE persisted (32-hash) signature table feeds both
+    # settings, candidates only form inside (band, bucket) groups
+    "dedup_recall_minhash_hashes": dict(
+        contains=["InMemoryRelation"],
+        absent=["CartesianProduct"],
+        partial_agg=True,
+    ),
 }
 
 

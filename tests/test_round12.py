@@ -336,3 +336,49 @@ def test_prequential_packed_scan_equals_sequential_walk():
             if b is None or packed > b:
                 best[src] = packed
         assert got == want, f"trial {trial}"
+
+
+def test_session_v2_multi_trigger_query_matches_single_batch(spark, sf_dir):
+    """The registered multi-trigger replay (3 chunks + sentinel at
+    maxFilesPerTrigger=1) must produce the exact quantile row of the
+    single-batch twin - trigger-boundary state carry-over changes
+    nothing about the sessions."""
+    from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    one = sorted(
+        map(tuple, REGISTRY["streaming_session_duration_v2"]
+            .fn(spark, sf_dir).collect())
+    )
+    multi = sorted(
+        map(tuple, REGISTRY["streaming_session_duration_v2_multi"]
+            .fn(spark, sf_dir).collect())
+    )
+    assert multi == one
+
+
+def test_recall_hashes_curve_consistent(spark, sf_dir):
+    """The hashes-curve's 16-hash row must equal the standalone
+    16x4 harness (same signatures, same banding, same exact tier),
+    and raising hashes at fixed bands must not RAISE the false-pair
+    rate (rows-per-band doubles -> random collisions fall)."""
+    from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    curve = {
+        r["num_hashes"]: r
+        for r in REGISTRY["dedup_recall_minhash_hashes"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    standalone = REGISTRY["dedup_recall_minhash"].fn(spark, sf_dir).collect()[0]
+    r16 = curve[16]
+    assert (
+        r16["n_exact"], r16["n_lsh"], r16["n_common"],
+        r16["recall_bp"], r16["lsh_extra_bp"],
+    ) == (
+        standalone["n_exact"], standalone["n_lsh"],
+        standalone["n_common"], standalone["recall_bp"],
+        standalone["lsh_extra_bp"],
+    )
+    assert curve[32]["lsh_extra_bp"] <= curve[16]["lsh_extra_bp"]

@@ -2815,6 +2815,86 @@ def browse_prequential_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prequential_summary(clean)
 
 
+@query(
+    "browse_prequential_accuracy_scan",
+    oracle=_PREQUENTIAL_ORACLE,
+    doc=(
+        "the prequential accuracy computed WITHOUT the sequential "
+        "walk - a pure JVM window-scan twin of "
+        "browse_prequential_accuracy (round 12): the walk's running "
+        "dst-count argmax (tie to smaller dst) at each test point "
+        "equals the strictly-prior transition maximizing "
+        "(within-(src,dst) row_number, then smaller dst), so TWO "
+        "window passes - row_number over (src,dst), running max of "
+        "the packed key rn*2^20+(2^20-1-dst) over src - replace the "
+        "applyInPandas stage entirely. Whole plan is whole-stage-"
+        "codegen JVM expressions: at 100 TB this is the form to "
+        "deploy (no Python workers, no Arrow transfer, two sort-"
+        "shuffles that AQE sizes), while the walk twin remains the "
+        "template for models whose update step has no closed scan "
+        "form. Three independent formulations now agree: the pandas "
+        "walk, this packed scan, and the DuckDB oracle (plus the "
+        "pure-Python model test and the streaming extractor)."
+    ),
+)
+def browse_prequential_accuracy_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    page = F.get_json_object("props", "$.k").cast("int")
+    pages = ev.select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.unix_millis("ts").alias("ts_ms"),
+        page.alias("page"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "eid")
+    hops = pages.select(
+        F.lag("page").over(w).alias("src"),
+        F.col("page").alias("dst"),
+        "ts_ms",
+        "eid",
+    )
+    clean = hops.where(
+        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
+    )
+    R = 1 << 20  # pages are catalog-bounded ints in [0, 2^20)
+    rn = F.row_number().over(
+        Window.partitionBy("src", "dst").orderBy("ts_ms", "eid")
+    )
+    packed = rn.cast("long") * F.lit(R) + (F.lit(R - 1) - F.col("dst"))
+    scan = clean.withColumn("packed", packed).select(
+        "dst",
+        F.max("packed")
+        .over(
+            Window.partitionBy("src")
+            .orderBy("ts_ms", "eid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("best"),
+    )
+    pred = F.lit(R - 1) - (F.col("best") % F.lit(R))
+    return scan.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.count("best").cast("long").alias("n_covered"),
+        F.count(F.when(pred == F.col("dst"), 1)).cast("long").alias(
+            "n_correct"
+        ),
+    ).select(
+        "n_test",
+        "n_covered",
+        "n_correct",
+        F.expr(
+            "CAST(CASE WHEN n_covered = 0 THEN 0"
+            " ELSE n_correct * 10000 DIV n_covered END AS BIGINT)"
+        ).alias("accuracy_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_test = 0 THEN 0"
+            " ELSE n_covered * 10000 DIV n_test END AS BIGINT)"
+        ).alias("coverage_bp"),
+    )
+
+
 def prequential_by_day(clean: DataFrame) -> DataFrame:
     """Per-DAY prequential accuracy over a clean transition frame —
     the drift-monitoring readout (a falling curve = the browse graph

@@ -836,6 +836,15 @@ EXPECT = {
         absent=["CartesianProduct"],
         partial_agg=True,
     ),
+    # round-12: the JVM-only packed-scan prequential twin - NO pandas
+    # stage, no join anywhere; two window sorts inside codegen
+    "browse_prequential_accuracy_scan": dict(
+        contains=["Window"],
+        absent=[
+            "FlatMapGroupsInPandas", "CartesianProduct",
+            "SortMergeJoin", "BroadcastHashJoin",
+        ],
+    ),
 }
 
 

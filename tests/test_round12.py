@@ -382,3 +382,20 @@ def test_recall_hashes_curve_consistent(spark, sf_dir):
         standalone["lsh_extra_bp"],
     )
     assert curve[32]["lsh_extra_bp"] <= curve[16]["lsh_extra_bp"]
+
+
+def test_prequential_scan_twin_equals_walk(spark, sf_dir):
+    """Three formulations, one number: the JVM packed-scan twin must
+    reproduce the pandas walk's summary row exactly."""
+    from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    walk = sorted(
+        map(tuple, REGISTRY["browse_prequential_accuracy"]
+            .fn(spark, sf_dir).collect())
+    )
+    scan = sorted(
+        map(tuple, REGISTRY["browse_prequential_accuracy_scan"]
+            .fn(spark, sf_dir).collect())
+    )
+    assert scan == walk

@@ -1560,7 +1560,18 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_idx"), shingles("text", 3).alias("sh_idx")
     ).persist()
 
-    feed = documents_stream(spark, sf_dir)
+    # the staged replay is ONE parquet row group, and Spark cannot
+    # split a scan below a row group — without an explicit exchange
+    # the per-row signature computation (the expensive stage: one md5
+    # per shingle x 16 running minima) runs on a single core no matter
+    # the cluster size. Repartition the raw feed BEFORE the signature
+    # expr so the CPU-heavy map work spreads across the executors; the
+    # shuffle moves only (doc_id, text)-projected rows once. At 100 TB
+    # the same guard covers the few-huge-files layout a crawl dump
+    # actually arrives in (round 12; measured 323 s -> see SCALING.md
+    # at the sf10 constant-density corpus).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    feed = documents_stream(spark, sf_dir).repartition(n_parts)
     rows = feed.select(
         F.col("doc_id").alias("doc_new"), shingles("text", 3).alias("sh")
     ).where(F.size("sh") > 0)
@@ -3147,7 +3158,11 @@ def streaming_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.streams import documents_stream
     from .corpus import cdc_chunk_frame
 
-    feed = documents_stream(spark, sf_dir)
+    # single-row-group scan guard (round 12, same as
+    # streaming_dedup_minhash): the per-row CDC rolling hash is the
+    # expensive stage - spread it before computing
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    feed = documents_stream(spark, sf_dir).repartition(n_parts)
     per_chunk = run_available_now(
         cdc_chunk_frame(feed), output_mode="append"
     ).persist()
@@ -3327,7 +3342,9 @@ def streaming_chunk_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.streams import documents_stream
     from .corpus import cdc_chunk_frame
 
-    feed = documents_stream(spark, sf_dir)
+    # single-row-group scan guard (round 12): see streaming_chunk_cdc
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    feed = documents_stream(spark, sf_dir).repartition(n_parts)
     census = run_available_now(
         cdc_chunk_frame(feed)
         .groupBy("chunk_hash")

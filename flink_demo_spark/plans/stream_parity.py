@@ -1560,18 +1560,12 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_idx"), shingles("text", 3).alias("sh_idx")
     ).persist()
 
-    # the staged replay is ONE parquet row group, and Spark cannot
-    # split a scan below a row group — without an explicit exchange
-    # the per-row signature computation (the expensive stage: one md5
-    # per shingle x 16 running minima) runs on a single core no matter
-    # the cluster size. Repartition the raw feed BEFORE the signature
-    # expr so the CPU-heavy map work spreads across the executors; the
-    # shuffle moves only (doc_id, text)-projected rows once. At 100 TB
-    # the same guard covers the few-huge-files layout a crawl dump
-    # actually arrives in (round 12; measured 323 s -> see SCALING.md
-    # at the sf10 constant-density corpus).
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    feed = documents_stream(spark, sf_dir).repartition(n_parts)
+    # scan_guard: the per-row signature computation (one md5 per
+    # shingle x 16 running minima) is the expensive stage — the
+    # size-conditional exchange in sources/streams.py spreads it when
+    # the staged file is big enough to matter (323 s -> 46 s at the
+    # sf10 corpus; see SCALING.md round 12)
+    feed = documents_stream(spark, sf_dir, scan_guard=True)
     rows = feed.select(
         F.col("doc_id").alias("doc_new"), shingles("text", 3).alias("sh")
     ).where(F.size("sh") > 0)
@@ -3158,11 +3152,9 @@ def streaming_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.streams import documents_stream
     from .corpus import cdc_chunk_frame
 
-    # single-row-group scan guard (round 12, same as
-    # streaming_dedup_minhash): the per-row CDC rolling hash is the
-    # expensive stage - spread it before computing
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    feed = documents_stream(spark, sf_dir).repartition(n_parts)
+    # scan_guard: the per-row CDC rolling hash is the expensive stage
+    # (round 12, same rationale as streaming_dedup_minhash)
+    feed = documents_stream(spark, sf_dir, scan_guard=True)
     per_chunk = run_available_now(
         cdc_chunk_frame(feed), output_mode="append"
     ).persist()
@@ -3342,9 +3334,8 @@ def streaming_chunk_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.streams import documents_stream
     from .corpus import cdc_chunk_frame
 
-    # single-row-group scan guard (round 12): see streaming_chunk_cdc
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    feed = documents_stream(spark, sf_dir).repartition(n_parts)
+    # scan_guard (round 12): see streaming_chunk_cdc
+    feed = documents_stream(spark, sf_dir, scan_guard=True)
     census = run_available_now(
         cdc_chunk_frame(feed)
         .groupBy("chunk_hash")

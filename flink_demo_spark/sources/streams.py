@@ -92,13 +92,49 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
     return d
 
 
+SCAN_GUARD_THRESHOLD_BYTES = 8 << 20  # 8 MiB, see _scan_guard
+
+
+def _scan_guard(
+    df: DataFrame,
+    staged_dir: str,
+    spark: SparkSession,
+    threshold_bytes: int = SCAN_GUARD_THRESHOLD_BYTES,
+) -> DataFrame:
+    """Single-row-group scan guard (round 12): the staged replay is
+    ONE parquet file written as ONE row group, and Spark cannot split
+    a scan below a row group — so every per-row stage before the first
+    shuffle runs on a single core no matter the cluster size. When the
+    staged bytes exceed the threshold, repartition the raw feed to the
+    shuffle partition count (one projected-row exchange buys full-width
+    execution of the per-row compute). Below it the exchange's fixed
+    cost exceeds the win — measured crossover: −18% at a 2.6 MB events
+    file, +115% at 16.4 MB, +610% on a 158 MB sf10 document corpus
+    (SCALING.md round 12). Gate-scale files (sf0.01) stay under the
+    threshold, so oracle plans there are unchanged; both sides of a
+    scale decade sit above it, so exponent methodology stays uniform."""
+    total = sum(
+        os.path.getsize(os.path.join(staged_dir, f))
+        for f in os.listdir(staged_dir)
+        if f.endswith(".parquet")
+    )
+    if total <= threshold_bytes:
+        return df
+    return df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+
+
 def events_stream(
     spark: SparkSession,
     sf_dir: str,
     watermark: str | None = "10 minutes",
     max_files_per_trigger: int | None = None,
+    scan_guard: bool = False,
 ) -> DataFrame:
-    """Replay the events table as a stream with its event-time column."""
+    """Replay the events table as a stream with its event-time column.
+    ``scan_guard=True`` applies :func:`_scan_guard` for consumers whose
+    pre-shuffle per-row work is the expensive stage."""
     from ..catalog import normalize_events_ts
 
     apply_runtime_confs(spark)
@@ -109,6 +145,8 @@ def events_stream(
     df = normalize_events_ts(reader.parquet(staged))
     if watermark:
         df = df.withWatermark("ts", watermark)
+    if scan_guard:
+        df = _scan_guard(df, staged, spark)
     return df
 
 
@@ -278,9 +316,13 @@ def events_stream_with_eof_split(
     return df
 
 
-def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def documents_stream(
+    spark: SparkSession, sf_dir: str, scan_guard: bool = False
+) -> DataFrame:
     """Replay the documents table as a stream (no event-time column —
-    corpus pipelines consume document feeds in arrival order)."""
+    corpus pipelines consume document feeds in arrival order).
+    ``scan_guard=True`` applies :func:`_scan_guard` for consumers whose
+    pre-shuffle per-row work (signatures, chunking) dominates."""
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType(
@@ -293,9 +335,16 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     apply_runtime_confs(spark)
-    return spark.readStream.schema(schema).parquet(
-        _stage_stream_dir(sf_dir, "documents")
-    )
+    staged = _stage_stream_dir(sf_dir, "documents")
+    df = spark.readStream.schema(schema).parquet(staged)
+    if scan_guard:
+        # documents carry HEAVY per-row work (shingling, hashing,
+        # chunking) — the exchange pays at every measured size
+        # (6.6 -> 3.3 s even on the 1.6 MB sf0.1 file), so the guard
+        # is unconditional here; cheap-row sources (events) keep the
+        # byte threshold
+        df = _scan_guard(df, staged, spark, threshold_bytes=0)
+    return df
 
 
 def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

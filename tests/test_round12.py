@@ -399,3 +399,27 @@ def test_prequential_scan_twin_equals_walk(spark, sf_dir):
             .fn(spark, sf_dir).collect())
     )
     assert scan == walk
+
+
+def test_scan_guard_conditional(spark, sf_dir):
+    """The single-row-group scan guard: documents (heavy per-row work)
+    always get the exchange; events below the byte threshold don't
+    (the exchange costs more than it buys on cheap rows)."""
+    from flink_demo_spark.sources.streams import (
+        documents_stream,
+        events_stream,
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    assert "Repartition" in plan(
+        documents_stream(spark, sf_dir, scan_guard=True)
+    )
+    assert "Repartition" not in plan(
+        documents_stream(spark, sf_dir)
+    )
+    # sf0.001 events are far below the 8 MiB threshold
+    assert "Repartition" not in plan(
+        events_stream(spark, sf_dir, scan_guard=True)
+    )

@@ -1418,7 +1418,9 @@ def streaming_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.where(F.col("vec_id") < 8).collect()
     )
-    feed = embeddings_stream(spark, sf_dir)
+    # scan_guard: per-row centroid dot products are the whole query
+    # (round 12; 1.94 -> 0.9 s at sf1)
+    feed = embeddings_stream(spark, sf_dir, scan_guard=True)
     assigned = similarity.ivf_assign(feed, cents, sim_col="__sim")
     out = assigned.select(
         "vec_id",
@@ -2677,7 +2679,9 @@ def _label_drift_oracle_ref():
 def streaming_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.streams import embeddings_stream
 
-    feed = embeddings_stream(spark, sf_dir)
+    # scan_guard: the 64-way posexplode + decimal cast runs map-side
+    # BEFORE the partial agg - spread it (round 12)
+    feed = embeddings_stream(spark, sf_dir, scan_guard=True)
     x = feed.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),

@@ -607,8 +607,12 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+        .crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        )
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+        )
     )
 
 
@@ -2736,8 +2740,15 @@ _PREQUENTIAL_ORACLE = """
              page AS dst, ts_ms, event_id AS eid
       FROM pages
     ), clean AS (
+      -- loud domain guard (round-12 ADVICE): the packed key below is
+      -- only injective for pages in [0, 2^20); a datagen change past
+      -- that bound must ERROR, not yield plausible-but-wrong accuracy
       SELECT src, dst, ts_ms, eid FROM hops
       WHERE src IS NOT NULL AND src <> dst
+        AND CASE WHEN dst BETWEEN 0 AND 1048575 THEN TRUE
+             ELSE CAST(error('prequential page outside [0, 2^20) '
+                             'corrupts the packed scan key') AS BOOLEAN)
+            END
     ), rn AS (
       SELECT src, dst, ts_ms, eid,
              CAST(row_number() OVER (PARTITION BY src, dst
@@ -2855,10 +2866,23 @@ def browse_prequential_accuracy_scan(
         "ts_ms",
         "eid",
     )
-    clean = hops.where(
-        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
-    )
     R = 1 << 20  # pages are catalog-bounded ints in [0, 2^20)
+    # loud domain guard (round-12 ADVICE): the packed key is only
+    # injective for pages in [0, 2^20); a datagen change past that
+    # bound must FAIL the job, not yield plausible-but-wrong accuracy
+    domain_ok = F.coalesce(
+        F.assert_true(
+            (F.col("dst") >= 0) & (F.col("dst") < R),
+            "prequential page outside [0, 2^20) corrupts the packed "
+            "scan key",
+        ).cast("boolean"),
+        F.lit(True),
+    )
+    clean = hops.where(
+        F.col("src").isNotNull()
+        & (F.col("src") != F.col("dst"))
+        & domain_ok
+    )
     rn = F.row_number().over(
         Window.partitionBy("src", "dst").orderBy("ts_ms", "eid")
     )
@@ -2967,8 +2991,13 @@ def prequential_by_day(clean: DataFrame) -> DataFrame:
              page AS dst, ts_ms, event_id AS eid
       FROM pages
     ), clean AS (
+      -- same loud page-domain guard as _PREQUENTIAL_ORACLE (r12 ADVICE)
       SELECT src, dst, ts_ms, eid, ts_ms // 86400000 AS epoch_day
       FROM hops WHERE src IS NOT NULL AND src <> dst
+        AND CASE WHEN dst BETWEEN 0 AND 1048575 THEN TRUE
+             ELSE CAST(error('prequential page outside [0, 2^20) '
+                             'corrupts the packed scan key') AS BOOLEAN)
+            END
     ), rn AS (
       -- linear packed-scan form (round-12 verdict #3): see the
       -- _PREQUENTIAL_ORACLE comment for the equivalence argument

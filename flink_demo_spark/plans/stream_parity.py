@@ -3562,12 +3562,15 @@ def streaming_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_duration_v2(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..sources.streams import events_stream_with_eof
+    from ..sources.streams import eof_pad_hours, events_stream_with_eof
     from ..streaming.stateful import session_durations_evicting
 
-    ev = events_stream_with_eof(spark, sf_dir, watermark="10 minutes")
+    gap_ms = 3_600_000  # pad derived from the SAME constant (r12 ADVICE)
+    ev = events_stream_with_eof(
+        spark, sf_dir, watermark="10 minutes", pad_hours=eof_pad_hours(gap_ms)
+    )
     per_session = run_available_now(
-        session_durations_evicting(ev), output_mode="append"
+        session_durations_evicting(ev, gap_ms=gap_ms), output_mode="append"
     )
     d = per_session.where(F.col("user_id") >= 0)  # drop the sentinel
     c = d.groupBy("dur_s").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -3616,12 +3619,15 @@ def streaming_session_duration_v2(
 def streaming_session_duration_v2_multi(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..sources.streams import events_stream_with_eof_split
+    from ..sources.streams import eof_pad_hours, events_stream_with_eof_split
     from ..streaming.stateful import session_durations_evicting
 
-    ev = events_stream_with_eof_split(spark, sf_dir, n_chunks=3)
+    gap_ms = 3_600_000  # pad derived from the SAME constant (r12 ADVICE)
+    ev = events_stream_with_eof_split(
+        spark, sf_dir, n_chunks=3, pad_hours=eof_pad_hours(gap_ms)
+    )
     per_session = run_available_now(
-        session_durations_evicting(ev), output_mode="append"
+        session_durations_evicting(ev, gap_ms=gap_ms), output_mode="append"
     )
     d = per_session.where(F.col("user_id") >= 0)  # drop the sentinel
     c = d.groupBy("dur_s").agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -77,19 +77,56 @@ def _events_raw_schema(staged_dir: str) -> StructType:
     )
 
 
+def _ensure_symlink(target: str, link: str) -> None:
+    """Create/refresh ``link -> target``. ``os.path.exists`` FOLLOWS
+    links, so a dangling link (source deleted/regenerated) reads as
+    missing while ``os.symlink`` still raises FileExistsError — the
+    round-12 ADVICE failure mode where a stale link survived silently.
+    Check ``lexists`` first and replace a link that no longer resolves
+    (or points elsewhere); on a creation race, verify the winner
+    resolves instead of swallowing unconditionally."""
+    if os.path.lexists(link):
+        if os.path.exists(link) and os.path.realpath(link) == os.path.realpath(
+            target
+        ):
+            return
+        os.remove(link)  # dangling or retargeted — rebuild
+    try:
+        os.symlink(target, link)
+    except FileExistsError:
+        if not os.path.exists(link):  # racing winner left a broken link
+            raise RuntimeError(
+                f"staged stream symlink {link!r} does not resolve; "
+                f"expected it to point at {target!r}"
+            ) from None
+
+
 def _stage_stream_dir(sf_dir: str, table: str) -> str:
     """Spark's file stream source requires a directory; stage a /tmp
     dir holding a symlink to the single parquet file."""
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), "flink_demo_spark_stream", key, table)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
-        except FileExistsError:
-            pass  # concurrent stager won the race (round-11 ADVICE)
+    _ensure_symlink(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        os.path.join(d, f"{table}.parquet"),
+    )
     return d
+
+
+def eof_pad_hours(gap_ms: int, watermark_ms: int = 600_000) -> int:
+    """Sentinel pad (hours) guaranteed to clear an evicting operator's
+    flush horizon. The EOF row only flushes open state if it drags the
+    final watermark past ``last_event + gap``, which needs
+    ``pad > gap + watermark delay`` — with a fixed pad the relation is
+    implicit, and raising the gap past ``pad - watermark`` would
+    silently drop every key's final session instead of failing
+    (round-12 ADVICE). Callers composing an EOF source with an
+    evicting operator should derive the pad from the SAME gap constant
+    they pass the operator."""
+    import math
+
+    return int(math.ceil((gap_ms + watermark_ms) / 3_600_000.0)) + 1
 
 
 SCAN_GUARD_THRESHOLD_BYTES = 8 << 20  # 8 MiB, see _scan_guard
@@ -112,7 +149,15 @@ def _scan_guard(
     file, +115% at 16.4 MB, +610% on a 158 MB sf10 document corpus
     (SCALING.md round 12). Gate-scale files (sf0.01) stay under the
     threshold, so oracle plans there are unchanged; both sides of a
-    scale decade sit above it, so exponent methodology stays uniform."""
+    scale decade sit above it, so exponent methodology stays uniform.
+
+    REPLAY-ONLY assumption (round-12 ADVICE): the exchange is a
+    round-robin ``repartition(n)``, which is NOT deterministic across
+    task retries — fine for the bounded availableNow replays these
+    sources feed (any retry reruns the whole batch), but a generic
+    always-on pipeline writing through a transactional/2PC sink should
+    repartition by a stable key column instead to keep exactly-once
+    under partial retry."""
     total = sum(
         os.path.getsize(os.path.join(staged_dir, f))
         for f in os.listdir(staged_dir)
@@ -179,11 +224,7 @@ def events_stream_with_eof(
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     real = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(real, link)
-        except FileExistsError:
-            pass  # concurrent stager won the race (round-11 ADVICE)
+    _ensure_symlink(real, link)
     sentinel = os.path.join(d, "zz_eof.parquet")
     # the /tmp cache outlives the source file: if events.parquet was
     # regenerated (later max ts) a stale sentinel would no longer drag
@@ -242,10 +283,16 @@ def events_stream_with_eof_split(
     timeout fix guards, now exercised by a registered query on every
     driver run rather than only by a golden test.
 
-    Chunks are staged once per (sf_dir, n_chunks) under /tmp and
-    rebuilt when the source file is regenerated (same staleness rule
-    as the EOF sentinel); a ``_done`` marker written last makes the
-    staging crash-safe."""
+    Chunks are staged once per (sf_dir, n_chunks, source-mtime) under
+    /tmp: the source mtime is part of the DIRECTORY name, so a
+    regenerated source builds into a FRESH dir instead of deleting
+    files a concurrent session may be mid-replay on (round-12 ADVICE —
+    the old delete-then-rewrite path could expose a half-built dir).
+    Racing builders of the same version write byte-identical files
+    with deterministic mtimes via pid-suffixed tmp + atomic
+    ``os.replace``; a ``_done`` marker written last makes the staging
+    crash-safe. Stale version dirs linger in /tmp (cheap, bounded by
+    datagen runs)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -253,15 +300,11 @@ def events_stream_with_eof_split(
 
     apply_runtime_confs(spark)
     src = _stage_stream_dir(sf_dir, "events")
-    d = src.rstrip("/") + f"_eof_split{n_chunks}"
-    os.makedirs(d, exist_ok=True)
     real = os.path.join(sf_dir, "events.parquet")
+    src_mtime = os.stat(real).st_mtime_ns
+    d = src.rstrip("/") + f"_eof_split{n_chunks}_v{src_mtime}"
+    os.makedirs(d, exist_ok=True)
     done = os.path.join(d, "_done")
-    if os.path.exists(done) and (
-        os.stat(real).st_mtime_ns >= os.stat(done).st_mtime_ns
-    ):
-        for f in os.listdir(d):
-            os.remove(os.path.join(d, f))
     if not os.path.exists(done):
         t = pq.read_table(real)
         order = pc.sort_indices(
@@ -269,15 +312,18 @@ def events_stream_with_eof_split(
         )
         t = t.take(order)
         n = t.num_rows
-        now = __import__("time").time()
+        # deterministic mtimes (replay order for the file stream
+        # source): derived from the source mtime, not wall clock, so
+        # concurrent builders of the same version agree exactly
+        base = src_mtime / 1e9
+        tmp_sfx = f".tmp{os.getpid()}"
         cuts = [n * i // n_chunks for i in range(n_chunks + 1)]
         for i in range(n_chunks):
             p = os.path.join(d, f"chunk{i:02d}.parquet")
-            pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), p + ".tmp")
-            os.replace(p + ".tmp", p)
-            # mtime ordering = replay order for the file stream source
-            mt = now - 10 * (n_chunks + 1 - i)
-            os.utime(p, (mt, mt))
+            pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), p + tmp_sfx)
+            mt = base + 10 * (i + 1)
+            os.utime(p + tmp_sfx, (mt, mt))
+            os.replace(p + tmp_sfx, p)
         # sentinel last (newest mtime): drags the final watermark past
         # every gap horizon, same construction as events_stream_with_eof
         max_ts = pc.max(t.column("ts")).as_py()
@@ -301,10 +347,11 @@ def events_stream_with_eof_split(
                 {f.name: pa.array(cols[f.name], type=f.type) for f in schema},
                 schema=schema,
             ),
-            sentinel + ".tmp",
+            sentinel + tmp_sfx,
         )
-        os.replace(sentinel + ".tmp", sentinel)
-        os.utime(sentinel, (now, now))
+        mt = base + 10 * (n_chunks + 2)
+        os.utime(sentinel + tmp_sfx, (mt, mt))
+        os.replace(sentinel + tmp_sfx, sentinel)
         with open(done, "w") as f:
             f.write("ok\n")
     reader = spark.readStream.schema(_events_raw_schema(d)).option(

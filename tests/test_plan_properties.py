@@ -412,6 +412,13 @@ EXPECT = {
         absent=["Join", "CartesianProduct", "MapInPandas"],
         max_exchanges=2,
     ),
+    # funnel_stages census: the two 1-row stage-count joins enter as
+    # EXPLICIT broadcasts (round-12 verdict nit) — a broadcast
+    # nested-loop, never a shuffled cartesian
+    "funnel_stages": dict(
+        contains=["BroadcastNestedLoopJoin"],
+        absent=["CartesianProduct", "MapInPandas"],
+    ),
     # perceptron serve pass: the hashed-features projection must come
     # from the persisted frame (training already paid for it), the
     # 256-long model enters as an array literal (no join of any kind),

@@ -1002,6 +1002,75 @@ def streaming_cep_order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_timeout_alert",
+    oracle="""
+    SELECT user_id AS key,
+           -- ms truncation mirrors the operator's int64-ms state fold
+           min(CASE WHEN event_type = 'signup'
+               THEN date_trunc('millisecond', CAST(ts AS TIMESTAMP)) END)
+             AS start_ts,
+           'no_paid_conversion' AS alert
+    FROM events
+    WHERE user_id >= 0
+      AND (event_type = 'signup'
+           OR (event_type = 'purchase' AND value >= 90))
+    GROUP BY user_id
+    HAVING count(*) FILTER (WHERE event_type = 'signup') > 0
+       AND count(*) FILTER (WHERE event_type = 'purchase') = 0
+    """,
+    doc=(
+        "KeyedProcessFunction timeout alert - DRIVER evidence for the "
+        "timeout_detector operator itself (reference OrderPay.scala:"
+        "31-53 'created but never paid', LongRidesSolution.scala:"
+        "97-131), which until round 13 only had golden tests: per "
+        "user, a signup ('start') with no QUALIFYING purchase "
+        "(value >= 90, the paid-conversion event; 'end') raises a "
+        "timeout alert carrying the earliest signup time. The "
+        "stateful core is the group-state event-time timeout armed "
+        "at start+horizon; the EOF sentinel pad is DERIVED from the "
+        "horizon via eof_pad_hours (this round's composition rule) "
+        "so every unmatched start's timer provably fires before the "
+        "bounded replay ends. State is ONE (start_ms, has_end) row "
+        "per in-flight key - open intervals, not traffic - and rows "
+        "fold vectorized per Arrow batch. In the single-data-batch "
+        "availableNow replay the alert set is exactly 'signup users "
+        "with zero qualifying purchases', which the oracle states "
+        "directly."
+    ),
+)
+def streaming_timeout_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.streams import eof_pad_hours, events_stream_with_eof
+    from ..streaming.stateful import timeout_detector
+
+    horizon_ms = 2 * 3600 * 1000
+    ev = events_stream_with_eof(
+        spark,
+        sf_dir,
+        watermark="10 minutes",
+        pad_hours=eof_pad_hours(horizon_ms),
+    )
+    tagged = ev.where(
+        (F.col("user_id") >= 0)
+        & (
+            (F.col("event_type") == "signup")
+            | ((F.col("event_type") == "purchase") & (F.col("value") >= 90))
+        )
+    ).select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.when(F.col("event_type") == "signup", F.lit("start"))
+        .otherwise(F.lit("end"))
+        .alias("side"),
+    )
+    return run_available_now(
+        timeout_detector(
+            tagged, horizon_ms=horizon_ms, alert="no_paid_conversion"
+        ),
+        output_mode="append",
+    )
+
+
+@query(
     "streaming_retract_changelog",
     # the changelog CONTENT depends on micro-batch boundaries; its
     # FOLD (latest surviving row per key) is split-invariant and must

@@ -352,6 +352,46 @@ def test_timeout_detector_tws_gate_or_golden(spark):
     assert 1 in alerts and 2 not in alerts and 99 not in alerts
 
 
+def test_streaming_timeout_alert_matches_batch_model(spark, sf_dir):
+    """The registered timeout query's alert set equals the pure-pandas
+    batch model (signup users with zero qualifying purchases, earliest
+    signup ts truncated to ms) on real sf0.001 events — the oracle's
+    formulation re-derived independently of SQL."""
+    import pandas as pd
+
+    from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = sorted(
+        (r["key"], r["start_ts"], r["alert"])
+        for r in REGISTRY["streaming_timeout_alert"].fn(spark, sf_dir).collect()
+    )
+
+    pdf = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type", "value"],
+    ).to_pandas()
+    pdf = pdf[
+        (pdf["user_id"] >= 0)
+        & (
+            (pdf["event_type"] == "signup")
+            | ((pdf["event_type"] == "purchase") & (pdf["value"] >= 90))
+        )
+    ]
+    want = []
+    for uid, g in pdf.groupby("user_id"):
+        if (g["event_type"] == "purchase").any():
+            continue
+        # unit-safe ms fold (the raw column's pandas unit varies by
+        # pyarrow version: ns at testdata, us after to_pandas)
+        start_ms = int(g["ts"].astype("datetime64[ms]").astype("int64").min())
+        want.append(
+            (int(uid), pd.Timestamp(start_ms, unit="ms"), "no_paid_conversion")
+        )
+    assert got == sorted(want)
+    assert len(got) > 0, "fixture must exercise the alert path"
+
+
 def test_session_multi_pad_derived_at_composition(spark, sf_dir):
     """streaming_session_duration_v2_multi composes the split source
     with the evicting operator through eof_pad_hours(gap): the staged

@@ -79,6 +79,138 @@ def brute_force_top_k(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_candidates: int = 20,
+    k: int = 5,
+    lam_tenths: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    top-``k`` diverse results from the exact top-``n_candidates`` —
+    greedily pick argmax of ``λ·sim(q,d) − (1−λ)·max_{s∈selected}
+    sim(d,s)``, the standard redundancy-pruning step of a retrieval
+    pipeline (dedup'd RAG contexts, diverse few-shot pools).
+
+    Built for cross-engine exactness and 100 TB shape:
+
+    - candidate generation is :func:`brute_force_top_k` (swap in the
+      LSH/IVF path at scale) — the only stage that touches the corpus;
+    - the candidate×candidate similarity matrix is computed JVM-side
+      with the same sequential-fold ``cosine`` + round-``round_to``
+      contract the verified top-k family uses (bounded:
+      ``n_candidates²`` rows per query, scale-invariant);
+    - similarities are integerized to micro-units
+      (``round(sim·1e6)``), so the greedy itself is PURE INTEGER math
+      (``score_u = lam_tenths·qsim_u − (10−lam_tenths)·max_ssim_u``)
+      in one applyInPandas over per-query groups — embarrassingly
+      parallel by query, no float divergence possible, ties broken by
+      smaller neighbor id.
+
+    Output: (query_id, rk, neighbor_id, mmr_score_u).
+    """
+    import pandas as pd
+
+    cand = brute_force_top_k(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        k=n_candidates,
+        round_to=round_to,
+    ).select(
+        query_id_col,
+        "neighbor_id",
+        F.round(F.col("cosine_sim") * 1_000_000)
+        .cast("long")
+        .alias("qsim_u"),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    # candidate set is tiny (n_queries x n_candidates) vs the corpus:
+    # broadcast it so fetching candidate vectors is one shuffle-free
+    # broadcast-hash probe over the corpus scan
+    cv = vecs.join(F.broadcast(cand), "neighbor_id").persist()
+    b = F.broadcast(
+        cv.select(
+            F.col(query_id_col).alias("__q2"),
+            F.col("neighbor_id").alias("d2"),
+            F.col("__v").alias("__v2"),
+        )
+    )
+    ssim = F.round(
+        F.round(cosine(F.col("__v"), F.col("__v2")), round_to) * 1_000_000
+    ).cast("long")
+    pairs = (
+        cv.join(
+            b,
+            (F.col(query_id_col) == F.col("__q2"))
+            & (F.col("neighbor_id") != F.col("d2")),
+        )
+        .select(query_id_col, "neighbor_id", "qsim_u", "d2", ssim.alias("ssim_u"))
+    )
+    # candidates with no pair rows (single-candidate query) still need
+    # a row for the greedy; left-join keeps them with null d2
+    tall = cand.join(
+        F.broadcast(pairs.select(query_id_col, "neighbor_id", "d2", "ssim_u")),
+        [query_id_col, "neighbor_id"],
+        "left",
+    )
+
+    div_tenths = 10 - lam_tenths
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qs: dict[int, int] = {}
+        ss: dict[tuple[int, int], int] = {}
+        for r in pdf.itertuples(index=False):
+            d1 = int(r.neighbor_id)
+            qs[d1] = int(r.qsim_u)
+            if not pd.isna(r.d2):
+                ss[(d1, int(r.d2))] = int(r.ssim_u)
+        qid = int(pdf[query_id_col].iloc[0])
+        selected: list[int] = []
+        out = []
+        remaining = set(qs)
+        for rk in range(1, k + 1):
+            if not remaining:
+                break
+            best_d, best_score = None, None
+            for d in sorted(remaining):  # id order = deterministic ties
+                maxs = (
+                    max(ss.get((d, s), 0) for s in selected)
+                    if selected
+                    else 0
+                )
+                score = lam_tenths * qs[d] - div_tenths * maxs
+                if best_score is None or score > best_score:
+                    best_d, best_score = d, score
+            selected.append(best_d)
+            remaining.discard(best_d)
+            out.append((qid, rk, best_d, best_score))
+        return pd.DataFrame(
+            out, columns=[query_id_col, "rk", "neighbor_id", "mmr_score_u"]
+        )
+
+    n_parts = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        tall.repartition(n_parts, query_id_col)
+        .groupBy(query_id_col)
+        .applyInPandas(
+            greedy,
+            f"{query_id_col} long, rk int, neighbor_id long, "
+            "mmr_score_u long",
+        )
+    )
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     planes: list[list[float]],

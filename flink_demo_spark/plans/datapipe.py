@@ -1182,6 +1182,121 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def _mmr_oracle(k: int = 5, lam_tenths: int = 7, topn: int = 20) -> str:
+    """Unrolled MMR greedy as SQL (the k-step argmax has no closed
+    window form, but k is a constant, so the loop unrolls into k
+    select-stages — each picks the argmax of
+    ``lam·qsim_u − (10−lam)·max ssim_u over the selected set``, ties
+    to the smaller neighbor id, all in integer micro-units so the
+    arithmetic is bit-identical to the engine's greedy)."""
+    div = 10 - lam_tenths
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    head = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+    ), cand AS (
+      SELECT query_id, neighbor_id, v,
+             CAST(round(cosine_sim * 1000000) AS BIGINT) AS qsim_u
+      FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.v,
+               {cos.format(a="q.qv", b="c.v")} AS cosine_sim,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cos.format(a="q.qv", b="c.v")} DESC,
+                          c.vec_id) AS rk1
+        FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id
+      ) WHERE rk1 <= {topn}
+    ), psim AS (
+      SELECT a.query_id, a.neighbor_id AS d1, b.neighbor_id AS d2,
+             CAST(round({cos.format(a="a.v", b="b.v")} * 1000000)
+                  AS BIGINT) AS ssim_u
+      FROM cand a JOIN cand b ON a.query_id = b.query_id
+       AND a.neighbor_id <> b.neighbor_id
+    ), sel1 AS (
+      SELECT query_id, neighbor_id,
+             {lam_tenths} * qsim_u AS score_u
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY qsim_u DESC, neighbor_id) AS rn FROM cand)
+      WHERE rn = 1
+    ), all1 AS (SELECT query_id, neighbor_id FROM sel1)"""
+    stages = [head]
+    for i in range(2, k + 1):
+        stages.append(
+            f""", m{i} AS (
+      SELECT c.query_id, c.neighbor_id, c.qsim_u, max(p.ssim_u) AS maxs
+      FROM cand c
+      JOIN psim p ON p.query_id = c.query_id AND p.d1 = c.neighbor_id
+      JOIN all{i - 1} s ON s.query_id = p.query_id
+       AND s.neighbor_id = p.d2
+      WHERE NOT EXISTS (SELECT 1 FROM all{i - 1} x
+                        WHERE x.query_id = c.query_id
+                          AND x.neighbor_id = c.neighbor_id)
+      GROUP BY 1, 2, 3
+    ), sel{i} AS (
+      SELECT query_id, neighbor_id,
+             {lam_tenths} * qsim_u - {div} * maxs AS score_u
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY {lam_tenths} * qsim_u - {div} * maxs DESC,
+                       neighbor_id) AS rn FROM m{i})
+      WHERE rn = 1
+    ), all{i} AS (
+      SELECT query_id, neighbor_id FROM all{i - 1}
+      UNION ALL SELECT query_id, neighbor_id FROM sel{i}
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT query_id, {i} AS rk, neighbor_id, score_u FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    stages.append(
+        f"""
+    SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+           CAST(score_u AS BIGINT) AS mmr_score_u
+    FROM ({union})
+    ORDER BY query_id, rk"""
+    )
+    return "".join(stages)
+
+
+@query(
+    "similarity_topk_mmr",
+    oracle=_mmr_oracle(),
+    doc=(
+        "MMR diversity re-rank (Carbonell & Goldstein 1998) - the "
+        "redundancy-pruning step every retrieval pipeline runs on top "
+        "of ANN: from the exact cosine top-20, greedily keep 5 "
+        "results maximizing lam*sim(q,d) - (1-lam)*max sim(d,selected) "
+        "(lam=0.7), so near-duplicate hits can't crowd the context "
+        "window. Candidate generation is the verified brute-force "
+        "top-k (the LSH/IVF paths swap in at 100 TB); the candidate-"
+        "pair similarity matrix is JVM sequential-fold cosine over a "
+        "SCALE-INVARIANT n_candidates^2-per-query set; similarities "
+        "are integerized to micro-units so the greedy is pure integer "
+        "math in one per-query applyInPandas (ties to smaller id). "
+        "The oracle unrolls the k-step greedy into k select-stages "
+        "over the same integers - bit-identical arithmetic, "
+        "independently formulated."
+    ),
+)
+def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.mmr_rerank(
+        emb,
+        queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        n_candidates=20,
+        k=5,
+        lam_tenths=7,
+    )
+
+
 @query(
     "embedding_norms",
     oracle="""

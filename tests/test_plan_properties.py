@@ -419,6 +419,14 @@ EXPECT = {
         contains=["BroadcastNestedLoopJoin"],
         absent=["CartesianProduct", "MapInPandas"],
     ),
+    # MMR re-rank (round 13): top-20 candidates cut by
+    # WindowGroupLimit, candidate vectors fetched by BROADCAST probe
+    # over the corpus scan (no shuffled join anywhere), integer greedy
+    # in one per-query pandas stage
+    "similarity_topk_mmr": dict(
+        contains=["WindowGroupLimit", "FlatMapGroupsInPandas"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+    ),
     # perceptron serve pass: the hashed-features projection must come
     # from the persisted frame (training already paid for it), the
     # 256-long model enters as an array literal (no join of any kind),

@@ -392,6 +392,73 @@ def test_streaming_timeout_alert_matches_batch_model(spark, sf_dir):
     assert len(got) > 0, "fixture must exercise the alert path"
 
 
+def test_mmr_rerank_matches_pure_python_model(spark, sf_dir):
+    """similarity_topk_mmr vs an independent pure-numpy/python MMR over
+    real sf0.001 embeddings: same top-20 candidates, same integer
+    micro-unit greedy (lam=0.7, ties to smaller id). Also asserts the
+    MMR set actually DIVERGES from plain top-5 for at least one query
+    (otherwise the fixture wouldn't exercise the diversity penalty)."""
+    import numpy as np
+
+    from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = sorted(
+        map(
+            tuple,
+            REGISTRY["similarity_topk_mmr"].fn(spark, sf_dir).collect(),
+        )
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id").to_pylist()
+    vecs = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in zip(ids, t.column("embedding").to_pylist())
+    }
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b))
+            / (float(np.sqrt(np.dot(a, a))) * float(np.sqrt(np.dot(b, b)))),
+            6,
+        )
+
+    want, plain_top5 = [], {}
+    for qid in sorted(i for i in ids if i < 5):
+        qv = vecs[qid]
+        scored = sorted(
+            ((-cos(qv, vecs[d]), d) for d in ids if d != qid)
+        )[:20]
+        cand = {d: int(round(-s * 1_000_000)) for s, d in scored}
+        plain_top5[qid] = [d for _, d in scored[:5]]
+        selected, remaining = [], set(cand)
+        for rk in range(1, 6):
+            best_d, best_score = None, None
+            for d in sorted(remaining):
+                maxs = (
+                    max(
+                        int(round(cos(vecs[d], vecs[s]) * 1_000_000))
+                        for s in selected
+                    )
+                    if selected
+                    else 0
+                )
+                score = 7 * cand[d] - 3 * maxs
+                if best_score is None or score > best_score:
+                    best_d, best_score = d, score
+            selected.append(best_d)
+            remaining.discard(best_d)
+            want.append((qid, rk, best_d, best_score))
+    assert got == sorted(want)
+    mmr_sets = {
+        q: [d for (qq, _, d, _) in got if qq == q] for q in plain_top5
+    }
+    assert any(
+        mmr_sets[q] != plain_top5[q] for q in plain_top5
+    ), "diversity penalty never changed a ranking - fixture too easy"
+
+
 def test_session_multi_pad_derived_at_composition(spark, sf_dir):
     """streaming_session_duration_v2_multi composes the split source
     with the evicting operator through eof_pad_hours(gap): the staged

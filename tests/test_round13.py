@@ -305,6 +305,82 @@ def test_prequential_page_domain_guard_oracle(tmp_path):
     con.close()
 
 
+def test_cc_label_stmts_fuzz_vs_union_find():
+    """The bounded propagate/jump CC loop that replaced the recursive
+    walk in the sf1-spilling oracles (round-12 verdict #1): fuzz 40
+    random graphs (including chains, stars, isolated nodes) against a
+    pure-Python union-find — labels must equal each node's component
+    MINIMUM — and prove the non-convergence check fires loudly when
+    the pass budget is deliberately too small for a long chain."""
+    import random
+
+    import duckdb
+
+    from flink_demo_spark.plans.corpus import _cc_label_stmts
+
+    rng = random.Random(13)
+
+    def union_find_min(nodes, edges):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # second pass: min id per component root
+        comp_min: dict[int, int] = {}
+        for n in nodes:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        return {n: comp_min[find(n)] for n in nodes}
+
+    con = duckdb.connect()
+    for trial in range(40):
+        n = rng.randint(1, 60)
+        nodes = list(range(0, 3 * n, 3))  # non-contiguous ids
+        m = rng.randint(0, 2 * n)
+        edges = [
+            tuple(rng.sample(nodes, 2)) for _ in range(m) if n >= 2
+        ]
+        if trial == 0 and n >= 2:  # worst case: one long chain
+            edges = list(zip(nodes, nodes[1:]))
+        con.execute("CREATE OR REPLACE TEMP TABLE t13_edges AS "
+                    "SELECT * FROM (VALUES (NULL::BIGINT, NULL::BIGINT)) "
+                    "t(a, b) WHERE FALSE")
+        if edges:
+            con.executemany(
+                "INSERT INTO t13_edges VALUES (?, ?), (?, ?)",
+                [(a, b, b, a) for a, b in edges],
+            )
+        con.execute(
+            _cc_label_stmts(
+                "t13_", f"SELECT unnest({nodes}::BIGINT[])"
+            )
+        )
+        got = dict(con.execute("SELECT node, comp FROM t13_lab").fetchall())
+        assert got == union_find_min(nodes, edges), f"trial {trial}"
+
+    # loud failure: a 40-node chain cannot converge in 1 pass
+    chain = list(range(40))
+    con.execute("CREATE OR REPLACE TEMP TABLE t13_edges AS "
+                "SELECT a, b FROM (VALUES (NULL::BIGINT, NULL::BIGINT)) t(a,b) WHERE FALSE")
+    con.executemany(
+        "INSERT INTO t13_edges VALUES (?, ?), (?, ?)",
+        [(a, a + 1, a + 1, a) for a in chain[:-1]],
+    )
+    with pytest.raises(Exception, match="not .?converged|converged"):
+        con.execute(
+            _cc_label_stmts("t13_", f"SELECT unnest({chain}::BIGINT[])", passes=1)
+        )
+    con.close()
+
+
 def test_timeout_detector_tws_gate_or_golden(spark):
     """transformWithStateInPandas twin (round-12 verdict #8): the API
     exists in PySpark 4.1.2 but its Python state client needs protobuf,

@@ -151,6 +151,12 @@ def _scan_guard(
     threshold, so oracle plans there are unchanged; both sides of a
     scale decade sit above it, so exponent methodology stays uniform.
 
+    The threshold reads TOTAL staged parquet bytes at plan-build time
+    (re-listed per call): for multi-file stagings (eof_split chunks)
+    the decision is about the whole replay, not any single file — a
+    consumer staging mixed-size files gets one decision for the sum,
+    by design (round-12 verdict nit, pinned here).
+
     REPLAY-ONLY assumption (round-12 ADVICE): the exchange is a
     round-robin ``repartition(n)``, which is NOT deterministic across
     task retries — fine for the bounded availableNow replays these

@@ -68,6 +68,59 @@ def _jaccard_pairs_ctes(src: str = "documents", p: str = "") -> str:
 _JACCARD_PAIRS_CTES = _jaccard_pairs_ctes()
 
 
+def _cc_label_stmts(p: str, nodes_sql: str, passes: int = 24) -> str:
+    """Bounded connected-components labeling as a sequence of
+    ``CREATE OR REPLACE TEMP TABLE`` statements (round-12 verdict #1:
+    the single recursive walk CTE gets INLINED once per consumer by
+    DuckDB and spills past the sandbox disk at sf1 in multi-consumer
+    compositions; materialized iterations run in seconds).
+
+    Requires ``{p}edges(a, b)`` (both edge directions) to already
+    exist; emits ``{p}lab(node, comp)`` where comp is the component's
+    MIN node id — the same labels as the recursive
+    ``min(comp) GROUP BY node`` walk. Each pass is min-label
+    propagation (small-star: every node takes the min label in its
+    closed neighborhood) followed by a pointer jump
+    (``lab <- prop(prop(x))``, the path-doubling half of the
+    large-star/small-star family), so the covered horizon at least
+    doubles per pass: 24 passes converge for any component diameter
+    up to ~2^24. Labels always stay inside the node's own component
+    and never increase, so a final edge-consistency check proves
+    convergence — it ERRORS loudly instead of returning
+    plausible-but-wrong labels if the pass budget were ever short."""
+    stmts = [
+        f"CREATE OR REPLACE TEMP TABLE {p}lab AS "
+        f"SELECT node, node AS comp FROM ({nodes_sql}) t(node)"
+    ]
+    for _ in range(passes):
+        stmts.append(
+            f"""CREATE OR REPLACE TEMP TABLE {p}prop AS
+    SELECT node, min(comp) AS comp FROM (
+      SELECT node, comp FROM {p}lab
+      UNION ALL
+      SELECT e.a AS node, l.comp AS comp
+      FROM {p}edges e JOIN {p}lab l ON l.node = e.b
+    ) GROUP BY node"""
+        )
+        stmts.append(
+            f"""CREATE OR REPLACE TEMP TABLE {p}lab AS
+    SELECT p1.node, p2.comp
+    FROM {p}prop p1 JOIN {p}prop p2 ON p2.node = p1.comp"""
+        )
+    stmts.append(
+        f"""CREATE OR REPLACE TEMP TABLE {p}chk AS
+    SELECT CASE WHEN count(*) = 0 THEN TRUE
+           ELSE CAST(error('{p}lab: CC propagate/jump loop not '
+                           'converged within the pass budget')
+                     AS BOOLEAN) END AS ok
+    FROM {p}edges e
+    JOIN {p}lab la ON la.node = e.a
+    JOIN {p}lab lb ON lb.node = e.b
+    WHERE la.comp <> lb.comp"""
+    )
+    return ";\n".join(stmts)
+
+
 @query(
     "dedup_cluster_assign",
     oracle=f"""
@@ -682,36 +735,37 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(comp, schema)
 
 
+# Materialized multi-statement form (round-12 verdict #1): the old
+# single recursive-CTE formulation spilled past the sandbox disk at
+# sf1 because DuckDB inlines the walk/cluster CTEs once per consumer;
+# each stage is now CREATEd once and the CC recursion is the bounded
+# propagate/jump loop from _cc_label_stmts (loud non-convergence check
+# included). Result = the final SELECT, same columns as before.
 _PIPE2_ORACLE = f"""
-    WITH RECURSIVE fp AS (
+    CREATE OR REPLACE TEMP TABLE pipe2_s1 AS
+    WITH fp AS (
       SELECT doc_id, lang, text,
              md5(array_to_string(
                    list_sort(list_distinct(
                      regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
                AS fp
       FROM documents
-    ), s1 AS (
-      SELECT doc_id, lang, text FROM (
-        SELECT doc_id, lang, text,
-               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
-        FROM fp
-      ) WHERE rk = 1
-    ),
-    {_jaccard_pairs_ctes("s1", "j")},
-    edges AS (
-      SELECT doc1 AS a, doc2 AS b FROM jpairs
-      UNION ALL
-      SELECT doc2, doc1 FROM jpairs
-    ),
-    walk(node, comp) AS (
-      SELECT doc_id, doc_id FROM s1
-      UNION
-      SELECT e.b, wk.comp FROM walk wk JOIN edges e ON e.a = wk.node
-    ),
-    clusters AS (
-      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
-    ),
-    q AS (
+    )
+    SELECT doc_id, lang, text FROM (
+      SELECT doc_id, lang, text,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      FROM fp
+    ) WHERE rk = 1;
+    CREATE OR REPLACE TEMP TABLE pipe2_pairs AS
+    WITH {_jaccard_pairs_ctes("pipe2_s1", "j")}
+    SELECT doc1, doc2 FROM jpairs;
+    CREATE OR REPLACE TEMP TABLE pipe2_edges AS
+    SELECT doc1 AS a, doc2 AS b FROM pipe2_pairs
+    UNION ALL
+    SELECT doc2, doc1 FROM pipe2_pairs;
+    {_cc_label_stmts("pipe2_", "SELECT doc_id FROM pipe2_s1")};
+    CREATE OR REPLACE TEMP TABLE pipe2_s3 AS
+    WITH q AS (
       SELECT doc_id,
              CAST(5000 * least(n, 50) // 50
                   + (3000 * d) // n
@@ -723,24 +777,25 @@ _PIPE2_ORACLE = f"""
                  regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS d,
                CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                         x -> lower(x) IN ({_SW_LIST}))) AS BIGINT) AS sw
-        FROM s1
+        FROM pipe2_s1
       ) t
     ),
     s2 AS (
       SELECT doc_id, lang, text, quality_bp FROM (
         SELECT s1.doc_id, s1.lang, s1.text, q.quality_bp,
-               row_number() OVER (PARTITION BY c.cluster_id
+               row_number() OVER (PARTITION BY c.comp
                  ORDER BY q.quality_bp DESC, s1.doc_id) AS rk
-        FROM clusters c
-        JOIN q ON q.doc_id = c.doc_id
-        JOIN s1 ON s1.doc_id = c.doc_id
+        FROM pipe2_lab c
+        JOIN q ON q.doc_id = c.node
+        JOIN pipe2_s1 s1 ON s1.doc_id = c.node
       ) t WHERE rk = 1
-    ),
-    s3 AS (SELECT * FROM s2 WHERE quality_bp >= 6000),
-    {_dsir_ctes("s3", "d")}
+    )
+    SELECT doc_id, lang, text, quality_bp FROM s2
+    WHERE quality_bp >= 6000;
+    WITH {_dsir_ctes("pipe2_s3", "d")}
     SELECT s3.doc_id, s3.lang, s3.quality_bp,
            CAST(s // n_tokens AS BIGINT) AS dsir_score
-    FROM dscored JOIN s3 ON s3.doc_id = dscored.doc_id
+    FROM dscored JOIN pipe2_s3 s3 ON s3.doc_id = dscored.doc_id
     WHERE ((dscored.doc_id % 1000003) * 2654435761 + 12345) % 1000000007
           % {_DSIR_S} * 4 < s // n_tokens
     ORDER BY s3.doc_id
@@ -2999,46 +3054,43 @@ def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
 
 @query(
     "split_leakage_safe",
+    # materialized multi-statement form (round-12 verdict #1): sp is
+    # consumed THREE times (census + both sides of the leak audit), so
+    # the old recursive-CTE walk was inlined 3x and spilled at sf1;
+    # every stage now materializes once and the CC recursion is the
+    # bounded propagate/jump loop (loud non-convergence check)
     oracle=f"""
-    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
-    edges AS (
-      SELECT doc1 AS a, doc2 AS b FROM pairs
-      UNION ALL
-      SELECT doc2, doc1 FROM pairs
-    ),
-    walk(node, comp) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
-    ),
-    clusters AS (
-      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
-    ),
-    sp AS (
-      SELECT doc_id, cluster_id,
-             CASE WHEN h % 10 <= 7 THEN 'train'
-                  WHEN h % 10 = 8 THEN 'valid'
-                  ELSE 'test' END AS split
-      FROM (
-        SELECT doc_id, cluster_id,
-               list_reduce(list_transform(generate_series(1, 15),
-                 j -> strpos('0123456789abcdef',
-                        substr(md5(CAST(cluster_id AS VARCHAR)), j, 1)) - 1),
-                 (a, b) -> a * 16 + b) AS h
-        FROM clusters
-      )
-    ),
-    leak AS (
-      SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
-      FROM pairs p
-      JOIN sp a ON a.doc_id = p.doc1
-      JOIN sp b ON b.doc_id = p.doc2
-      WHERE a.split <> b.split
-    )
+    CREATE OR REPLACE TEMP TABLE sls_pairs AS
+    WITH {_JACCARD_PAIRS_CTES}
+    SELECT doc1, doc2 FROM pairs;
+    CREATE OR REPLACE TEMP TABLE sls_edges AS
+    SELECT doc1 AS a, doc2 AS b FROM sls_pairs
+    UNION ALL
+    SELECT doc2, doc1 FROM sls_pairs;
+    {_cc_label_stmts("sls_", "SELECT doc_id FROM documents")};
+    CREATE OR REPLACE TEMP TABLE sls_sp AS
+    SELECT doc_id, cluster_id,
+           CASE WHEN h % 10 <= 7 THEN 'train'
+                WHEN h % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT node AS doc_id, comp AS cluster_id,
+             list_reduce(list_transform(generate_series(1, 15),
+               j -> strpos('0123456789abcdef',
+                      substr(md5(CAST(comp AS VARCHAR)), j, 1)) - 1),
+               (a, b) -> a * 16 + b) AS h
+      FROM sls_lab
+    );
     SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
            leaked_pairs
-    FROM sp, leak
+    FROM sls_sp, (
+      SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+      FROM sls_pairs p
+      JOIN sls_sp a ON a.doc_id = p.doc1
+      JOIN sls_sp b ON b.doc_id = p.doc2
+      WHERE a.split <> b.split
+    ) leak
     GROUP BY split, leaked_pairs
     ORDER BY split
     """,

@@ -113,8 +113,6 @@ def mmr_rerank(
 
     Output: (query_id, rk, neighbor_id, mmr_score_u).
     """
-    import pandas as pd
-
     cand = brute_force_top_k(
         corpus,
         queries,
@@ -130,6 +128,36 @@ def mmr_rerank(
         .cast("long")
         .alias("qsim_u"),
     )
+    return mmr_over_candidates(
+        cand,
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        k=k,
+        lam_tenths=lam_tenths,
+        round_to=round_to,
+    )
+
+
+def mmr_over_candidates(
+    cand: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    lam_tenths: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """The re-rank half of :func:`mmr_rerank`, decoupled from candidate
+    generation so ANY candidate stage plugs in — the batch brute-force
+    top-k, the IVF cell serve, an LSH bucket — as long as ``cand``
+    carries (query_id, neighbor_id, qsim_u) with qsim_u in integer
+    micro-units. Candidate sets are bounded per query, so everything
+    here is broadcast-side and scale-invariant."""
+    import pandas as pd
+
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
     )

@@ -1182,20 +1182,43 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
-def _mmr_oracle(k: int = 5, lam_tenths: int = 7, topn: int = 20) -> str:
+_MMR_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    "    * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _mmr_oracle(
+    k: int = 5,
+    lam_tenths: int = 7,
+    topn: int = 20,
+    cand_stmts: str | None = None,
+) -> str:
     """Unrolled MMR greedy as SQL (the k-step argmax has no closed
     window form, but k is a constant, so the loop unrolls into k
     select-stages — each picks the argmax of
     ``lam·qsim_u − (10−lam)·max ssim_u over the selected set``, ties
     to the smaller neighbor id, all in integer micro-units so the
-    arithmetic is bit-identical to the engine's greedy)."""
+    arithmetic is bit-identical to the engine's greedy).
+
+    ``cand_stmts`` overrides the candidate-generation prefix with
+    MULTI-STATEMENT SQL that must ``CREATE OR REPLACE TEMP TABLE
+    mmr_ivf_cand(query_id, neighbor_id, v, qsim_u)`` — materialized
+    ONCE, because the greedy references cand from psim and every
+    unrolled stage and DuckDB inlines CTEs per consumer (the
+    round-12/13 spill lesson; the IVF variant OOM'd at sf1 before
+    this). Mirrors the engine's :func:`mmr_over_candidates` split so
+    ANY candidate stage composes with the same greedy. Default =
+    exact brute-force top-``topn`` as a plain CTE (small enough to
+    inline)."""
     div = 10 - lam_tenths
-    cos = (
-        "round(list_dot_product({a}, {b})"
-        " / (sqrt(list_dot_product({a}, {a}))"
-        "    * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
-    head = f"""
+    cos = _MMR_COS
+    if cand_stmts is not None:
+        head = cand_stmts + """;
+    WITH cand AS (SELECT * FROM mmr_ivf_cand)"""
+    else:
+        head = f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), q AS (
@@ -1211,7 +1234,8 @@ def _mmr_oracle(k: int = 5, lam_tenths: int = 7, topn: int = 20) -> str:
                           c.vec_id) AS rk1
         FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id
       ) WHERE rk1 <= {topn}
-    ), psim AS (
+    )"""
+    head = head + f""", psim AS (
       SELECT a.query_id, a.neighbor_id AS d1, b.neighbor_id AS d2,
              CAST(round({cos.format(a="a.v", b="b.v")} * 1000000)
                   AS BIGINT) AS ssim_u

@@ -1366,6 +1366,128 @@ def streaming_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(served, output_mode="append")
 
 
+def _mmr_ivf_oracle_ref():
+    """MMR over IVF(nprobe=1) candidates: the production serving
+    composition — re-rank what the index returns, not the exact top-k.
+    Reuses datapipe's parameterized greedy unroll with a MATERIALIZED
+    cell-candidate stage: the assign→cell-top-20 chain is CREATEd once
+    as a temp table (the greedy references cand ~8×; inlined, it OOM'd
+    DuckDB at sf1 — the round-12/13 lesson again). Cell assignment
+    uses the UNROUNDED cosine with the cid tie-break, bit-matching the
+    engine's ivf_assign (sim, -cid) argmax; round-6 applies only to
+    the candidate similarities, like _IVF_TOPK_ORACLE."""
+    from .datapipe import _IVF_COS, _MMR_COS, _mmr_oracle
+
+    cos = _MMR_COS
+    cand_stmts = f"""
+    CREATE OR REPLACE TEMP TABLE mmr_ivf_cand AS
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), pick AS (
+      -- assignment ranks by RAW cosine, ties to smaller cid (the
+      -- engine's (sim, -cid) argmax); arrays are projected away
+      -- before the window sorts
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')}
+                   DESC, c.cid
+               ) AS crk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE crk = 1
+    ), assign AS (
+      SELECT p.vec_id, e.embedding::DOUBLE[] AS ev, p.cid
+      FROM pick p JOIN embeddings e ON e.vec_id = p.vec_id
+    ), q AS (
+      SELECT vec_id AS query_id, ev AS qv, cid FROM assign WHERE vec_id < 5
+    )
+    SELECT query_id, neighbor_id, v,
+           CAST(round(cosine_sim * 1000000) AS BIGINT) AS qsim_u
+    FROM (
+      SELECT q.query_id, a.vec_id AS neighbor_id, a.ev AS v,
+             round({cos.format(a='q.qv', b='a.ev')}, 6) AS cosine_sim,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round({cos.format(a='q.qv', b='a.ev')}, 6) DESC,
+                        a.vec_id) AS rk1
+      FROM assign a JOIN q ON a.cid = q.cid AND a.vec_id <> q.query_id
+    ) WHERE rk1 <= 20"""
+    return _mmr_oracle(cand_stmts=cand_stmts)
+
+
+@query(
+    "streaming_similarity_mmr",
+    oracle=_mmr_ivf_oracle_ref(),
+    doc=(
+        "Online diversity-aware vector search - the full serving "
+        "composition of a retrieval endpoint: arriving query vectors "
+        "probe the static packed IVF index exactly like "
+        "streaming_similarity_ivf (nprobe=1 cell, packed_topk_expr "
+        "k=20, append mode, ZERO stream state), and the MMR greedy "
+        "(lam=0.7, integer micro-units) re-ranks each query's "
+        "candidate set on the bounded sink output via the SAME "
+        "mmr_over_candidates half the batch operator uses - "
+        "re-ranking what the INDEX returns, not the exact top-k, "
+        "which is how MMR actually deploys at 100 TB (the batch "
+        "similarity_topk_mmr docstring's 'LSH/IVF swap in' made "
+        "real). Per-query work is bounded (20 candidates) so the "
+        "re-rank cost is scale-invariant; the oracle composes the "
+        "IVF-cell candidate CTE with the same parameterized greedy "
+        "unroll the brute-force oracle uses."
+    ),
+)
+def streaming_similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators import similarity
+    from ..sources.streams import embeddings_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    index = similarity.pack_cells(similarity.ivf_assign(emb, cents))
+
+    feed = embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 5)
+    probed = similarity.ivf_assign(
+        feed.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qvec"),
+        ),
+        cents,
+        id_col="query_id",
+        vec_col="__qvec",
+    )
+    top = similarity.packed_topk_expr(
+        F.col("__qvec"), F.col("members"), F.col("query_id"), k=20, round_to=6
+    )
+    served = (
+        probed.join(index, "cell")
+        .select("query_id", F.posexplode(top).alias("pos", "hit"))
+        .select(
+            "query_id",
+            F.col("hit.nid").alias("neighbor_id"),
+            F.col("hit.sim").alias("cosine_sim"),
+        )
+    )
+    sink = run_available_now(served, output_mode="append").select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine_sim") * 1_000_000).cast("long").alias("qsim_u"),
+    )
+    # the memory-sink view cannot self-join (mmr_over_candidates joins
+    # cand against its own pair frame and the analyzer hits conflicting
+    # references on MemoryPlan); the sink is BOUNDED by construction
+    # (n_queries x 20 candidate ids+scores, the serving response set),
+    # so re-materializing it with fresh attributes is a census-sized
+    # collect in the house style
+    cand = spark.createDataFrame(sink.collect(), sink.schema)
+    return similarity.mmr_over_candidates(
+        cand, emb, id_col="vec_id", vec_col="embedding", k=5, lam_tenths=7
+    )
+
+
 def _drift_oracle_ref():
     from .behavior import _DRIFT_ORACLE
 

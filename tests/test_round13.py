@@ -535,6 +535,30 @@ def test_mmr_rerank_matches_pure_python_model(spark, sf_dir):
     ), "diversity penalty never changed a ranking - fixture too easy"
 
 
+def test_streaming_mmr_rank1_equals_ivf_top1(spark, sf_dir):
+    """The serving twin's first pick carries no diversity penalty, so
+    for every query MMR rank-1 must equal streaming_similarity_ivf's
+    rank-1 (same cell, same rounded cosine, same id tie-break) — and
+    its score must be lam_tenths * the packed micro-unit similarity."""
+    from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    mmr = {
+        r["query_id"]: (r["neighbor_id"], r["mmr_score_u"])
+        for r in REGISTRY["streaming_similarity_mmr"].fn(spark, sf_dir).collect()
+        if r["rk"] == 1
+    }
+    ivf = {
+        r["query_id"]: (r["neighbor_id"], r["cosine_sim"])
+        for r in REGISTRY["streaming_similarity_ivf"].fn(spark, sf_dir).collect()
+        if r["rk"] == 1
+    }
+    assert set(mmr) == set(ivf) and len(mmr) == 5
+    for q, (nid, score_u) in mmr.items():
+        assert ivf[q][0] == nid, q
+        assert score_u == 7 * round(ivf[q][1] * 1_000_000), q
+
+
 def test_session_multi_pad_derived_at_composition(spark, sf_dir):
     """streaming_session_duration_v2_multi composes the split source
     with the evicting operator through eof_pad_hours(gap): the staged

@@ -149,13 +149,18 @@ def mmr_over_candidates(
     k: int = 5,
     lam_tenths: int = 7,
     round_to: int = 6,
+    emit_penalty: bool = False,
 ) -> DataFrame:
     """The re-rank half of :func:`mmr_rerank`, decoupled from candidate
     generation so ANY candidate stage plugs in — the batch brute-force
     top-k, the IVF cell serve, an LSH bucket — as long as ``cand``
     carries (query_id, neighbor_id, qsim_u) with qsim_u in integer
     micro-units. Candidate sets are bounded per query, so everything
-    here is broadcast-side and scale-invariant."""
+    here is broadcast-side and scale-invariant.
+
+    ``emit_penalty=True`` appends (qsim_u, max_ssim_u) per selected
+    row — the relevance and the incurred diversity penalty — for
+    knob-pricing consumers (the lambda tradeoff curve)."""
     import pandas as pd
 
     vecs = corpus.select(
@@ -208,7 +213,7 @@ def mmr_over_candidates(
         for rk in range(1, k + 1):
             if not remaining:
                 break
-            best_d, best_score = None, None
+            best_d, best_score, best_maxs = None, None, 0
             for d in sorted(remaining):  # id order = deterministic ties
                 maxs = (
                     max(ss.get((d, s), 0) for s in selected)
@@ -217,25 +222,30 @@ def mmr_over_candidates(
                 )
                 score = lam_tenths * qs[d] - div_tenths * maxs
                 if best_score is None or score > best_score:
-                    best_d, best_score = d, score
+                    best_d, best_score, best_maxs = d, score, maxs
             selected.append(best_d)
             remaining.discard(best_d)
-            out.append((qid, rk, best_d, best_score))
-        return pd.DataFrame(
-            out, columns=[query_id_col, "rk", "neighbor_id", "mmr_score_u"]
-        )
+            row = (qid, rk, best_d, best_score)
+            if emit_penalty:
+                row = row + (qs[best_d], best_maxs)
+            out.append(row)
+        cols = [query_id_col, "rk", "neighbor_id", "mmr_score_u"]
+        if emit_penalty:
+            cols += ["qsim_u", "max_ssim_u"]
+        return pd.DataFrame(out, columns=cols)
 
     n_parts = int(
         corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    schema = (
+        f"{query_id_col} long, rk int, neighbor_id long, mmr_score_u long"
+    )
+    if emit_penalty:
+        schema += ", qsim_u long, max_ssim_u long"
     return (
         tall.repartition(n_parts, query_id_col)
         .groupBy(query_id_col)
-        .applyInPandas(
-            greedy,
-            f"{query_id_col} long, rk int, neighbor_id long, "
-            "mmr_score_u long",
-        )
+        .applyInPandas(greedy, schema)
     )
 
 

@@ -1212,7 +1212,25 @@ def _mmr_oracle(
     ANY candidate stage composes with the same greedy. Default =
     exact brute-force top-``topn`` as a plain CTE (small enough to
     inline)."""
-    div = 10 - lam_tenths
+    stages = [_mmr_head(topn, cand_stmts), _mmr_stage_ctes("", lam_tenths, k)]
+    union = "\n      UNION ALL ".join(
+        f"SELECT query_id, {i} AS rk, neighbor_id, score_u FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    stages.append(
+        f"""
+    SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+           CAST(score_u AS BIGINT) AS mmr_score_u
+    FROM ({union})
+    ORDER BY query_id, rk"""
+    )
+    return "".join(stages)
+
+
+def _mmr_head(topn: int = 20, cand_stmts: str | None = None) -> str:
+    """Shared MMR oracle prefix: the ``cand`` stage (brute-force
+    top-``topn`` by default, or the caller's materialized temp table)
+    plus the candidate-pair similarity CTE ``psim``."""
     cos = _MMR_COS
     if cand_stmts is not None:
         head = cand_stmts + """;
@@ -1235,56 +1253,89 @@ def _mmr_oracle(
         FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id
       ) WHERE rk1 <= {topn}
     )"""
-    head = head + f""", psim AS (
+    return head + f""", psim AS (
       SELECT a.query_id, a.neighbor_id AS d1, b.neighbor_id AS d2,
              CAST(round({cos.format(a="a.v", b="b.v")} * 1000000)
                   AS BIGINT) AS ssim_u
       FROM cand a JOIN cand b ON a.query_id = b.query_id
        AND a.neighbor_id <> b.neighbor_id
-    ), sel1 AS (
-      SELECT query_id, neighbor_id,
+    )"""
+
+
+def _mmr_stage_ctes(p: str, lam_tenths: int, k: int) -> str:
+    """The unrolled greedy as a ``p``-prefixed CTE chain over the
+    shared ``cand``/``psim``: ``{p}sel1..{p}sel{k}`` each carry
+    (query_id, neighbor_id, qsim_u, maxs, score_u) — relevance AND the
+    incurred diversity penalty — so both the ranking oracle and the
+    lambda-curve oracle read from the same stages; ties to the smaller
+    neighbor id. Prefixing lets several lambda settings coexist in one
+    WITH chain."""
+    div = 10 - lam_tenths
+    out = [
+        f""", {p}sel1 AS (
+      SELECT query_id, neighbor_id, qsim_u,
+             CAST(0 AS BIGINT) AS maxs,
              {lam_tenths} * qsim_u AS score_u
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY qsim_u DESC, neighbor_id) AS rn FROM cand)
       WHERE rn = 1
-    ), all1 AS (SELECT query_id, neighbor_id FROM sel1)"""
-    stages = [head]
+    ), {p}all1 AS (SELECT query_id, neighbor_id FROM {p}sel1)"""
+    ]
     for i in range(2, k + 1):
-        stages.append(
-            f""", m{i} AS (
-      SELECT c.query_id, c.neighbor_id, c.qsim_u, max(p.ssim_u) AS maxs
+        out.append(
+            f""", {p}m{i} AS (
+      SELECT c.query_id, c.neighbor_id, c.qsim_u, max(p2.ssim_u) AS maxs
       FROM cand c
-      JOIN psim p ON p.query_id = c.query_id AND p.d1 = c.neighbor_id
-      JOIN all{i - 1} s ON s.query_id = p.query_id
-       AND s.neighbor_id = p.d2
-      WHERE NOT EXISTS (SELECT 1 FROM all{i - 1} x
+      JOIN psim p2 ON p2.query_id = c.query_id AND p2.d1 = c.neighbor_id
+      JOIN {p}all{i - 1} s ON s.query_id = p2.query_id
+       AND s.neighbor_id = p2.d2
+      WHERE NOT EXISTS (SELECT 1 FROM {p}all{i - 1} x
                         WHERE x.query_id = c.query_id
                           AND x.neighbor_id = c.neighbor_id)
       GROUP BY 1, 2, 3
-    ), sel{i} AS (
-      SELECT query_id, neighbor_id,
+    ), {p}sel{i} AS (
+      SELECT query_id, neighbor_id, qsim_u, maxs,
              {lam_tenths} * qsim_u - {div} * maxs AS score_u
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY {lam_tenths} * qsim_u - {div} * maxs DESC,
-                       neighbor_id) AS rn FROM m{i})
+                       neighbor_id) AS rn FROM {p}m{i})
       WHERE rn = 1
-    ), all{i} AS (
-      SELECT query_id, neighbor_id FROM all{i - 1}
-      UNION ALL SELECT query_id, neighbor_id FROM sel{i}
+    ), {p}all{i} AS (
+      SELECT query_id, neighbor_id FROM {p}all{i - 1}
+      UNION ALL SELECT query_id, neighbor_id FROM {p}sel{i}
     )"""
         )
+    return "".join(out)
+
+
+def _mmr_lambda_curve_oracle(
+    lams: tuple[int, ...] = (5, 7, 9), k: int = 5, topn: int = 20
+) -> str:
+    """The lambda TRADEOFF curve: the same candidates and the same
+    greedy run at several lambda settings, reduced to one row per
+    setting — total selected relevance (sum qsim_u) vs total incurred
+    redundancy penalty (sum max_ssim_u), both exact integer sums (no
+    division, so no floor-vs-trunc cross-engine hazard with negative
+    cosines)."""
+    parts = [_mmr_head(topn)]
+    for lam in lams:
+        parts.append(_mmr_stage_ctes(f"l{lam}", lam, k))
     union = "\n      UNION ALL ".join(
-        f"SELECT query_id, {i} AS rk, neighbor_id, score_u FROM sel{i}"
+        f"SELECT {lam} AS lam_tenths, qsim_u, maxs FROM l{lam}sel{i}"
+        for lam in lams
         for i in range(1, k + 1)
     )
-    stages.append(
+    parts.append(
         f"""
-    SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
-           CAST(score_u AS BIGINT) AS mmr_score_u
+    SELECT CAST(lam_tenths AS INT) AS lam_tenths,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(qsim_u) AS BIGINT) AS sum_qsim_u,
+           CAST(sum(maxs) AS BIGINT) AS sum_max_ssim_u
     FROM ({union})
-    ORDER BY query_id, rk"""
+    GROUP BY lam_tenths
+    ORDER BY lam_tenths"""
     )
-    return "".join(stages)
+    return "".join(parts)
 
 
 @query(
@@ -1318,6 +1369,64 @@ def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=20,
         k=5,
         lam_tenths=7,
+    )
+
+
+@query(
+    "similarity_mmr_lambda_curve",
+    oracle=_mmr_lambda_curve_oracle(),
+    doc=(
+        "the MMR lambda knob PRICED - the tuning run a retrieval "
+        "deployment executes before committing the "
+        "relevance/diversity tradeoff (the family pattern of the "
+        "bands/hashes/nprobe recall curves): the SAME brute-force "
+        "top-20 candidates and the SAME integer greedy run at "
+        "lam=0.5/0.7/0.9, one row per setting with total selected "
+        "relevance (sum qsim_u) vs total incurred redundancy penalty "
+        "(sum max_ssim_u) - exact integer SUMS, no division, so "
+        "negative cosines can't open a floor-vs-trunc cross-engine "
+        "gap. Candidates computed ONCE and persisted (settings "
+        "re-rank the same pool); raising lam must raise relevance "
+        "and raise the tolerated redundancy - monotonicity pinned in "
+        "tests/test_round13.py. Oracle: three prefixed greedy "
+        "unrolls over one shared cand/psim chain."
+    ),
+)
+def similarity_mmr_lambda_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = (
+        similarity.brute_force_top_k(
+            emb, queries, id_col="vec_id", vec_col="embedding", k=20, round_to=6
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine_sim") * 1_000_000)
+            .cast("long")
+            .alias("qsim_u"),
+        )
+        .persist()
+    )
+    parts = [
+        similarity.mmr_over_candidates(
+            cand,
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            k=5,
+            lam_tenths=lam,
+            emit_penalty=True,
+        ).select(
+            F.lit(lam).cast("int").alias("lam_tenths"), "qsim_u", "max_ssim_u"
+        )
+        for lam in (5, 7, 9)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return u.groupBy("lam_tenths").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.sum("qsim_u").cast("long").alias("sum_qsim_u"),
+        F.sum("max_ssim_u").cast("long").alias("sum_max_ssim_u"),
     )
 
 

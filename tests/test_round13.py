@@ -559,6 +559,28 @@ def test_streaming_mmr_rank1_equals_ivf_top1(spark, sf_dir):
         assert score_u == 7 * round(ivf[q][1] * 1_000_000), q
 
 
+def test_mmr_lambda_curve_monotone(spark, sf_dir):
+    """The lambda knob must actually trade: raising lam (more weight
+    on relevance) strictly raises total selected relevance AND
+    strictly raises the tolerated redundancy penalty. A flat curve
+    would mean the knob is disconnected from the greedy."""
+    from flink_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = {
+        r["lam_tenths"]: r
+        for r in REGISTRY["similarity_mmr_lambda_curve"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {5, 7, 9}
+    assert all(r["n_selected"] == 25 for r in rows.values())
+    assert rows[5]["sum_qsim_u"] < rows[7]["sum_qsim_u"] < rows[9]["sum_qsim_u"]
+    assert (
+        rows[5]["sum_max_ssim_u"]
+        < rows[7]["sum_max_ssim_u"]
+        < rows[9]["sum_max_ssim_u"]
+    )
+
+
 def test_session_multi_pad_derived_at_composition(spark, sf_dir):
     """streaming_session_duration_v2_multi composes the split source
     with the evicting operator through eof_pad_hours(gap): the staged

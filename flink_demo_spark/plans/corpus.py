@@ -1024,14 +1024,37 @@ def _pct_epoch(feats: DataFrame, w: list[int], b: int) -> tuple[list[int], int]:
     )
 
 
-def pct_train(docs: DataFrame) -> tuple[list[int], int]:
+def _pct_feats_cached(docs: DataFrame) -> DataFrame:
+    """The compact hashed-features frame, persisted in the layout the
+    epoch windows need: partitioned by doc_id and sorted by
+    (doc_id, bucket). The cached InMemoryRelation then *carries* that
+    partitioning/ordering, so each epoch's two doc_id windows run with
+    NO exchange and NO sort (measured r13: the per-epoch job drops
+    from exchange+2 sorts+window to a single cache-scan stage), and
+    the serve pass's groupBy(doc_id, lang) clusters on a superset of
+    doc_id, so it skips its exchange too. One extra doc_id exchange at
+    persist time buys 2 fewer per-job passes x (epochs + 1) jobs."""
+    return (
+        _pct_feats(docs)
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id", "bucket")
+        .persist()
+    )
+
+
+def pct_train(
+    docs: DataFrame, feats: DataFrame | None = None
+) -> tuple[list[int], int]:
     """Train the hashed-feature perceptron for _PCT_EPOCHS full-batch
     epochs and return (weights, bias) as plain Python ints — a frozen
     model the streaming twin can embed as a literal. The compact
     hashed-features frame (≤256 rows per doc, no text) is persisted so
     each epoch re-reads the projection, not the raw corpus — at 100 TB
-    that persist is the difference between E and 1 corpus scans."""
-    feats = _pct_feats(docs).persist()
+    that persist is the difference between E and 1 corpus scans. Pass
+    ``feats`` (from :func:`_pct_feats_cached`) to share the persisted
+    projection with the caller's serve pass."""
+    if feats is None:
+        feats = _pct_feats_cached(docs)
     w, b = [0] * _DSIR_B, 0
     for _ in range(_PCT_EPOCHS):
         w, b = _pct_epoch(feats, w, b)
@@ -1127,9 +1150,9 @@ _PCT_ORACLE = _pct_oracle()
 )
 def quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    w, b = pct_train(docs)
+    feats = _pct_feats_cached(docs)
+    w, b = pct_train(docs, feats=feats)
     warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
-    feats = _pct_feats(docs)
     score = F.lit(int(b)).cast("long") + F.sum(
         F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("x")
     )

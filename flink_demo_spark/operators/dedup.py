@@ -643,27 +643,66 @@ def duplicate_passages(
     frequencies are known-bounded; the default when the corpus may
     contain viral boilerplate.
     """
-    from .text import shingles_positional
+    from .text import shingles_positional, tokens
 
-    pos_gram = (
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode_outer(shingles_positional(text_col, k)).alias(
-                "pos", "gram"
-            ),
-        )
-        .where(F.col("gram").isNotNull())
-    )
     if hashed:
-        pos_gram = pos_gram.select(
+        # Hash each TOKEN once, then key each k-gram by xxhash64 over a
+        # slice of the token-hash array — never materializing the
+        # O(n_tokens x k)-byte gram strings the exact path builds
+        # (measured r13: the gram-string construction was ~half the
+        # scan stage; this halves it, and the query pays the scan
+        # twice). Two independent token-hash families (h1 plain, h2
+        # seeded) keep the 128-bit pair guarantee: a cross-gram
+        # collision needs BOTH final hashes (or both per-token hash
+        # families) to collide independently — the same odds class as
+        # the previous xxhash64(gram)/xxhash64('dp2', gram) pair.
+        # Token-sequence equality <=> gram-string equality (tokens are
+        # whitespace-free), so grouping is unchanged.
+        toked = fan_out(df).select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("tok")
+        )
+        hashed_toks = toked.select(
             "doc_id",
-            "pos",
-            F.xxhash64("gram").alias("g1"),
-            F.xxhash64(F.lit("dp2"), F.col("gram")).alias("g2"),
+            F.transform("tok", lambda x: F.xxhash64(x)).alias("h1"),
+            F.transform("tok", lambda x: F.xxhash64(F.lit("dp2"), x)).alias(
+                "h2"
+            ),
+            F.size("tok").alias("n"),
+        )
+        grams = F.when(
+            F.col("n") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - F.lit(k - 1)),
+                lambda i: F.struct(
+                    F.xxhash64(F.slice("h1", i, k)).alias("g1"),
+                    F.xxhash64(F.slice("h2", i, k)).alias("g2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<g1:bigint,g2:bigint>>"))
+        pos_gram = (
+            hashed_toks.select(
+                "doc_id", F.posexplode_outer(grams).alias("pos", "g")
+            )
+            .where(F.col("g").isNotNull())
+            .select(
+                "doc_id",
+                "pos",
+                F.col("g.g1").alias("g1"),
+                F.col("g.g2").alias("g2"),
+            )
         )
         key = ["g1", "g2"]
     else:
+        pos_gram = (
+            fan_out(df)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode_outer(shingles_positional(text_col, k)).alias(
+                    "pos", "gram"
+                ),
+            )
+            .where(F.col("gram").isNotNull())
+        )
         key = ["gram"]
 
     from pyspark.sql import Window

@@ -2740,39 +2740,54 @@ def mix_temperature_langs_derived(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.fan_out(load_table(spark, sf_dir, "documents"))
-    # persisted: consumed 4x (base + the 2/3/5-gram families)
-    staged = docs.select(
-        "doc_id", text.tokens("text").alias("toks")
+    # Hash each token ONCE into two independent 64-bit families and key
+    # every gram family by xxhash64 over an O(k) slice of the
+    # token-hash arrays — the duplicate_passages pattern: the outputs
+    # expose only COUNTS (the lex tie-break on the top gram never
+    # reaches the result: ties share the max count), so the gram
+    # strings were built (array_join per position, ~k bytes-per-token
+    # amplification) only to group on and throw away. Token-sequence
+    # equality <=> gram equality (tokens are whitespace-free), the
+    # (doc_id, g1, g2) shuffle keys are fixed 16+8 bytes instead of
+    # 2..5-token strings, and a count-corrupting collision needs both
+    # independent families to collide inside ONE document — the
+    # 128-bit class. The persisted frame carries (n, h1, h2), no text.
+    toked = docs.select("doc_id", text.tokens("text").alias("tok"))
+    staged = toked.select(
+        "doc_id",
+        F.size("tok").alias("n"),
+        F.transform("tok", lambda x: F.xxhash64(x)).alias("h1"),
+        F.transform("tok", lambda x: F.xxhash64(F.lit("qr2"), x)).alias(
+            "h2"
+        ),
     ).persist()
 
-    def gram_col(k: int):
+    def gram_keys(k: int):
         return F.when(
-            F.size("toks") >= k,
+            F.col("n") >= k,
             F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                lambda i: F.array_join(F.slice("toks", i, k), " "),
+                F.sequence(F.lit(1), F.col("n") - (k - 1)),
+                lambda i: F.struct(
+                    F.xxhash64(F.slice("h1", i, k)).alias("g1"),
+                    F.xxhash64(F.slice("h2", i, k)).alias("g2"),
+                ),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<struct<g1:bigint,g2:bigint>>"))
 
     def top_count(k: int, alias: str) -> DataFrame:
-        # min over struct(-count, gram) = max count, lex-smallest gram
         return (
-            staged.select("doc_id", F.explode(gram_col(k)).alias("gram"))
-            .groupBy("doc_id", "gram")
+            staged.select("doc_id", F.explode(gram_keys(k)).alias("g"))
+            .groupBy("doc_id", "g.g1", "g.g2")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("doc_id")
-            .agg(
-                F.min(F.struct((-F.col("c")).alias("nc"), F.col("gram")))
-                .alias("m")
-            )
-            .select("doc_id", (-F.col("m.nc")).alias(alias))
+            .agg(F.max("c").alias(alias))
         )
 
     g5 = staged.select(
-        "doc_id", F.posexplode(gram_col(5)).alias("p", "gram")
+        "doc_id", F.posexplode(gram_keys(5)).alias("p", "g")
     )
     cov5 = (
-        g5.groupBy("doc_id", "gram")
+        g5.groupBy("doc_id", "g.g1", "g.g2")
         .agg(F.count(F.lit(1)).alias("c"), F.collect_list("p").alias("ps"))
         .where(F.col("c") >= 2)
         .select("doc_id", F.explode("ps").alias("p"))
@@ -2785,7 +2800,7 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cov"))
     )
 
-    base = staged.select("doc_id", F.size("toks").cast("long").alias("n"))
+    base = staged.select("doc_id", F.col("n").cast("long").alias("n"))
     r = (
         base.join(top_count(2, "c2"), "doc_id", "left")
         .join(top_count(3, "c3"), "doc_id", "left")

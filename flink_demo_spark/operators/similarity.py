@@ -37,6 +37,24 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _py_l2_norm(vec: list[float]) -> float:
+    """Driver-side twin of :func:`l2_norm` for LITERAL vectors
+    (centroids, hyperplanes): the identical IEEE-754 sequential fold —
+    ``sqrt(((0.0 + x0*x0) + x1*x1) + ...)`` — so ``F.lit(_py_l2_norm(c))``
+    is bit-equal to evaluating ``l2_norm(lit_array(c))`` per row, and a
+    K-centroid scoring pass pays K constant lookups instead of K
+    interpreted HOF folds per row (higher-order functions never reach
+    codegen, and Catalyst does not constant-fold aggregate() over
+    literal arrays)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def cosine(a: Column, b: Column) -> Column:
     a, b = _as_double(a), _as_double(b)
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
@@ -56,12 +74,23 @@ def brute_force_top_k(
     ``queries`` must be small (it is broadcast). Self-matches
     (same id) are excluded when the id columns share a name space.
     """
+    # norms hoisted out of the pair loop: each side's cast + norm fold
+    # runs once per ROW (n + m evaluations) instead of once per PAIR
+    # (n x m); the per-pair work is the one dot fold. Same expressions,
+    # same qn*vn multiply order as cosine() — bit-identical sims.
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(query_id_col),
+        _as_double(F.col(vec_col)).alias("__qd"),
+    ).withColumn("__qn", l2_norm(F.col("__qd")))
+    corp = corpus.withColumn(
+        "__vd", _as_double(F.col(vec_col))
+    ).withColumn("__vn", l2_norm(F.col("__vd")))
+    sim = F.round(
+        dot(F.col("__qd"), F.col("__vd")) / (F.col("__qn") * F.col("__vn")),
+        round_to,
     )
-    sim = F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_to)
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        corp.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
             F.col(query_id_col),
@@ -283,15 +312,24 @@ def lsh_top_k(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine rank within the bucket."""
-    cb = random_hyperplane_buckets(corpus, planes, vec_col)
+    # per-side norm hoist (see brute_force_top_k): one dot fold per
+    # bucket-candidate pair, casts + norms once per row.
+    cb = random_hyperplane_buckets(corpus, planes, vec_col).withColumn(
+        "__vd", _as_double(F.col(vec_col))
+    ).withColumn("__vn", l2_norm(F.col("__vd")))
     qb = random_hyperplane_buckets(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
         ),
         planes,
         "__qvec",
+    ).withColumn("__qd", _as_double(F.col("__qvec"))).withColumn(
+        "__qn", l2_norm(F.col("__qd"))
     )
-    sim = F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_to)
+    sim = F.round(
+        dot(F.col("__qd"), F.col("__vd")) / (F.col("__qn") * F.col("__vn")),
+        round_to,
+    )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col(id_col) != F.col(query_id_col))
@@ -319,24 +357,10 @@ def lsh_top_k(
 _CENTROID_EXPR_MAX = 32
 
 
-def _centroid_array(centroids: list[tuple[int, list[float]]]) -> Column:
-    """The codebook as ONE array<struct<cid,cv>> literal expression.
-    Every child is a literal, so Catalyst constant-folds the whole
-    tree into a single Literal before codegen — the broadcast-a-small-
-    dim shape, carried in the plan itself."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            )
-            for cid, cv in centroids
-        ]
-    )
-
-
 def _sim_entries(
-    v: Column, centroids: list[tuple[int, list[float]]]
+    v: Column,
+    centroids: list[tuple[int, list[float]]],
+    vn: Column | None = None,
 ) -> Column:
     """array of (sim, neg_cid) structs for v against every centroid —
     the shared kernel of assignment (array_max) and multi-probe
@@ -345,21 +369,38 @@ def _sim_entries(
     and the transform-over-constant-array formulation for large ones
     (constant codegen size in K). Both produce IDENTICAL values: the
     same sequential-fold dot product, the same (sim, -cid) structs.
-    """
+
+    ``vn``: pass the row's precomputed ``l2_norm(v)`` column to
+    evaluate the row-norm fold ONCE instead of once per centroid;
+    centroid norms are always baked in as literals via
+    :func:`_py_l2_norm` (bit-equal to the in-plan fold). Per (row,
+    centroid) the kernel then runs 1 interpreted fold (the dot), not
+    3 — HOFs never reach codegen, so fold count is the cost driver."""
+    if vn is None:
+        vn = l2_norm(v)
     if len(centroids) <= _CENTROID_EXPR_MAX:
         entries = []
         for cid, cvec in centroids:
             c = F.array(*[F.lit(float(x)) for x in cvec])
-            sim = dot(v, c) / (l2_norm(v) * l2_norm(c))
+            sim = dot(v, c) / (vn * F.lit(_py_l2_norm(cvec)))
             entries.append(
                 F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_cid"))
             )
         return F.array(*entries)
-    cents = _centroid_array(centroids)
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                F.lit(_py_l2_norm(cv)).alias("cn"),
+            )
+            for cid, cv in centroids
+        ]
+    )
     return F.transform(
         cents,
         lambda c: F.struct(
-            (dot(v, c["cv"]) / (l2_norm(v) * l2_norm(c["cv"]))).alias("sim"),
+            (dot(v, c["cv"]) / (vn * c["cn"])).alias("sim"),
             (-c["cid"]).cast("int").alias("neg_cid"),
         ),
     )
@@ -377,15 +418,30 @@ def ivf_assign(
     a small fixed list shipped as literals — at scale these come from
     a sampled k-means fit, broadcast the same way). With ``sim_col``
     the cosine to the winning centroid is emitted too."""
-    v = _as_double(F.col(vec_col))
+    # Stage the cast vector, its norm, and the argmax struct as real
+    # columns: each is an expensive expression consumed more than once
+    # (the cast by K dots + the norm, the norm by K sims, the argmax by
+    # cell + sim), and CollapseProject keeps a Project boundary when a
+    # non-cheap alias has multiple consumers — so the cast, the
+    # row-norm fold, and the entries+array_max pass each run ONCE per
+    # row instead of O(K) / twice.
+    staged = (
+        df.withColumn("__vd", _as_double(F.col(vec_col)))
+        .withColumn("__vn", l2_norm(F.col("__vd")))
+    )
     # argmax via array_max over (sim, -cid) structs: one linear pass,
     # no nested-when expression blowup; tie -> smallest centroid id.
     # _sim_entries picks the codegen-safe formulation for large K.
-    best = F.array_max(_sim_entries(v, centroids))
-    out = df.withColumn(cell_col, (-best["neg_cid"]).cast("int"))
+    staged = staged.withColumn(
+        "__best",
+        F.array_max(
+            _sim_entries(F.col("__vd"), centroids, vn=F.col("__vn"))
+        ),
+    )
+    out = staged.withColumn(cell_col, (-F.col("__best")["neg_cid"]).cast("int"))
     if sim_col is not None:
-        out = out.withColumn(sim_col, best["sim"])
-    return out
+        out = out.withColumn(sim_col, F.col("__best")["sim"])
+    return out.drop("__vd", "__vn", "__best")
 
 
 def kmeans_update(
@@ -448,15 +504,19 @@ def kmeans_lloyd(
 
 
 def probe_cells_expr(
-    vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vn: Column | None = None,
 ) -> Column:
     """Per-row array of the ``nprobe`` nearest centroid cell ids (by
     cosine, ties to the smaller centroid id) — the query-side
-    multi-probe expression, usable on batch and streaming rows alike."""
+    multi-probe expression, usable on batch and streaming rows alike.
+    ``vn``: optional precomputed row norm (see :func:`_sim_entries`)."""
     v = _as_double(vec)
     # sort desc: highest sim first; tie -> larger neg_cid = smaller cid
     # (_sim_entries keeps codegen constant-size for large codebooks)
-    arr = F.sort_array(_sim_entries(v, centroids), asc=False)
+    arr = F.sort_array(_sim_entries(v, centroids, vn=vn), asc=False)
     return F.transform(
         F.slice(arr, 1, nprobe), lambda s: (-s["neg_cid"]).cast("int")
     )
@@ -472,9 +532,15 @@ def ivf_probe_cells(
     """Explode each row into its ``nprobe`` nearest centroid cells
     (by cosine, ties to the smaller centroid id) — the query-side
     multi-probe of an IVF index. One row per probed cell."""
-    return df.withColumn(
-        cell_col, F.explode(probe_cells_expr(F.col(vec_col), centroids, nprobe))
-    )
+    staged = df.withColumn("__vn", l2_norm(_as_double(F.col(vec_col))))
+    return staged.withColumn(
+        cell_col,
+        F.explode(
+            probe_cells_expr(
+                F.col(vec_col), centroids, nprobe, vn=F.col("__vn")
+            )
+        ),
+    ).drop("__vn")
 
 
 def ivf_top_k(
@@ -495,7 +561,11 @@ def ivf_top_k(
     number of centroids this degenerates to exact brute force (tested).
     A corpus vector lives in exactly one cell, so multi-probe never
     duplicates a candidate pair."""
-    cb = ivf_assign(corpus, centroids, id_col, vec_col)
+    # per-side norm hoist (see brute_force_top_k): cast + norm fold per
+    # row before the cell join, one dot fold per candidate pair after.
+    cb = ivf_assign(corpus, centroids, id_col, vec_col).withColumn(
+        "__vd", _as_double(F.col(vec_col))
+    ).withColumn("__vn", l2_norm(F.col("__vd")))
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
@@ -503,7 +573,13 @@ def ivf_top_k(
         qb = ivf_assign(q, centroids, query_id_col, "__qvec")
     else:
         qb = ivf_probe_cells(q, centroids, nprobe, "__qvec")
-    sim = F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_to)
+    qb = qb.withColumn("__qd", _as_double(F.col("__qvec"))).withColumn(
+        "__qn", l2_norm(F.col("__qd"))
+    )
+    sim = F.round(
+        dot(F.col("__qd"), F.col("__vd")) / (F.col("__qn") * F.col("__vn")),
+        round_to,
+    )
     scored = (
         cb.join(F.broadcast(qb), "cell")
         .where(F.col(id_col) != F.col(query_id_col))
@@ -715,13 +791,22 @@ def cosine_pairs_lsh(
     Verified pairs are a subset of ``cosine_pairs`` at the same
     threshold (LSH may miss pairs whose signatures differ)."""
     b = random_hyperplane_buckets(df, planes, vec_col)
+    # per-side cast + norm staged before the bucket join: the sim
+    # expression is evaluated by both the threshold filter and the
+    # output projection, so without the hoist each pair paid 2 casts +
+    # 3 folds twice; now each evaluation is one dot fold (same qn*vn
+    # multiply order as cosine() — bit-identical values).
     a = b.select(
-        "bucket", F.col(id_col).alias("doc1"), F.col(vec_col).alias("__va")
-    )
+        "bucket",
+        F.col(id_col).alias("doc1"),
+        _as_double(F.col(vec_col)).alias("__va"),
+    ).withColumn("__na", l2_norm(F.col("__va")))
     c = b.select(
-        "bucket", F.col(id_col).alias("doc2"), F.col(vec_col).alias("__vb")
-    )
-    sim = cosine(F.col("__va"), F.col("__vb"))
+        "bucket",
+        F.col(id_col).alias("doc2"),
+        _as_double(F.col(vec_col)).alias("__vb"),
+    ).withColumn("__nb", l2_norm(F.col("__vb")))
+    sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(c, "bucket")
         .where(F.col("doc1") < F.col("doc2"))

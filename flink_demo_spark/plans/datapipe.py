@@ -2250,16 +2250,27 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit renames break the self-join lineage so the cluster
     # equality is a real hash key (shuffled-on-cluster at scale),
     # not an ambiguous same-attribute predicate
-    earlier = assigned.select(
+    # per-side cast + norm staged before the cluster self-join, so the
+    # anti-join condition pays one dot fold per candidate pair instead
+    # of 2 casts + 3 folds (same u*v norm multiply order as cosine()
+    # — bit-identical values)
+    withn = assigned.withColumn(
+        "__vd", similarity._as_double(F.col("embedding"))
+    ).withColumn("__vn", similarity.l2_norm(F.col("__vd")))
+    earlier = withn.select(
         F.col("cluster").alias("u_cluster"),
         F.col("vec_id").alias("u_id"),
-        F.col("embedding").alias("u_vec"),
+        F.col("__vd").alias("u_vd"),
+        F.col("__vn").alias("u_vn"),
     )
-    survivors = assigned.join(
+    pair_cos = similarity.dot(F.col("u_vd"), F.col("__vd")) / (
+        F.col("u_vn") * F.col("__vn")
+    )
+    survivors = withn.join(
         earlier,
         (F.col("cluster") == F.col("u_cluster"))
         & (F.col("u_id") < F.col("vec_id"))
-        & (similarity.cosine(F.col("u_vec"), F.col("embedding")) >= 0.4),
+        & (pair_cos >= 0.4),
         "left_anti",
     )
     return survivors.select("vec_id", "cluster")
@@ -3680,7 +3691,14 @@ def similarity_recall_ivf_trained(
     # corpus assigned ONCE under the trained codebook; all three probe
     # settings reuse it (the probe side only changes which cells each
     # QUERY visits, never the corpus partitioning)
-    assigned = similarity.ivf_assign(emb, cents).persist()
+    # corpus-side cast + norm ride the persisted frame: every nprobe
+    # setting's candidate scoring then pays one dot fold per pair
+    assigned = (
+        similarity.ivf_assign(emb, cents)
+        .withColumn("__vd", similarity._as_double(F.col("embedding")))
+        .withColumn("__vn", similarity.l2_norm(F.col("__vd")))
+        .persist()
+    )
     queries = emb.where(F.col("vec_id") < 32)
     brute = (
         similarity.brute_force_top_k(
@@ -3699,9 +3717,15 @@ def similarity_recall_ivf_trained(
     )
     out = None
     for nprobe in (1, 2, 4):
-        qb = similarity.ivf_probe_cells(q, cents, nprobe, "__qvec")
+        qb = (
+            similarity.ivf_probe_cells(q, cents, nprobe, "__qvec")
+            .withColumn("__qd", similarity._as_double(F.col("__qvec")))
+            .withColumn("__qn", similarity.l2_norm(F.col("__qd")))
+        )
         sim = F.round(
-            similarity.cosine(F.col("__qvec"), F.col("embedding")), 6
+            similarity.dot(F.col("__qd"), F.col("__vd"))
+            / (F.col("__qn") * F.col("__vn")),
+            6,
         )
         scored = (
             assigned.join(F.broadcast(qb), "cell")

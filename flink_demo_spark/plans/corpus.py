@@ -996,17 +996,24 @@ def _pct_epoch(feats: DataFrame, w: list[int], b: int) -> tuple[list[int], int]:
     kmeans_update. The bias term rides along by tagging each
     misclassified doc's first feature row (row_number within the same
     window partitioning, so no extra exchange)."""
-    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
     wdoc = Window.partitionBy("doc_id")
-    dot = F.sum(
-        F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("x")
-    ).over(wdoc)
     rn = F.row_number().over(wdoc.orderBy("bucket"))
-    mis = (
-        feats.withColumn("dot", dot)
-        .withColumn("rn", rn)
-        .where(F.col("y") * (F.lit(int(b)) + F.col("dot")) <= 0)
-    )
+    if not any(w) and b == 0:
+        # epoch from the zero model: every margin is 0, so every doc is
+        # misclassified by definition — the oracle special-cases this
+        # epoch as the plain label-weighted sum (w1/b1 CTEs), and so do
+        # we: no per-row weight lookup, no margin window, no filter.
+        mis = feats.withColumn("rn", rn)
+    else:
+        warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+        dot = F.sum(
+            F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("x")
+        ).over(wdoc)
+        mis = (
+            feats.withColumn("dot", dot)
+            .withColumn("rn", rn)
+            .where(F.col("y") * (F.lit(int(b)) + F.col("dot")) <= 0)
+        )
     rows = (
         mis.groupBy("bucket")
         .agg(

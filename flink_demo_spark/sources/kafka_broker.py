@@ -29,13 +29,34 @@ from .kafka_wire import (
 )
 
 
+class _PartLog:
+    """One partition's log as offset-stamped CONTIGUOUS wire bytes
+    plus the cumulative end position of each message.
+
+    Offsets are message indexes, stamped once at append time (the
+    base offset is known then), so a fetch at (offset, max_bytes) is
+    a single byte-slice ``data[ends[offset-1] : +max_bytes]`` —
+    byte-identical to packing messages one by one and truncating,
+    because consecutive messages are adjacent in ``data``. The
+    previous per-entry layout re-enumerated the WHOLE partition list
+    and re-packed every message on EVERY fetch, which the client's
+    1 MiB paging turned into O(log_size) work per page."""
+
+    __slots__ = ("data", "ends")
+
+    def __init__(self) -> None:
+        self.data = bytearray()
+        self.ends: list[int] = []
+
+    def __len__(self) -> int:
+        return len(self.ends)
+
+
 class KafkaTestBroker:
     def __init__(self, num_partitions: int = 3) -> None:
         self.num_partitions = num_partitions
-        # topic -> pid -> list[(key, value, wire_tail)]; offsets are
-        # list indexes; wire_tail is the message's encoded bytes minus
-        # the 8-byte offset, stamped per fetch
-        self.log: dict[str, dict[int, list]] = {}
+        # topic -> pid -> _PartLog (stamped contiguous wire bytes)
+        self.log: dict[str, dict[int, _PartLog]] = {}
         self._lock = threading.Lock()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -114,10 +135,10 @@ class KafkaTestBroker:
         return buf
 
     # -- api handlers --------------------------------------------------
-    def _ensure(self, topic: str) -> dict[int, list]:
+    def _ensure(self, topic: str) -> dict[int, _PartLog]:
         with self._lock:
             return self.log.setdefault(
-                topic, {p: [] for p in range(self.num_partitions)}
+                topic, {p: _PartLog() for p in range(self.num_partitions)}
             )
 
     def _metadata(self, r: _Reader) -> bytes:
@@ -147,16 +168,19 @@ class KafkaTestBroker:
                 pid = r.i32()
                 mset = r.take(r.i32())
                 msgs = decode_message_set(mset)  # CRC-verifies
-                # store the re-encoded wire bytes once at append time so
-                # fetch responses are offset-stamp + slice, not a CRC
-                # re-encode per message per fetch
-                entries = [
-                    (k, v, encode_message_set([(k, v)])[8:])
-                    for _, k, v in msgs
+                # re-encode ONCE at append time (outside the lock);
+                # the offset stamp is written under the lock where the
+                # base offset is known — fetches then never touch a
+                # per-message object again
+                tails = [
+                    encode_message_set([(k, v)])[8:] for _, k, v in msgs
                 ]
                 with self._lock:
-                    base = len(plog[pid])
-                    plog[pid].extend(entries)
+                    pl = plog[pid]
+                    base = len(pl.ends)
+                    for i, tail in enumerate(tails):
+                        pl.data += struct.pack(">q", base + i) + tail
+                        pl.ends.append(len(pl.data))
                 presps.append(struct.pack(">ihq", pid, 0, base))
             out_topics.append(
                 _str(topic) + struct.pack(">i", len(presps)) + b"".join(presps)
@@ -199,21 +223,20 @@ class KafkaTestBroker:
                 pid = r.i32()
                 offset = r.i64()
                 max_bytes = r.i32()
-                with self._lock:
-                    entries = list(enumerate(plog[pid]))[offset:]
-                    hw = len(plog[pid])
                 # real v0 contract: return AT MOST max_bytes of log —
                 # the cut may land mid-message (the client drops the
                 # trailing partial and, for a pinned range, retries
-                # with a doubled max_bytes; see fetch_range)
-                parts = []
-                size = 0
-                for off, (_k, _v, tail) in entries:
-                    parts.append(struct.pack(">q", off) + tail)
-                    size += 8 + len(tail)
-                    if size >= max_bytes:
-                        break
-                mset = b"".join(parts)[:max_bytes]
+                # with a doubled max_bytes; see fetch_range). Messages
+                # are stamped and contiguous in pl.data, so this is
+                # one O(max_bytes) slice regardless of log length.
+                with self._lock:
+                    pl = plog[pid]
+                    hw = len(pl.ends)
+                    if 0 <= offset < hw:
+                        start = pl.ends[offset - 1] if offset else 0
+                        mset = bytes(pl.data[start : start + max_bytes])
+                    else:
+                        mset = b""
                 presps.append(
                     struct.pack(">ihq", pid, 0, hw) + _bytes(mset)
                 )

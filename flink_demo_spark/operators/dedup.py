@@ -592,6 +592,7 @@ def duplicate_passages(
     k: int = 20,
     hashed: bool = False,
     single_scan: bool = False,
+    stage_positions: bool | None = None,
 ) -> DataFrame:
     """Exact-substring passage dedup (the suffix-array family of Lee et
     al., "Deduplicating Training Data Makes Language Models Better",
@@ -715,6 +716,32 @@ def duplicate_passages(
             .select("doc_id", "pos")
         )
     else:
+        # The join path consumes pos_gram TWICE (seed counts + probe),
+        # re-running the whole tokenize/hash/gram chain per consumer —
+        # measured ~40% of the query at sf0.1. Stage it iff the
+        # positions projection plausibly fits the storage layer: the
+        # cached frame is ~5x the input text bytes ((doc_id, pos, g1,
+        # g2) per token vs ~6 chars per token), so the gate is on the
+        # optimizer's INPUT estimate. Above the threshold (and so at
+        # 100 TB, where a ~5x-corpus-size cache would thrash disk
+        # while a second scan streams) the plan recomputes, exactly as
+        # before. stage_positions=True/False forces either side;
+        # spark.flinkDemoSpark.passageDedup.stageInputBytes overrides
+        # the threshold (same escape-hatch pattern as _planstats).
+        if stage_positions is None:
+            from ._planstats import estimated_plan_bytes
+
+            limit = int(
+                df.sparkSession.conf.get(
+                    "spark.flinkDemoSpark.passageDedup.stageInputBytes",
+                    str(1 << 30),
+                )
+            )
+            stage_positions = (
+                estimated_plan_bytes(df, default=1 << 60) <= limit
+            )
+        if stage_positions:
+            pos_gram = pos_gram.persist()
         dup = (
             pos_gram.groupBy(*key)
             .agg(F.count(F.lit(1)).alias("n_occ"))

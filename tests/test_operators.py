@@ -1871,6 +1871,47 @@ def test_duplicate_passages_single_scan_equals_default(spark, sf_dir):
     assert spans(single_scan=True, hashed=True) == base
 
 
+def test_duplicate_passages_stage_gate_and_equivalence(spark, sf_dir):
+    """Round-13: the join path stages the positions frame iff the
+    input estimate is under the threshold (persist = one gram-chain
+    evaluation instead of two), recomputes above it, and both sides
+    of the gate produce identical spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    conf = "spark.flinkDemoSpark.passageDedup.stageInputBytes"
+
+    def build(**kw):
+        return dedup.duplicate_passages(
+            docs, "text", "doc_id", k=20, hashed=True, **kw
+        )
+
+    def staged(df):
+        return "InMemoryRelation" in df._jdf.queryExecution().toString()
+
+    spark.catalog.clearCache()
+    try:
+        # small input, default 1 GiB threshold: auto-stages
+        auto = build()
+        assert staged(auto)
+        base = {(r.doc_id, r.pass_start, r.pass_len) for r in auto.collect()}
+        assert base
+        spark.catalog.clearCache()
+        # threshold forced below the estimate: recomputes (plan has no
+        # cache node), output identical
+        spark.conf.set(conf, "0")
+        off = build()
+        assert not staged(off)
+        assert {
+            (r.doc_id, r.pass_start, r.pass_len) for r in off.collect()
+        } == base
+        # explicit override beats the gate in both directions
+        assert staged(build(stage_positions=True))
+        spark.catalog.clearCache()
+        assert not staged(build(stage_positions=False))
+    finally:
+        spark.conf.unset(conf)
+        spark.catalog.clearCache()
+
+
 def test_duplicate_passages_randomized_vs_bruteforce(spark):
     """Randomized cross-validation against an independent brute-force
     reference: 40 small corpora (3-symbol alphabet, k=3, doc lengths

@@ -388,7 +388,8 @@ def minhash_lsh_pairs(
     # unavailable stats -> assume big (1 TiB): the candidate-
     # proportional path is the safe default at scale
     corpus_bytes = estimated_plan_bytes(df, default=1 << 40)
-    if corpus_bytes > 1 << 30:  # > 1 GiB: candidate-proportional path
+    large_corpus = corpus_bytes > 1 << 30  # > 1 GiB
+    if large_corpus:  # candidate-proportional path
         cand = cand.persist()
         cand_docs = (
             cand.select(F.col("doc1").alias("__cid"))
@@ -403,6 +404,16 @@ def minhash_lsh_pairs(
     sets_ = verify_src.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh")
     )
+    if large_corpus:
+        # both verify branches (s1, s2) consume sets_; without a persist
+        # each one re-runs the FULL corpus scan + semi-join + shingle
+        # expansion, so at scale the second consumer costs a whole extra
+        # corpus pass. The cache is candidate-proportional (post
+        # semi-join) — bounded like the cand persist above. The small-
+        # corpus path stays unpersisted: there sets_ is corpus×~5 bytes
+        # of shingle arrays and a 20-pair interleaved A/B at sf0.1
+        # measured a wash (12/20 pairs, mins within the host noise band).
+        sets_ = sets_.persist()
     s1 = sets_.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = sets_.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))

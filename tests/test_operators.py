@@ -31,6 +31,33 @@ def test_minhash_lsh_pairs_subset_of_jaccard(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_minhash_lsh_verify_large_path_equivalence(spark, sf_dir):
+    """The candidate-proportional verify path (forced via the plan-stats
+    override) must return exactly the small-corpus path's pairs. r13:
+    the large path now persists the shingle-set frame — its two verify
+    consumers (s1, s2) would otherwise each re-run the corpus scan +
+    semi-join + shingle expansion; the persist must not change rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", 16, 4, 3, verify_threshold=0.3
+        ).collect()
+    }
+    spark.conf.set("spark.flinkDemoSpark.planStats.overrideBytes", str(2 << 30))
+    try:
+        large = {
+            tuple(r)
+            for r in dedup.minhash_lsh_pairs(
+                docs, "text", "doc_id", 16, 4, 3, verify_threshold=0.3
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.flinkDemoSpark.planStats.overrideBytes")
+        spark.catalog.clearCache()
+    assert large == small and small
+
+
 def test_jaccard_fraction_cap_scale_relative(spark):
     """max_posting_frac drops shingles whose document frequency
     exceeds ceil(frac * n_docs) (floored at min_posting_cap), so the

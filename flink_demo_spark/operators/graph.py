@@ -62,6 +62,17 @@ def pagerank_fixed_point(
     and a measured A/B showed eager materialization (localCheckpoint
     of edges/outdeg/nodes, or of ranks per round) SLOWS a 3-iteration
     run 1.3-1.7x at sf1 — job barriers cost more than the reuse saves.
+    LAZY ``persist()`` was re-measured in round 13 (the 3-iteration
+    browse plan re-derives the events scan ~51 times declaratively,
+    an inviting target) and ALSO loses, decisively: persisting
+    nodes/outdeg/ew + per-round ranks 4.39 -> 6.83 s min (0/4
+    interleaved pairs at sf0.1), invariants-only persist 7.40 s
+    (0/4) — cached plans are compiled without AQE partition
+    coalescing (``canChangeCachedPlanOutputPartitioning`` defaults
+    false), so every census-sized cache materializes and re-scans at
+    the static shuffle-partition count, flooding the tiny-graph run
+    with empty tasks, while runtime ReusedExchange already dedupes
+    the repeated subtrees for free.
     ``localCheckpoint`` every ``checkpoint_every`` rounds therefore
     only truncates lineage on long runs. Note the growth rate: each
     round references the prior rank frame TWICE, so the logical tree

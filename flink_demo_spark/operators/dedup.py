@@ -61,6 +61,7 @@ def jaccard_pairs(
     max_posting: int | None = None,
     max_posting_frac: float | None = None,
     min_posting_cap: int = 64,
+    size_ratio_prune: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard >= threshold.
 
@@ -160,12 +161,43 @@ def jaccard_pairs(
             .drop("__n_docs", "__cap")
         )
     posting = posting.where(F.size("ids") > 1)
+    # Optional size-ratio prune at pair GENERATION (the length filter
+    # of the set-similarity-join literature, cf. prefix filtering):
+    # n_common <= min(n1,n2), so jac <= min(n1,n2)/max(n1,n2) — a pair
+    # whose set sizes differ by more than the threshold ratio can NEVER
+    # pass the final filter and need not be emitted, counted, or
+    # shuffled. The bound is checked in EXACT integer arithmetic from
+    # the threshold's rational form (min*den >= num*max keeps; the
+    # boundary min/max == t stays in, since jac can equal t there), so
+    # pruning is provably result-identical (r13: 256/256 pairs EQUAL
+    # at sf0.1 both ways). Default OFF on measurement: at sf0.1 the
+    # prune LOSES (interleaved A/B, new wins 1/8 pairs, min 2.79 vs
+    # 3.20 s) — the extra F.filter array materialization per posting
+    # position costs more than the ~12%-of-pair-rows shuffle saving at
+    # this document-length spread (10-100 tokens). Opt in for
+    # heavy-tailed corpora where the length spread (and therefore the
+    # prune rate) is large enough to pay for itself.
+    from fractions import Fraction as _Fr
+
+    _t = _Fr(str(threshold))
+    t_num, t_den = _t.numerator, _t.denominator
+
+    def _candidates(x, i):
+        tail = F.slice(F.col("ids"), i + 2, F.size(F.col("ids")))
+        if not size_ratio_prune or t_num == 0:
+            return tail
+        return F.filter(
+            tail,
+            lambda y: F.least(x["n"], y["n"]) * F.lit(t_den)
+            >= F.lit(t_num) * F.greatest(x["n"], y["n"]),
+        )
+
     # ids sorted by doc_id -> emit (ids[i], ids[j]) for i < j: doc1 < doc2
     pair = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                _candidates(x, i),
                 lambda y: F.struct(
                     x["doc_id"].alias("doc1"),
                     x["n"].alias("n1"),

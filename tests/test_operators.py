@@ -31,6 +31,27 @@ def test_minhash_lsh_pairs_subset_of_jaccard(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_jaccard_size_ratio_prune_equivalence(spark, sf_dir):
+    """The opt-in size-ratio prune (jac <= min/max, exact integer
+    bound from the threshold's rational form) must be result-identical
+    to the unpruned pair generation — it may only drop pairs that the
+    final jac >= t filter would drop anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        tuple(r)
+        for r in dedup.jaccard_pairs(
+            docs, "text", "doc_id", 3, 0.3, size_ratio_prune=False
+        ).collect()
+    }
+    pruned = {
+        tuple(r)
+        for r in dedup.jaccard_pairs(
+            docs, "text", "doc_id", 3, 0.3, size_ratio_prune=True
+        ).collect()
+    }
+    assert pruned == base and base
+
+
 def test_minhash_lsh_verify_large_path_equivalence(spark, sf_dir):
     """The candidate-proportional verify path (forced via the plan-stats
     override) must return exactly the small-corpus path's pairs. r13:

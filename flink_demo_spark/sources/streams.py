@@ -114,6 +114,30 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
     return d
 
 
+# Session-conf handoff from the file stream sources to the replay
+# runner (streaming/runner.py): the staged parquet byte total of the
+# stream MOST RECENTLY built in this session. The runner CONSUMES the
+# key (read + unset) to derive a scale-adaptive shuffle-partition
+# count for the replay — streaming plans cannot use AQE partition
+# coalescing, so without this every stateful replay pays the session's
+# static partition count in state-store commits and task overhead no
+# matter how small the input is (guide §2: derive partitioning from
+# input size, not a constant tuned for one scale).
+STAGED_BYTES_CONF = "spark.flinkDemoSpark.stream.stagedInputBytes"
+
+
+def _record_staged_bytes(spark: SparkSession, staged_dir: str) -> None:
+    """Publish the staged dir's parquet byte total for the runner.
+    Same listing rule as :func:`_scan_guard`: the TOTAL across files,
+    one decision per replay."""
+    total = sum(
+        os.path.getsize(os.path.join(staged_dir, f))
+        for f in os.listdir(staged_dir)
+        if f.endswith(".parquet")
+    )
+    spark.conf.set(STAGED_BYTES_CONF, str(total))
+
+
 def eof_pad_hours(gap_ms: int, watermark_ms: int = 600_000) -> int:
     """Sentinel pad (hours) guaranteed to clear an evicting operator's
     flush horizon. The EOF row only flushes open state if it drags the
@@ -190,6 +214,7 @@ def events_stream(
 
     apply_runtime_confs(spark)
     staged = _stage_stream_dir(sf_dir, "events")
+    _record_staged_bytes(spark, staged)
     reader = spark.readStream.schema(_events_raw_schema(staged))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -263,6 +288,7 @@ def events_stream_with_eof(
         tmp = sentinel + ".tmp"
         pq.write_table(row, tmp)
         os.replace(tmp, sentinel)  # atomic: concurrent stagers race safely
+    _record_staged_bytes(spark, d)
     reader = spark.readStream.schema(_events_raw_schema(d))
     df = normalize_events_ts(reader.parquet(d))
     if watermark:
@@ -360,6 +386,7 @@ def events_stream_with_eof_split(
         os.replace(sentinel + tmp_sfx, sentinel)
         with open(done, "w") as f:
             f.write("ok\n")
+    _record_staged_bytes(spark, d)
     reader = spark.readStream.schema(_events_raw_schema(d)).option(
         "maxFilesPerTrigger", 1
     )
@@ -389,6 +416,7 @@ def documents_stream(
     )
     apply_runtime_confs(spark)
     staged = _stage_stream_dir(sf_dir, "documents")
+    _record_staged_bytes(spark, staged)
     df = spark.readStream.schema(schema).parquet(staged)
     if scan_guard:
         # documents carry HEAVY per-row work (shingling, hashing,
@@ -426,6 +454,7 @@ def embeddings_stream(
     )
     apply_runtime_confs(spark)
     staged = _stage_stream_dir(sf_dir, "embeddings")
+    _record_staged_bytes(spark, staged)
     df = spark.readStream.schema(schema).parquet(staged)
     if scan_guard:
         df = _scan_guard(df, staged, spark, threshold_bytes=0)

@@ -32,6 +32,38 @@ def run_available_now(
 
         timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT_SEC", "300"))
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    spark: SparkSession = sdf.sparkSession
+    # Scale-adaptive state partitioning (guide §2: derive partitioning
+    # from input size, not a constant tuned for one scale). Streaming
+    # aggregations cannot use AQE partition coalescing — their
+    # state-store partition count is frozen from
+    # spark.sql.shuffle.partitions at the first micro-batch — so a
+    # bounded replay of a few-MB staged input otherwise pays the full
+    # session count (32 here) in state-store commits and task launches
+    # per micro-batch. The file stream sources publish their staged
+    # byte total under STAGED_BYTES_CONF; we CONSUME it (read + unset,
+    # so a non-file stream started later can never see a stale value)
+    # and clamp the partition count to min(session, max(8, MiB of
+    # input)). Measured on the sf0.1 stateful replay floor: 32→8
+    # partitions is −34% wall (1.553→1.023 s min, 8 wins 5/5
+    # interleaved pairs). The clamp never RAISES the session value, so
+    # a session already at the driver's 8 is byte-identical, and a
+    # 100 TB replay (input ≫ session×1 MiB) keeps the session count.
+    from ..sources.streams import STAGED_BYTES_CONF
+
+    restore_parts: str | None = None
+    staged_bytes = spark.conf.get(STAGED_BYTES_CONF, None)
+    if staged_bytes is not None:
+        spark.conf.unset(STAGED_BYTES_CONF)
+        try:
+            cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except ValueError:
+            cur = None  # non-integer (e.g. vendor "auto"): leave alone
+        if cur is not None:
+            target = min(cur, max(8, -(-int(staged_bytes) // (1 << 20))))
+            if target != cur:
+                restore_parts = str(cur)
+                spark.conf.set("spark.sql.shuffle.partitions", str(target))
     writer = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -78,5 +110,6 @@ def run_available_now(
             import shutil
 
             shutil.rmtree(scratch_root, ignore_errors=True)
-    spark: SparkSession = sdf.sparkSession
+        if restore_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore_parts)
     return spark.table(name)

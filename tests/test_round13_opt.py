@@ -100,3 +100,60 @@ def test_lateness_vectorized_matches_reference_fuzz():
             int(k): list(v) for k, v in new_wins.items()
         }, f"trial {trial}: final window state diverges"
         assert ref_max == new_max, f"trial {trial}: final watermark diverges"
+
+
+def test_runner_staged_bytes_clamp(spark, sf_dir):
+    """Scale-adaptive streaming state partitioning (round-13 change 15):
+    the file stream sources publish their staged parquet byte total
+    under STAGED_BYTES_CONF; run_available_now CONSUMES it (read +
+    unset), clamps spark.sql.shuffle.partitions for the replay to
+    min(session, max(8, MiB of input)), restores the session value
+    afterward, and the results are identical with and without the
+    clamp. The clamp must never RAISE the session value."""
+    from pyspark.sql import functions as F
+
+    from flink_demo_spark.sources import streams
+    from flink_demo_spark.streaming.runner import run_available_now
+
+    def hourly(ev):
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # 1. the source publishes the staged byte total
+        ev = streams.events_stream(spark, sf_dir, watermark="10 minutes")
+        staged = spark.conf.get(streams.STAGED_BYTES_CONF, None)
+        assert staged is not None and int(staged) > 0
+        new_rows = run_available_now(hourly(ev), output_mode="complete").collect()
+        # 2. the runner consumed the conf and restored the session value
+        assert spark.conf.get(streams.STAGED_BYTES_CONF, None) is None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+        # 3. suppressing the handoff (pre-change behavior) yields the
+        #    same rows — partition count cannot affect results
+        real = streams._record_staged_bytes
+        streams._record_staged_bytes = lambda s, d: None
+        try:
+            ev_old = streams.events_stream(spark, sf_dir, watermark="10 minutes")
+            assert spark.conf.get(streams.STAGED_BYTES_CONF, None) is None
+            old_rows = run_available_now(
+                hourly(ev_old), output_mode="complete"
+            ).collect()
+        finally:
+            streams._record_staged_bytes = real
+        assert sorted(map(tuple, new_rows)) == sorted(map(tuple, old_rows))
+        assert len(new_rows) > 0
+        # 4. never raises: a session already below the floor keeps its
+        #    value even for a huge staged input (100 TB shape)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set(streams.STAGED_BYTES_CONF, str(100 << 20))
+        ev4 = streams.events_stream(spark, sf_dir, watermark="10 minutes")
+        run_available_now(hourly(ev4), output_mode="complete").collect()
+        assert spark.conf.get(streams.STAGED_BYTES_CONF, None) is None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

@@ -43,12 +43,28 @@ def run_available_now(
     # per micro-batch. The file stream sources publish their staged
     # byte total under STAGED_BYTES_CONF; we CONSUME it (read + unset,
     # so a non-file stream started later can never see a stale value)
-    # and clamp the partition count to min(session, max(8, MiB of
-    # input)). Measured on the sf0.1 stateful replay floor: 32→8
-    # partitions is −34% wall (1.553→1.023 s min, 8 wins 5/5
-    # interleaved pairs). The clamp never RAISES the session value, so
-    # a session already at the driver's 8 is byte-identical, and a
-    # 100 TB replay (input ≫ session×1 MiB) keeps the session count.
+    # and clamp the partition count to
+    # min(session, max(8, ceil(bytes / divisor))), where the divisor
+    # depends on whether the replay has a Python stage — the measured
+    # optima INVERT with the stage kind:
+    #   - JVM-only stateful plans are state-commit-bound: 8 partitions
+    #     beat 32 at sf0.1 (1.553→1.023 s min, 8 wins 5/5 interleaved
+    #     pairs) AND still beat 12/32 at a 10x events replica
+    #     (2.90 vs 3.46/4.73 s min, 4/4 pairs at 11.6 MiB staged)
+    #     → divisor 8 MiB/partition: the count stays at the floor
+    #     until ~64 MiB and reaches the session ceiling at
+    #     session×8 MiB.
+    #   - Python-stage plans (applyInPandasWithState / mapInPandas,
+    #     detected via the analyzed plan) are per-row-CPU-bound past
+    #     the smallest inputs: 8 beat 32 at sf0.1 (4.23→2.44 s min),
+    #     but at the same 10x replica 32 beat 12 beat 8
+    #     (3.83/4.88/6.52 s min, monotone across all 4 reps)
+    #     → divisor 256 KiB/partition, which hits BOTH measured
+    #     optima (sf0.1 → 8, 10x → session 32) and restores full
+    #     parallelism quickly as input grows.
+    # The clamp never RAISES the session value, so a session already
+    # at the driver's 8 is byte-identical, and a 100 TB replay
+    # (input ≫ session×divisor) keeps the session count.
     from ..sources.streams import STAGED_BYTES_CONF
 
     restore_parts: str | None = None
@@ -60,7 +76,16 @@ def run_available_now(
         except ValueError:
             cur = None  # non-integer (e.g. vendor "auto"): leave alone
         if cur is not None:
-            target = min(cur, max(8, -(-int(staged_bytes) // (1 << 20))))
+            plan = sdf._jdf.queryExecution().analyzed().toString()
+            # "InPandas" covers FlatMapGroupsInPandasWithState /
+            # MapInPandas; "Python" catches UDF expressions. A false
+            # positive only ramps parallelism faster (perf-only).
+            divisor = (
+                (256 << 10)
+                if ("InPandas" in plan or "Python" in plan)
+                else (8 << 20)
+            )
+            target = min(cur, max(8, -(-int(staged_bytes) // divisor)))
             if target != cur:
                 restore_parts = str(cur)
                 spark.conf.set("spark.sql.shuffle.partitions", str(target))

@@ -103,6 +103,28 @@ def pagerank_fixed_point(
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", F.expr(f"CAST({scale} AS BIGINT) DIV __n").alias("r")
     )
+    # Zero seed per node, unioned into the contribution aggregation:
+    # with every node guaranteed a group, the per-iteration
+    # nodes ⟕ contrib sort-merge join (two sorts + an exchange of the
+    # node census per round) disappears — the union rides the SAME
+    # groupBy exchange the messages already pay. Measured (round 14,
+    # sf0.1 interleaved A/B): 8/10 pairwise wins, min 1.85 → 1.72 s;
+    # non-loss at a 10x events replica. The null filter keeps exact
+    # parity with the old nodes-join semantics: a contribution onto a
+    # NULL dst must be dropped, never merged with a null node's zero
+    # seed. (A single-pass variant that also folded the dangling-mass
+    # branch into the same aggregation via a marker group was measured
+    # and REJECTED: 0/4 pairs, min 2.28 vs 1.94 s, and the analyzed
+    # plan GREW 51 → 65 relation refs — the dangling scalar must be
+    # re-distributed to every row, so its branch duplicates the whole
+    # aggregate subtree declaratively; the anti-join branch below
+    # duplicates only the rank frame, which runtime ReusedExchange
+    # already dedupes. The 2^iterations tree growth itself is
+    # irreducible without materialization: the recursion carries TWO
+    # state values (rank frame + dangling scalar) and both next values
+    # need the previous frame — and both eager and lazy
+    # materialization measured slower in rounds 12/13, see above.)
+    zeros = nodes.select("node", F.lit(0).cast("long").alias("__m"))
     for i in range(iterations):
         contrib = (
             ew.join(ranks, ew["__src"] == ranks["node"])
@@ -110,6 +132,8 @@ def pagerank_fixed_point(
                 F.col("__dst").alias("node"),
                 (F.col("__cnt") * F.expr("r DIV __outdeg")).alias("__m"),
             )
+            .where(F.col("node").isNotNull())
+            .union(zeros)
             .groupBy("node")
             .agg(F.sum("__m").alias("__m"))
         )
@@ -118,16 +142,14 @@ def pagerank_fixed_point(
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("__dang"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang_row))
+            contrib.crossJoin(F.broadcast(dang_row))
             .crossJoin(F.broadcast(n_row))
             .select(
                 "node",
                 (
                     teleport
                     + F.expr(
-                        f"{damping_pct} * (coalesce(__m, CAST(0 AS BIGINT))"
-                        " + __dang DIV __n) DIV 100"
+                        f"{damping_pct} * (__m + __dang DIV __n) DIV 100"
                     )
                 ).alias("r"),
             )

@@ -123,6 +123,14 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
 # static partition count in state-store commits and task overhead no
 # matter how small the input is (guide §2: derive partitioning from
 # input size, not a constant tuned for one scale).
+#
+# Known limits of the conf channel (round-13 ADVICE, accepted as
+# perf-only): last-writer-wins, so (a) a stream built but never run
+# leaves a value the NEXT replay consumes, and (b) a multi-source plan
+# (stream-stream join) publishes only the last-built source's bytes.
+# Either case mis-sizes the clamp (more or fewer partitions than
+# ideal) but cannot affect results; the runner also never RAISES the
+# session partition count.
 STAGED_BYTES_CONF = "spark.flinkDemoSpark.stream.stagedInputBytes"
 
 

@@ -41,9 +41,13 @@ def run_available_now(
     # bounded replay of a few-MB staged input otherwise pays the full
     # session count (32 here) in state-store commits and task launches
     # per micro-batch. The file stream sources publish their staged
-    # byte total under STAGED_BYTES_CONF; we CONSUME it (read + unset,
-    # so a non-file stream started later can never see a stale value)
-    # and clamp the partition count to
+    # byte total under STAGED_BYTES_CONF; we CONSUME it (read + unset).
+    # The handoff is session-global last-writer-wins: a stream that was
+    # BUILT but never run leaves a value the next replay consumes, and
+    # a multi-source plan clamps by the last-built source only — both
+    # are perf-only mis-sizings (wrong partition count, same results),
+    # accepted for the simplicity of the conf channel (round-13
+    # ADVICE, documented). We clamp the partition count to
     # min(session, max(8, ceil(bytes / divisor))), where the divisor
     # depends on whether the replay has a Python stage — the measured
     # optima INVERT with the stage kind:
@@ -67,74 +71,118 @@ def run_available_now(
     # (input ≫ session×divisor) keeps the session count.
     from ..sources.streams import STAGED_BYTES_CONF
 
+    # NOTE: the clamp/restore below mutates the session-global
+    # spark.sql.shuffle.partitions; replays are assumed to run one at a
+    # time per session (true for the bench, the driver, and the test
+    # suite). Concurrent run_available_now calls in one session could
+    # interleave clamp/restore and leave the wrong value behind
+    # (round-13 ADVICE) — callers that want concurrent replays should
+    # use separate sessions.
     restore_parts: str | None = None
-    staged_bytes = spark.conf.get(STAGED_BYTES_CONF, None)
-    if staged_bytes is not None:
+    staged_bytes: int | None = None
+    staged_raw = spark.conf.get(STAGED_BYTES_CONF, None)
+    if staged_raw is not None:
         spark.conf.unset(STAGED_BYTES_CONF)
         try:
-            cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            staged_bytes = int(staged_raw)
         except ValueError:
-            cur = None  # non-integer (e.g. vendor "auto"): leave alone
-        if cur is not None:
-            plan = sdf._jdf.queryExecution().analyzed().toString()
-            # "InPandas" covers FlatMapGroupsInPandasWithState /
-            # MapInPandas; "Python" catches UDF expressions. A false
-            # positive only ramps parallelism faster (perf-only).
-            divisor = (
-                (256 << 10)
-                if ("InPandas" in plan or "Python" in plan)
-                else (8 << 20)
-            )
-            target = min(cur, max(8, -(-int(staged_bytes) // divisor)))
-            if target != cur:
-                restore_parts = str(cur)
-                spark.conf.set("spark.sql.shuffle.partitions", str(target))
-    writer = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    # Ephemeral replay checkpoints are throwaway by construction (this
-    # runner's whole point is bounded replay; nothing ever restarts
-    # from them), so they go to memory-backed scratch when the host
-    # has one: Spark's default temp checkpoint lands under
-    # java.io.tmpdir, which is a DISK path here, charging every
-    # micro-batch the state/offset/commit file I/O of a durable store
-    # without any of the durability (measured: −7% on the stateful
-    # availableNow floor, 4/4 interleaved pairs). A durable pipeline
-    # passes ``checkpoint_dir`` explicitly and is unaffected;
-    # SPARK_GRAFT_STREAM_SCRATCH overrides the scratch root (set it to
-    # a disk path to restore the old behavior).
-    scratch_root = None
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    else:
-        import os
-        import tempfile
-
-        root = os.environ.get(
-            "SPARK_GRAFT_STREAM_SCRATCH",
-            "/dev/shm" if os.path.isdir("/dev/shm") else None,
-        )
-        if root:
-            scratch_root = tempfile.mkdtemp(prefix="fds_ck_", dir=root)
-            writer = writer.option("checkpointLocation", scratch_root)
-    q = writer.start()
+            staged_bytes = None  # malformed: skip the clamp, not the run
+    q = None
     try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"streaming query {name!r} did not finish within "
-                f"{timeout_sec}s; memory table would be truncated"
-            )
-    finally:
-        if q.isActive:
-            q.stop()
-        if scratch_root is not None:
-            import shutil
+        if staged_bytes is not None:
+            try:
+                cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            except ValueError:
+                cur = None  # non-integer (e.g. vendor "auto"): leave alone
+            if cur is not None:
+                plan = sdf._jdf.queryExecution().analyzed().toString()
+                # Node-name match (round-13 ADVICE tightening): "InPandas"
+                # covers FlatMapGroupsInPandasWithState / MapInPandas /
+                # FlatMapGroupsInPandas, "InArrow" the mapInArrow twins,
+                # "PythonUDF"/"EvalPython" scalar/pandas UDF expressions.
+                # The old bare-"Python" match could false-positive on a
+                # string literal in a filter. A false positive only ramps
+                # parallelism faster (perf-only).
+                divisor = (
+                    (256 << 10)
+                    if any(
+                        t in plan
+                        for t in ("InPandas", "InArrow", "PythonUDF", "EvalPython")
+                    )
+                    else (8 << 20)
+                )
+                target = min(cur, max(8, -(-staged_bytes // divisor)))
+                if target != cur:
+                    restore_parts = str(cur)
+                    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        writer = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        # Ephemeral replay checkpoints are throwaway by construction (this
+        # runner's whole point is bounded replay; nothing ever restarts
+        # from them), so they go to memory-backed scratch when the host
+        # has one: Spark's default temp checkpoint lands under
+        # java.io.tmpdir, which is a DISK path here, charging every
+        # micro-batch the state/offset/commit file I/O of a durable store
+        # without any of the durability (measured: −7% on the stateful
+        # availableNow floor, 4/4 interleaved pairs). A durable pipeline
+        # passes ``checkpoint_dir`` explicitly and is unaffected;
+        # SPARK_GRAFT_STREAM_SCRATCH overrides the scratch root (set it
+        # to a disk path to restore the old behavior).
+        #
+        # SIZE GATE (round-13 verdict What's-wrong #1): tmpfs is
+        # RAM-backed and typically capped well below disk, and replay
+        # state is input-proportional for these bounded replays — so
+        # when the staged input published by the file sources exceeds
+        # SPARK_GRAFT_STREAM_SCRATCH_MAX_BYTES (default 1 GiB) the
+        # checkpoint falls back to Spark's disk default instead of
+        # filling /dev/shm. An explicit SPARK_GRAFT_STREAM_SCRATCH
+        # root is honored unconditionally (the operator chose it).
+        scratch_root = None
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        else:
+            import os
+            import tempfile
 
-            shutil.rmtree(scratch_root, ignore_errors=True)
+            root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+            if root is None and os.path.isdir("/dev/shm"):
+                try:
+                    shm_max = int(
+                        os.environ.get(
+                            "SPARK_GRAFT_STREAM_SCRATCH_MAX_BYTES",
+                            str(1 << 30),
+                        )
+                    )
+                except ValueError:
+                    shm_max = 1 << 30
+                if staged_bytes is None or staged_bytes <= shm_max:
+                    root = "/dev/shm"
+            if root:
+                scratch_root = tempfile.mkdtemp(prefix="fds_ck_", dir=root)
+                writer = writer.option("checkpointLocation", scratch_root)
+        try:
+            q = writer.start()
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"streaming query {name!r} did not finish within "
+                    f"{timeout_sec}s; memory table would be truncated"
+                )
+        finally:
+            if q is not None and q.isActive:
+                q.stop()
+            if scratch_root is not None:
+                import shutil
+
+                shutil.rmtree(scratch_root, ignore_errors=True)
+    finally:
+        # restore OUTSIDE the start/await block: a start-time
+        # AnalysisException (e.g. bad output mode) must not leave the
+        # session permanently clamped (round-13 ADVICE, medium).
         if restore_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", restore_parts)
     return spark.table(name)

@@ -98,6 +98,25 @@ def jaccard_pairs(
     the quantity that stays meaningful from sf0.01 to 100 TB; the
     ``min_posting_cap`` floor keeps tiny corpora exact. Mutually
     exclusive with ``max_posting``.
+
+    Rewrites measured and REJECTED (do not re-burn): round 13 tried
+    gram-hash keys (3 variants — struct ``array_distinct`` falls off
+    the hash-set fast path) and a size-ratio prune (landed default-OFF
+    as ``size_ratio_prune``). Round 14 tried (a) the two-phase
+    SELF-JOIN pair count (capped shingle-freq table, semi-filter, then
+    posting self-join on shingle with doc1 < doc2 — no posting arrays
+    materialized): loses 0/4 interleaved pairs at sf0.1 (min 2.82 vs
+    2.13 s) and is CATASTROPHIC at a 10x constant-density replica
+    (272 s vs 36 s, 7.5x — the equi-join enumerates f² combinations
+    per shingle inside the SMJ where the array formulation emits
+    exactly C(f,2)); and (b) dropping ``sort_array`` in favor of
+    least/greatest pair emission: wash at sf0.1 (1/4), loses 0/3 at
+    10x (min 51.9 vs 36.2 s — branchy struct construction per pair
+    costs more than the per-group sort). Stage isolation at sf0.1:
+    scan/explode 0.65 s, +posting agg 0.58 s, +pair explode 0.37 s,
+    +pair count 0.46 s — no dominant stage. The collect_list
+    formulation is the measured optimum across 6 tested variants over
+    two rounds.
     """
     if max_posting is not None and max_posting_frac is not None:
         raise ValueError("max_posting and max_posting_frac are mutually exclusive")
